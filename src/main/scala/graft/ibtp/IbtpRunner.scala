@@ -1,0 +1,120 @@
+package graft.ibtp
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Result of one materialization run. */
+final case class IbtpResult(
+    mode: RunMode,
+    window: Option[Boundaries.Window],
+    periodsRun: Seq[Boundaries.PeriodSlice],
+    rowsInserted: Long)
+
+/** The materialization orchestrator — reference A1 + A11
+  * (`insert_by_timeperiod_materialization.sql:2-86`,
+  * `insert_by_timeperiod_loop.sql:3-146`).
+  *
+  * Control plane runs on the Spark driver; each period is one
+  * independent Spark write job ("commit per period",
+  * `loop.sql:134` ≙ per-job atomic partition write). The loop is
+  * sequential like the reference — resumability depends on period i
+  * being durable before period i+1 starts. On failure mid-loop, a
+  * re-run without full refresh resumes from MAX(ts)+1 day
+  * (`README.md:9-11`).
+  *
+  * Scale shape (100 TB target, 1000 executors): the driver loop issues
+  * period-sized jobs; within each job all parallelism is Spark's.
+  * Period sizing follows the reference's own guidance — pick `period`
+  * so a chunk is 6–60 M rows (`README.md:104`); the per-job shuffle
+  * then fits executor memory and AQE coalesces post-shuffle partitions.
+  */
+object IbtpRunner {
+
+  final case class RunParams(
+      config: IbtpConfig,
+      mode: RunMode = RunMode.Normal,
+      cliStart: Option[LocalDate] = None,
+      cliStop: Option[LocalDate] = None,
+      today: LocalDate = LocalDate.now(),
+      log: String => Unit = _ => ())
+
+  def run(
+      spark: SparkSession,
+      model: IbtpModel,
+      target: TargetTable,
+      params: RunParams,
+      sources: Map[String, DataFrame] = Map.empty): IbtpResult = {
+    val cfg  = params.config
+    val mode = params.mode
+    val log  = params.log
+
+    // CLI start/stop take precedence over config (`materialization.sql:45-49`)
+    val effectiveCfg = cfg.copy(
+      startDate = params.cliStart.orElse(cfg.startDate),
+      stopDate = params.cliStop.orElse(cfg.stopDate))
+
+    val (startDate, stopDate) =
+      Boundaries.resolveStartStop(spark, effectiveCfg, sources)
+
+    // ---- init path (`materialization.sql:68-77` → init.sql) ----------
+    val needInit = !target.exists || mode == RunMode.FullRefresh
+    val isBackfill = mode.isInstanceOf[RunMode.Backfill]
+    var rowsInserted = 0L
+    if (needInit && !isBackfill) {
+      // CTAS from period 0 of the model (init loads period 1 of data,
+      // `init.sql:33-37`), or from the schema-sample override query
+      // (`init.sql:9-19`) which establishes schema with zero data rows.
+      val initDf = effectiveCfg.sampleSelectForSchema match {
+        case Some(sampleSql) if !target.exists =>
+          spark.sql(sampleSql).limit(0)
+        case _ =>
+          val b = PeriodBounds(
+            Boundaries.periodFrom(cfg.period, 0, startDate),
+            Boundaries.periodTo(cfg.period, 0, startDate, stopDate))
+          model.query(spark, b)
+      }
+      val n = target.init(initDf)
+      rowsInserted += n
+      log(s"[ibtp] init: created target with $n rows")
+    }
+
+    // ---- loop (`loop.sql:3-146`) -------------------------------------
+    val targetMax =
+      if (target.exists) Boundaries.targetMaxDate(target.read(), cfg.timestampField)
+      else None
+    val window = Boundaries.runWindow(
+      cfg.period, startDate, stopDate, targetMax, mode, params.today)
+
+    if (window.numPeriods <= 0 || !window.start.isBefore(window.stop)) {
+      log(s"[ibtp] nothing to do: window ${window.start}..${window.stop}")
+      return IbtpResult(mode, Some(window), Nil, rowsInserted)
+    }
+
+    val loopStop = mode match {
+      case RunMode.Backfill(_, e) => Some(e)
+      case _                      => Some(window.stop)
+    }
+    val slices = Boundaries.slices(cfg.period, window, loopStop)
+
+    slices.foreach { s =>
+      val bounds = PeriodBounds(s.from, s.to)
+      val periodDf = model.query(spark, bounds)
+      val n = mode match {
+        case _: RunMode.Backfill =>
+          // idempotent period replacement (`loop.sql:92-99,108-114`)
+          target.replaceRange(periodDf, s.from, s.to)
+        case _ if effectiveCfg.uniqueKey.nonEmpty =>
+          target.upsert(periodDf, effectiveCfg.uniqueKey)
+        case _ =>
+          target.append(periodDf)
+      }
+      rowsInserted += math.max(n, 0)
+      log(f"[ibtp] period ${s.offset + 1}%d of ${window.numPeriods}%d " +
+        s"[${s.from}, ${s.to}): $n rows")
+    }
+
+    log(s"[ibtp] INSERT $rowsInserted")
+    IbtpResult(mode, Some(window), slices, rowsInserted)
+  }
+}

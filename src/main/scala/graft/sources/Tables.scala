@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet readers for the test star schema + extension tables.
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark's
+  * vectorized reader rejects outright; sessions must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, under which the column
+  * arrives as LongType nanos and is normalized here to a micro-precision
+  * TimestampType. The floor-division truncation matches DuckDB's
+  * `CAST(ts_ns AS TIMESTAMP)` semantics, so oracle comparisons agree.
+  */
+object Tables {
+
+  /** Session config required to read nanosecond-timestamp parquet. */
+  val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // normalize any nanos-as-long timestamp columns back to TimestampType
+    if (name == "events") normalizeNanos(df, "ts") else df
+  }
+
+  private def normalizeNanos(df: DataFrame, colName: String): DataFrame =
+    df.schema.find(f => f.name == colName && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn(colName, timestamp_micros(floor(col(colName) / 1000L).cast(LongType)))
+      case None => df
+    }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "events")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = read(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view (for SqlModel / spark.sql use). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))
+}

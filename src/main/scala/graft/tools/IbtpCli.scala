@@ -1,0 +1,80 @@
+package graft.tools
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ibtp._
+import graft.sources.Tables
+
+/** Command-line entry for the materialization — the analogue of the
+  * reference's `dbt run` invocations (`/root/reference/README.md:108-143`):
+  *
+  * {{{
+  * runMain graft.tools.IbtpCli --sql model.sql --target /path/tbl \
+  *   --timestamp-field day --start-date 2024-01-01 [--stop-date D]
+  *   [--period day|week|month|year] [--unique-key k1,k2]
+  *   [--full-refresh] [--backfill] [--sf-dir /root/testdata/sf0.001]
+  * }}}
+  *
+  * The model SQL may reference any test table by name (registered as
+  * temp views) and must contain `__PERIOD_FILTER_FROM__` /
+  * `__PERIOD_FILTER_TO__` placeholders.
+  */
+object IbtpCli {
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Map.empty)
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"missing required --$k"))
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("ibtp")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosAsLong, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
+      Tables.registerAll(spark, sfDir)
+
+      val sqlText = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(req("sql"))), "UTF-8")
+      val cfg = IbtpConfig(
+        timestampField = req("timestamp-field"),
+        startDate = opts.get("start-date").map(LocalDate.parse),
+        stopDate = opts.get("stop-date").map(LocalDate.parse),
+        period = PeriodUnit.fromString(opts.getOrElse("period", "day")),
+        uniqueKey = opts.get("unique-key").map(_.split(",").toSeq).getOrElse(Nil),
+        dateSourceModels = opts.get("date-source-models")
+          .map(_.split(",").toSeq).getOrElse(Nil))
+      val mode = RunMode.resolve(
+        fullRefresh = opts.contains("full-refresh"),
+        backfill = opts.contains("backfill"),
+        cliStart = opts.get("start-date").map(LocalDate.parse),
+        cliStop = opts.get("stop-date").map(LocalDate.parse))
+
+      val target = new TargetTable(spark, req("target"), cfg.timestampField)
+      val res = IbtpRunner.run(spark, IbtpModel.SqlModel(sqlText), target,
+        IbtpRunner.RunParams(cfg, mode, log = println))
+      println(s"[ibtp] done: mode=${res.mode} periods=${res.periodsRun.size} " +
+        s"rows=${res.rowsInserted}")
+    } finally spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case flag :: rest if flag.startsWith("--") =>
+        val k = flag.drop(2)
+        rest match {
+          case v :: tail if !v.startsWith("--") => parse(tail, acc + (k -> v))
+          case _                                => parse(rest, acc + (k -> ""))
+        }
+      case other :: _ => sys.error(s"unexpected argument '$other'")
+    }
+}

@@ -1,0 +1,158 @@
+package graft.ibtp
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** End-to-end materialization scenarios over the `events` fixture
+  * (SURVEY §5.4): fresh build, catch-up, full refresh, backfill window
+  * replace, unique-key upsert, period tiling for week/month.
+  *
+  * The defining correctness property throughout:
+  * loop(model) over [start, stop) ≡ one-shot model over [start, stop).
+  */
+class IbtpRunnerSpec extends SparkSpecBase {
+
+  private val jan1  = LocalDate.of(2024, 1, 1)
+  private val feb1  = LocalDate.of(2024, 2, 1)
+
+  /** Daily aggregation model over events — the README's canonical
+    * pattern (`/root/reference/README.md:62-70`): CTE + period filter +
+    * aggregates.
+    */
+  private def dailyAggModel: IbtpModel = IbtpModel.DfModel { (s, from, to) =>
+    table("events")
+      .filter(col("ts") >= from && col("ts") < to)
+      .groupBy(col("ts").cast("date").cast("timestamp").as("day"), col("event_type"))
+      .agg(count("*").as("n_events"),
+        round(sum(col("value")), 4).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private def oneShot(from: LocalDate, to: LocalDate): DataFrame =
+    dailyAggModel.query(spark, PeriodBounds(from, to))
+
+  private def cfg = IbtpConfig(
+    timestampField = "day",
+    startDate = Some(jan1),
+    stopDate = Some(feb1))
+
+  private def runner(target: TargetTable, mode: RunMode = RunMode.Normal,
+      c: IbtpConfig = cfg): IbtpResult =
+    IbtpRunner.run(spark, dailyAggModel, target,
+      IbtpRunner.RunParams(c, mode, today = feb1))
+
+  test("fresh day-by-day build equals one-shot query") {
+    val target = new TargetTable(spark, tmpDir("ibtp_fresh"), "day")
+    val res = runner(target)
+    assert(res.rowsInserted > 0)
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+  }
+
+  test("second run is a no-op (already caught up)") {
+    val target = new TargetTable(spark, tmpDir("ibtp_noop"), "day")
+    runner(target)
+    val n1 = target.read().count()
+    val res2 = runner(target)
+    assert(res2.periodsRun.isEmpty || res2.rowsInserted == 0)
+    assert(target.read().count() == n1)
+  }
+
+  test("catch-up run: build first half, then resume completes the rest") {
+    val mid = LocalDate.of(2024, 1, 15)
+    val target = new TargetTable(spark, tmpDir("ibtp_resume"), "day")
+    runner(target, c = cfg.copy(stopDate = Some(mid)))
+    val firstCount = target.read().count()
+    assert(firstCount > 0)
+    // resume with the full window — must continue from max(day)+1, not redo
+    val res2 = runner(target)
+    assert(res2.window.get.start == mid) // max ts = jan14 (stop exclusive) + 1 day
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+  }
+
+  test("full refresh rebuilds from scratch and equals one-shot") {
+    val target = new TargetTable(spark, tmpDir("ibtp_fr"), "day")
+    runner(target)
+    runner(target, mode = RunMode.FullRefresh)
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+  }
+
+  test("backfill replaces a mid-range window idempotently") {
+    val target = new TargetTable(spark, tmpDir("ibtp_bf"), "day")
+    runner(target)
+    val beforeCount = target.read().count()
+    val bf = RunMode.Backfill(LocalDate.of(2024, 1, 10), LocalDate.of(2024, 1, 20))
+    runner(target, mode = bf)
+    assertSameRows(target.read(), oneShot(jan1, feb1)) // data unchanged: same source
+    runner(target, mode = bf) // idempotent
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+    assert(beforeCount == target.read().count())
+  }
+
+  test("unique-key upsert: re-running a window does not duplicate rows") {
+    val target = new TargetTable(spark, tmpDir("ibtp_uk"), "day")
+    val c = cfg.copy(uniqueKey = Seq("day", "event_type"))
+    IbtpRunner.run(spark, dailyAggModel, target, IbtpRunner.RunParams(c, today = feb1))
+    val n1 = target.read().count()
+    // force re-processing of the last 5 days by lying about resume point:
+    // run a backfill-free normal run with start pushed back — the upsert
+    // path must delete matching (day, event_type) keys before insert.
+    val reRun = IbtpRunner.RunParams(
+      c.copy(startDate = Some(LocalDate.of(2024, 1, 27))), RunMode.FullRefresh,
+      today = feb1)
+    // FullRefresh rebuilds; to exercise upsert on an existing table run a
+    // partial period window manually instead:
+    val slice = Boundaries.PeriodSlice(0, LocalDate.of(2024, 1, 27), feb1)
+    val df = dailyAggModel.query(spark, PeriodBounds(slice.from, slice.to))
+    target.upsert(df, c.uniqueKey)
+    assert(target.read().count() == n1)
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+  }
+
+  test("week and month periods tile the same window identically") {
+    for (p <- Seq(PeriodUnit.Week, PeriodUnit.Month)) {
+      val target = new TargetTable(spark, tmpDir(s"ibtp_${p.name}"), "day")
+      runner(target, c = cfg.copy(period = p))
+      assertSameRows(target.read(), oneShot(jan1, feb1))
+    }
+  }
+
+  test("SqlModel fidelity mode: placeholder SQL runs through spark.sql") {
+    table("events").createOrReplaceTempView("events")
+    val m = IbtpModel.SqlModel(
+      """WITH src AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= __PERIOD_FILTER_FROM__ AND ts < __PERIOD_FILTER_TO__
+        |)
+        |SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
+        |       COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 4) AS total_value,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM src GROUP BY 1, 2""".stripMargin)
+    val target = new TargetTable(spark, tmpDir("ibtp_sql"), "day")
+    IbtpRunner.run(spark, m, target, IbtpRunner.RunParams(cfg, today = feb1))
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+  }
+
+  test("date_source_models probe resolves start/stop from min/max") {
+    val (s, e) = Boundaries.resolveStartStop(spark,
+      IbtpConfig(timestampField = "ts", dateSourceModels = Seq("ev")),
+      sources = Map("ev" -> table("events")))
+    assert(s == jan1)
+    assert(e.exists(d => d.isAfter(LocalDate.of(2024, 1, 25))))
+  }
+
+  test("schema-sample init creates empty typed target, loop then fills it") {
+    table("events").createOrReplaceTempView("events")
+    val c = cfg.copy(sampleSelectForSchema = Some(
+      "SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type, " +
+        "CAST(1 AS BIGINT) AS n_events, CAST(1.0 AS DOUBLE) AS total_value, " +
+        "CAST(1 AS BIGINT) AS n_users FROM events"))
+    val target = new TargetTable(spark, tmpDir("ibtp_sample"), "day")
+    runner(target, c = c)
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+  }
+}

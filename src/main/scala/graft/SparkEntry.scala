@@ -1,13 +1,83 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CoreQueries, ExtensionQueries, IbtpQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers SURVEY §2's operator inventory (B1–B17) plus the
+  * north-star extension operators (dedup / similarity / text analysis /
+  * multimodal). Every oracle-expressible query has a matching
+  * `oracleSql` entry with identical column names; hash-unstable ops
+  * (MinHash/SimHash/LSH/fingerprint/multimodal — engine-specific hash
+  * functions) get the driver's weaker rows-only check and are instead
+  * recall-tested in ScalaTest against planted duplicates.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship on sf0.001: the full materialization loop (day period)
+    * over events — the engine's defining end-to-end path.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    IbtpQueries.loopDaily(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core SQL surface (SURVEY §2.B)
+    "q01_scan_filter_project" -> (CoreQueries.scanFilterProject _),
+    "q02_agg_pricing_summary" -> (CoreQueries.aggPricingSummary _),
+    "q03_minmax_boundary_probe" -> (CoreQueries.minmaxBoundaryProbe _),
+    "q04_join_broadcast_revenue" -> (CoreQueries.joinBroadcastRevenue _),
+    "q05_join_orders_priority" -> (CoreQueries.joinOrdersPriority _),
+    "q06_semi_join_big_quantity" -> (CoreQueries.semiJoinBigQuantity _),
+    "q07_anti_join_customers_no_orders" -> (CoreQueries.antiJoinCustomersNoOrders _),
+    "q08_window_running_shipments" -> (CoreQueries.windowRunningShipments _),
+    "q09_date_scalars" -> (CoreQueries.dateScalars _),
+    "q10_conditional_scalars" -> (CoreQueries.conditionalScalars _),
+    "q11_cte_set_ops" -> (CoreQueries.cteSetOps _),
+    "q12_rollup_quantities" -> (CoreQueries.rollupQuantities _),
+    "q13_topk_orders" -> (CoreQueries.topKOrders _),
+    "q14_json_extract_events" -> (CoreQueries.jsonExtractEvents _),
+    "q15_events_daily_agg" -> (CoreQueries.eventsDailyAgg _),
+    // the materialization loop itself (loop ≡ one-shot)
+    "q16_ibtp_loop_daily" -> (IbtpQueries.loopDaily _),
+    "q17_ibtp_loop_weekly" -> (IbtpQueries.loopWeekly _),
+    // extension operators (north star)
+    "q20_dedup_exact" -> (ExtensionQueries.dedupExact _),
+    "q21_dedup_minhash" -> (ExtensionQueries.dedupMinhash _),
+    "q22_dedup_simhash" -> (ExtensionQueries.dedupSimhash _),
+    "q23_ngram_jaccard" -> (ExtensionQueries.ngramJaccardPlanted _),
+    "q24_similarity_bruteforce" -> (ExtensionQueries.similarityBruteForce _),
+    "q25_similarity_lsh" -> (ExtensionQueries.similarityLsh _),
+    "q26_ivf_assignments" -> (ExtensionQueries.ivfAssignments _),
+    "q27_text_quality" -> (ExtensionQueries.textQuality _),
+    "q28_lang_id" -> (ExtensionQueries.langId _),
+    "q29_token_counts" -> (ExtensionQueries.tokenCounts _),
+    "q30_fingerprint_stats" -> (ExtensionQueries.fingerprintStats _),
+    "q31_multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" -> CoreQueries.scanFilterProjectSql,
+    "q02_agg_pricing_summary" -> CoreQueries.aggPricingSummarySql,
+    "q03_minmax_boundary_probe" -> CoreQueries.minmaxBoundaryProbeSql,
+    "q04_join_broadcast_revenue" -> CoreQueries.joinBroadcastRevenueSql,
+    "q05_join_orders_priority" -> CoreQueries.joinOrdersPrioritySql,
+    "q06_semi_join_big_quantity" -> CoreQueries.semiJoinBigQuantitySql,
+    "q07_anti_join_customers_no_orders" -> CoreQueries.antiJoinCustomersNoOrdersSql,
+    "q08_window_running_shipments" -> CoreQueries.windowRunningShipmentsSql,
+    "q09_date_scalars" -> CoreQueries.dateScalarsSql,
+    "q10_conditional_scalars" -> CoreQueries.conditionalScalarsSql,
+    "q11_cte_set_ops" -> CoreQueries.cteSetOpsSql,
+    "q12_rollup_quantities" -> CoreQueries.rollupQuantitiesSql,
+    "q13_topk_orders" -> CoreQueries.topKOrdersSql,
+    "q14_json_extract_events" -> CoreQueries.jsonExtractEventsSql,
+    "q15_events_daily_agg" -> CoreQueries.eventsDailyAggSql,
+    "q16_ibtp_loop_daily" -> IbtpQueries.loopOracleSql,
+    "q17_ibtp_loop_weekly" -> IbtpQueries.loopOracleSql,
+    "q20_dedup_exact" -> ExtensionQueries.dedupExactSql,
+    "q24_similarity_bruteforce" -> ExtensionQueries.similarityBruteForceSql,
+    "q27_text_quality" -> ExtensionQueries.textQualitySql,
+    "q29_token_counts" -> ExtensionQueries.tokenCountsSql,
+  )
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators, built from
+  * Spark's codegen'd built-ins and higher-order array functions — no
+  * UDFs, so every expression stays inside whole-stage codegen and the
+  * plans scale to arbitrarily wide corpora (per-row work, no shuffle).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the portable definition shared with the
+    * DuckDB oracles: split trimmed text on runs of whitespace).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles: contiguous n-token windows re-joined with a
+    * single space. Empty array when the document has < n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Distinct shingle set (for Jaccard). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** 64-permutation MinHash signature of a shingle set.
+    *
+    * Permutation s is simulated by seeding xxhash64 with s
+    * (min over shingles of xxhash64(s, shingle)); 64 independent
+    * min-hashes approximate Jaccard similarity with stderr ~1/8.
+    * Pure per-row columnar work — signatures for a 100 TB corpus
+    * compute embarrassingly parallel with zero shuffle.
+    */
+  def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingleSet, sh => xxhash64(s, sh))))
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `signature.size / bands` rows each and hash every band. Documents
+    * sharing any band key are near-dup candidates — the classic
+    * banding construction (probability of sharing a band ≈
+    * 1-(1-J^r)^b for Jaccard J).
+    */
+  def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",", transform(slice(signature, b * rows + 1, rows),
+          x => x.cast("string")))).as("band_hash"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two pre-deduplicated shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0d, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** 64-bit SimHash over the token multiset: bit i of the hash of each
+    * token votes +1/-1; the sign of the tally sets bit i of the
+    * fingerprint. Near-duplicates differ in few bits (small Hamming
+    * distance). Per-row columnar, no shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    val bits = transform(
+      sequence(lit(0), lit(63)),
+      i =>
+        when(
+          aggregate(
+            toks,
+            lit(0L),
+            (acc, t) =>
+              acc + when(bit_get(xxhash64(t), i) === 1, lit(1L)).otherwise(lit(-1L))) > 0L,
+          lit(1L)).otherwise(lit(0L)))
+    // pack in two 32-bit halves (acc*2+bit on a full 64 bits would trip
+    // ANSI overflow at bit 63); shiftleft is a bitwise op, no overflow
+    def packHalf(offset: Int): Column =
+      aggregate(reverse(slice(bits, offset + 1, 32)), lit(0L), (acc, b) => acc * 2 + b)
+    shiftleft(packHalf(32), 32).bitwiseOR(packHalf(0))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling-hash document fingerprint (winnowing): hash every k-char
+    * gram, then keep the minimum hash of each w-wide window; distinct
+    * mins form the fingerprint. Standard winnowing guarantees any
+    * shared substring of length >= w+k-1 yields a shared fingerprint
+    * element. Per-row columnar.
+    */
+  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 16): Column = {
+    val n = length(text)
+    val grams = when(n < k, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), n - k + 1),
+        i => xxhash64(substring(text, i, lit(k)))))
+    val mins = when(size(grams) <= w, array(array_min(grams)))
+      .otherwise(transform(sequence(lit(1), size(grams) - w + 1),
+        j => array_min(slice(grams, j, lit(w)))))
+    array_distinct(mins)
+  }
+
+  /** Stopword-hit count against a small built-in list (quality signal). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks — the portable approximation of a subword
+    * tokenizer's pre-tokenization pass (same regex runs in RE2/DuckDB).
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", ""))
+}

@@ -80,9 +80,9 @@ object IbtpRunner {
     }
 
     // ---- loop (`loop.sql:3-146`) -------------------------------------
-    val targetMax =
-      if (target.exists) Boundaries.targetMaxDate(target.read(), cfg.timestampField)
-      else None
+    // resume probe: partition-metadata listing, no data scan (the
+    // reference must run MAX(ts) on the warehouse here, helpers.sql:119)
+    val targetMax = if (target.exists) target.maxPartitionDate else None
     val window = Boundaries.runWindow(
       cfg.period, startDate, stopDate, targetMax, mode, params.today)
 

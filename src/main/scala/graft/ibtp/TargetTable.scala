@@ -61,6 +61,33 @@ final class TargetTable(
     if (!exists) throw new IllegalStateException(s"target $path does not exist")
     else readRaw().drop(PartitionCol)
 
+  /** Partition-pruned read of [from, to): the range predicate lands on
+    * the day-partition column, so the scan touches only the range's
+    * partition directories — the read path a loop-body model should use
+    * against a previous IBTP target at 100 TB.
+    */
+  def readRange(from: LocalDate, to: LocalDate): DataFrame =
+    readRaw()
+      .filter(col(PartitionCol) >= lit(java.sql.Date.valueOf(from)) &&
+        col(PartitionCol) < lit(java.sql.Date.valueOf(to)))
+      .drop(PartitionCol)
+
+  /** Largest day-partition value, from directory names only — no data
+    * scan. Because `p_date = CAST(timestampField AS DATE)` is written
+    * aligned, this equals CAST(MAX(ts) AS DATE), which is exactly what
+    * the resume probe needs (reference `helpers.sql:119` runs MAX(ts)
+    * on the warehouse; here it is a metadata listing).
+    */
+  def maxPartitionDate: Option[LocalDate] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$PartitionCol="))
+      .map(n => LocalDate.parse(n.stripPrefix(s"$PartitionCol=")))
+      .sorted.lastOption
+  }
+
   /** Raw read including the partition column (for partition-aware ops).
     * Schema comes from the sidecar written at init — robust for targets
     * holding zero data files (schema-sample init, `init.sql:9-19`) and

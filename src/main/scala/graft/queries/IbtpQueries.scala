@@ -1,0 +1,64 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ibtp._
+import graft.sources.Tables
+
+/** The materialization itself as a verifiable query: run the full
+  * period loop into a scratch target, read the table back. The oracle
+  * is the one-shot full-range SQL — proving the engine's defining
+  * property loop(model) ≡ model over [start, stop).
+  */
+object IbtpQueries {
+
+  /** Daily per-type aggregation model (the README's canonical example
+    * shape, `/root/reference/README.md:62-70`).
+    */
+  private def dailyModel(dir: String): IbtpModel = IbtpModel.DfModel { (s, from, to) =>
+    Tables.events(s, dir)
+      .filter(col("ts") >= from && col("ts") < to)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private def runLoop(spark: SparkSession, dir: String, period: PeriodUnit): DataFrame = {
+    // probe the events range so the window covers the whole table at
+    // any scale factor; stop = max date + 1 day (exclusive)
+    val cfg0 = IbtpConfig(timestampField = "day", dateSourceModels = Seq("__events"))
+    val (minD, maxD) = Boundaries.resolveStartStop(
+      spark, cfg0.copy(timestampField = "ts"),
+      Map("__events" -> Tables.events(spark, dir)))
+    val cfg = IbtpConfig(
+      timestampField = "day",
+      startDate = Some(minD),
+      stopDate = Some(maxD.get.plusDays(1)),
+      period = period)
+    val targetDir = Files.createTempDirectory(s"ibtp_q_${period.name}").toString
+    val target = new TargetTable(spark, targetDir, "day", countRows = false)
+    IbtpRunner.run(spark, dailyModel(dir), target, IbtpRunner.RunParams(cfg))
+    target.read().orderBy(col("day"), col("event_type"))
+  }
+
+  /** Day-period loop (~30 jobs at the fixtures' range). */
+  def loopDaily(spark: SparkSession, dir: String): DataFrame =
+    runLoop(spark, dir, PeriodUnit.Day)
+
+  /** Week-period loop (~5 jobs) — same oracle, different tiling. */
+  def loopWeekly(spark: SparkSession, dir: String): DataFrame =
+    runLoop(spark, dir, PeriodUnit.Week)
+
+  /** Both loop queries share this one-shot full-range oracle. */
+  val loopOracleSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.queries.ExtensionQueries
+
+/** Behavior tests for the operators whose outputs are hash-specific
+  * (no DuckDB oracle): recall against planted duplicates, ANN recall
+  * vs the brute-force baseline, fingerprint containment.
+  */
+class ExtensionOpsSpec extends SparkSpecBase {
+
+  test("exact dedup: every planted copy collapses to its original") {
+    val groups = ExtensionQueries.dedupExact(spark, sfDir)
+    val n = table("documents").count()
+    assert(groups.count() == n)             // one group per distinct text
+    assert(groups.filter(col("dup_count") =!= 2).count() == 0) // each text exactly twice
+    assert(groups.filter(col("keep_id") >= 1000000L).count() == 0) // originals kept
+  }
+
+  test("minhash LSH finds every planted near-duplicate pair with high jaccard") {
+    val pairs = ExtensionQueries.dedupMinhash(spark, sfDir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = table("documents").select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 2000000L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.98, s"minhash recall $recall")
+  }
+
+  test("ngram jaccard on planted pairs is high (only 3 trailing tokens differ)") {
+    val j = ExtensionQueries.ngramJaccardPlanted(spark, sfDir)
+    assert(j.agg(min(col("jaccard"))).head().getDouble(0) > 0.5)
+    assert(j.count() == table("documents").count())
+  }
+
+  test("simhash blocking finds EXACTLY the pairs at hamming <= 3 (pigeonhole guarantee)") {
+    import graft.functions.expressions.TextHashFunctions
+    val corpus = ExtensionQueries.corpusWithNearDups(spark, sfDir)
+    val got = ExtensionQueries.dedupSimhash(spark, sfDir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all-pairs hamming over the 64-bit fingerprints
+    val prints = corpus.select(col("doc_id"),
+      TextHashFunctions.simhash64_fast(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, sa) <- prints; (ib, sb) <- prints
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}; " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty) // the planted near-dups do produce close pairs
+  }
+
+  test("LSH ANN results are a subset-quality approximation of brute force") {
+    val bf = ExtensionQueries.similarityBruteForce(spark, sfDir)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ExtensionQueries.similarityLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit must be a true neighbor ranking no better than its
+    // brute-force cosine (cosines computed identically) — spot check
+    // that reported cosines never exceed the brute-force top-1
+    val bfTop = ExtensionQueries.similarityBruteForce(spark, sfDir)
+      .groupBy(col("query_id")).agg(max(col("cosine")).as("best"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lsh.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getDouble(2) <= bfTop(q) + 1e-9)
+    }
+  }
+
+  test("ivf assignment puts every vector in exactly one cell") {
+    val cells = ExtensionQueries.ivfAssignments(spark, sfDir)
+    assert(cells.agg(sum(col("cell_size"))).head().getLong(0) ==
+      table("embeddings").count())
+  }
+
+  test("language id is deterministic and covers all docs") {
+    val l = ExtensionQueries.langId(spark, sfDir)
+    assert(l.count() == table("documents").count())
+    assert(l.filter(col("predicted_lang").isNull).count() == 0)
+  }
+
+  test("winnowing fingerprint: shared substring implies shared element") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "prefix words then the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different content with no overlap whatsoever in any window here")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty)   // share a long substring
+    assert((fp(1L) intersect fp(3L)).isEmpty)    // nothing shared
+  }
+
+  test("multimodal pipeline: features are deterministic and complete") {
+    val f1 = ExtensionQueries.multimodalFeatures(spark, sfDir).collect()
+    val f2 = ExtensionQueries.multimodalFeatures(spark, sfDir).collect()
+    assert(f1.sameElements(f2))
+    assert(f1.length == table("documents").count())
+    assert(f1.forall(_.getLong(2) > 0)) // n_bytes
+  }
+}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Dev-side mirror of the driver's correctness gate: read each query's
+parquet output from Verify, run its oracle SQL in DuckDB over the same
+testdata tables, and compare row sets. Not part of the shipped library
+(the library is pure Scala/Spark); this is local test tooling only.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+def rows_key(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got_rel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_names = [c.lower() for c in got_rel.columns]
+            got = rows_key(got_rel.fetchall(), got_names)
+            exp_rel = con.sql(sql)
+            exp_names = [c.lower() for c in exp_rel.columns]
+            exp = rows_key(exp_rel.fetchall(), exp_names)
+            if sorted(got_names) != sorted(exp_names):
+                print(f"FAIL {name}: columns {sorted(got_names)} != {sorted(exp_names)}")
+                n_fail += 1
+            elif got != exp:
+                diffs = [(a, b) for a, b in zip(got, exp) if a != b][:3]
+                print(f"FAIL {name}: {len(got)} vs {len(exp)} rows; first diffs: {diffs}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(got)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

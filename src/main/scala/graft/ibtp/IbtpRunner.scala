@@ -97,6 +97,16 @@ object IbtpRunner {
     }
     val slices = Boundaries.slices(cfg.period, window, loopStop)
 
+    // schema-change handling once per run (schemas are constant across
+    // periods); full refresh forces 'ignore' (`materialization.sql:73`)
+    val schemaMode =
+      if (mode == RunMode.FullRefresh) OnSchemaChange.Ignore
+      else effectiveCfg.onSchemaChange
+    slices.headOption.foreach { s =>
+      val probe = model.query(spark, PeriodBounds(s.from, s.to))
+      target.evolveSchema(probe.schema, schemaMode) // df.schema is free pre-execution
+    }
+
     slices.foreach { s =>
       val bounds = PeriodBounds(s.from, s.to)
       val periodDf = model.query(spark, bounds)

@@ -207,6 +207,55 @@ final class TargetTable(
     } finally fresh.unpersist()
   }
 
+  /** Evolve the target's stored schema for incoming data per the dbt
+    * `on_schema_change` semantics (`materialization.sql:76`,
+    * `loop.sql:82-86`):
+    *  - Ignore: target schema unchanged; extra incoming columns are
+    *    dropped, missing ones null-filled (insert by target column
+    *    list, `loop.sql:88`);
+    *  - Fail: any column-set difference raises;
+    *  - AppendNewColumns: new incoming columns are appended to the
+    *    target schema (historic files read them as NULL);
+    *  - SyncAllColumns: target schema becomes the incoming schema —
+    *    adds new columns, drops removed ones (historic files' dropped
+    *    columns are simply no longer projected), and widens types
+    *    where the incoming type safely contains the target's.
+    *
+    * Pure metadata: only the schema sidecar changes; no data rewrite
+    * (the reference likewise alters the table, not the rows). Call
+    * before the first write of a run.
+    */
+  def evolveSchema(incoming: StructType, mode: OnSchemaChange): Unit = {
+    if (!exists) return
+    val current = read().schema
+    val curNames = current.fields.map(_.name).toSet
+    val inNames  = incoming.fields.filterNot(_.name == PartitionCol).map(_.name).toSet
+    mode match {
+      case OnSchemaChange.Ignore => ()
+      case OnSchemaChange.Fail =>
+        if (curNames != inNames)
+          throw new IllegalStateException(
+            s"on_schema_change=fail: target columns $curNames != incoming $inNames")
+      case OnSchemaChange.AppendNewColumns =>
+        val extra = incoming.fields.filterNot(f =>
+          curNames.contains(f.name) || f.name == PartitionCol)
+        if (extra.nonEmpty)
+          writeSchemaSidecar(StructType(current.fields ++ extra))
+      case OnSchemaChange.SyncAllColumns =>
+        val widened = incoming.fields.filterNot(_.name == PartitionCol).map { inF =>
+          current.fields.find(_.name == inF.name) match {
+            case Some(curF) =>
+              val t = SchemaEvolution.widen(curF.dataType, inF.dataType).getOrElse(
+                throw new IllegalStateException(
+                  s"column ${inF.name}: incompatible ${curF.dataType} vs ${inF.dataType}"))
+              StructField(inF.name, t, nullable = true)
+            case None => inF
+          }
+        }
+        writeSchemaSidecar(StructType(widened))
+    }
+  }
+
   /** Schema alignment on insert — the reference inserts using the
     * TARGET's column list (`loop.sql:88,109-114`) with
     * `expand_target_column_types` widening (`loop.sql:78-79`). Spark

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion for the events table — the streaming
+  * analogue of the batch period loop: where IBTP tiles history into
+  * half-open [from, to) chunks, the stream tiles arriving data into
+  * event-time windows with a watermark bounding state. Same grouping
+  * keys, same aggregates, so a catch-up batch run and the stream
+  * produce the same rows for closed windows.
+  *
+  * File-source streaming scales by listing new files per trigger; at
+  * production scale the source would be a log/queue, but the transform
+  * graph (watermark → window agg → append sink) is identical.
+  */
+object EventStream {
+
+  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS), which the
+    * session reads as long nanos under the nanosAsLong flag).
+    */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events fixture with ts normalized to a
+    * micro-precision timestamp (same truncation as the batch reader).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(RawSchema)
+      // glob, not a bare file path: the file stream source requires a
+      // directory (or glob) to monitor for new files
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+
+  /** Tumbling daily aggregation with a watermark: the streaming twin
+    * of the IBTP daily model (day, event_type, counts/sums). Append
+    * mode emits each day exactly once, when the watermark passes it —
+    * the streaming equivalent of the loop's per-period commit.
+    */
+  def dailyAgg(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding-window per-type rates (5-day window, 1-day slide). */
+  def slidingTypeRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "5 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("date").as("window_start"),
+        col("w.end").cast("date").as("window_end"),
+        col("event_type"), col("n_events"))
+}

@@ -50,7 +50,9 @@ object IbtpCli {
         period = PeriodUnit.fromString(opts.getOrElse("period", "day")),
         uniqueKey = opts.get("unique-key").map(_.split(",").toSeq).getOrElse(Nil),
         dateSourceModels = opts.get("date-source-models")
-          .map(_.split(",").toSeq).getOrElse(Nil))
+          .map(_.split(",").toSeq).getOrElse(Nil),
+        onSchemaChange = OnSchemaChange.fromString(
+          opts.getOrElse("on-schema-change", "ignore")))
       val mode = RunMode.resolve(
         fullRefresh = opts.contains("full-refresh"),
         backfill = opts.contains("backfill"),

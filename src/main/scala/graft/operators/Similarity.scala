@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKAggregator
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -34,12 +35,25 @@ object Similarity {
       .select(col(idCol), col(vecCol))
       .join(broadcast(q), col(idCol) =!= col(queryIdCol)) // exclude self
       .withColumn("cosine", cosine(col(vecCol), col("q_vec")))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc, col(idCol).asc)
+    groupedTopK(scored, k, idCol, queryIdCol)
+  }
+
+  /** Grouped top-k via a bounded-heap Aggregator: map-side partial
+    * aggregation caps the shuffle at k rows per (group, map partition),
+    * where a Window(row_number) plan would shuffle the full scored set
+    * into one partition per group. Ordering: cosine DESC, id ASC.
+    */
+  private def groupedTopK(
+      scored: DataFrame, k: Int, idCol: String, queryIdCol: String): DataFrame = {
+    val topk = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .groupBy(col(queryIdCol))
+      .agg(topk(col(idCol), col("cosine")).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")))
+      .select(col(queryIdCol), col("col._1").as(idCol),
+        round(col("col._2"), 6).as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** LSH-bucketed ANN: score only candidates sharing a hyperplane
@@ -61,12 +75,7 @@ object Similarity {
       .join(broadcast(qb),
         col("bucket") === col("q_bucket") && col(idCol) =!= col(queryIdCol))
       .withColumn("cosine", cosine(col(vecCol), col("q_vec")))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+    groupedTopK(scored, k, idCol, queryIdCol)
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest

@@ -37,7 +37,18 @@ object IbtpRunner {
       cliStart: Option[LocalDate] = None,
       cliStop: Option[LocalDate] = None,
       today: LocalDate = LocalDate.now(),
-      log: String => Unit = _ => ())
+      log: String => Unit = _ => (),
+      /** Periods submitted to Spark concurrently. 1 (default) is the
+        * reference's strictly sequential loop: period i is durable
+        * before i+1 starts, so resume-from-max never skips a gap.
+        * Higher values run independent period jobs in parallel —
+        * append-mode periods write disjoint day-partitions, so results
+        * are identical and idempotent; the trade is that a mid-run
+        * failure can leave holes behind the max partition, which a
+        * backfill of the run window repairs. Upsert mode ignores this
+        * and stays sequential (periods may touch shared partitions).
+        */
+      maxConcurrentPeriods: Int = 1)
 
   def run(
       spark: SparkSession,
@@ -107,21 +118,46 @@ object IbtpRunner {
       target.evolveSchema(probe.schema, schemaMode) // df.schema is free pre-execution
     }
 
-    slices.foreach { s =>
-      val bounds = PeriodBounds(s.from, s.to)
-      val periodDf = model.query(spark, bounds)
+    def runSlice(s: Boundaries.PeriodSlice, isolated: Boolean): Long = {
+      val periodDf = model.query(spark, PeriodBounds(s.from, s.to))
       val n = mode match {
         case _: RunMode.Backfill =>
           // idempotent period replacement (`loop.sql:92-99,108-114`)
           target.replaceRange(periodDf, s.from, s.to)
         case _ if effectiveCfg.uniqueKey.nonEmpty =>
           target.upsert(periodDf, effectiveCfg.uniqueKey)
+        case _ if isolated =>
+          target.appendIsolated(periodDf)
         case _ =>
           target.append(periodDf)
       }
-      rowsInserted += math.max(n, 0)
       log(f"[ibtp] period ${s.offset + 1}%d of ${window.numPeriods}%d " +
         s"[${s.from}, ${s.to}): $n rows")
+      n
+    }
+
+    // concurrency only on the plain-append path: backfill's
+    // delete-then-insert and upsert's read-rewrite touch shared state
+    val concurrency =
+      if (isBackfill || effectiveCfg.uniqueKey.nonEmpty) 1
+      else math.max(1, params.maxConcurrentPeriods)
+    if (concurrency == 1) {
+      slices.foreach(s => rowsInserted += math.max(runSlice(s, isolated = false), 0))
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        // window batches preserve coarse ordering: batch i completes
+        // before batch i+1 starts, bounding any failure hole
+        slices.grouped(concurrency).foreach { batch =>
+          val ns = Await.result(
+            Future.sequence(batch.map(s => Future(runSlice(s, isolated = true)))),
+            Duration.Inf)
+          rowsInserted += ns.map(math.max(_, 0L)).sum
+        }
+      } finally pool.shutdown()
     }
 
     log(s"[ibtp] INSERT $rowsInserted")

@@ -145,6 +145,31 @@ final class TargetTable(
   def append(df: DataFrame): Long =
     writeCounted(withPartitionCol(alignToTarget(df)), path, "append")
 
+  /** Append safe under CONCURRENT callers: two Spark jobs appending to
+    * one directory share the committer's `_temporary` staging and can
+    * clobber each other, so each call stages to its own scratch dir
+    * and then moves the day-partition directories into the target
+    * (pure namenode renames). Callers must write disjoint partitions —
+    * true for distinct periods on the append path.
+    */
+  def appendIsolated(df: DataFrame): Long = {
+    val stage = new Path(path + s"__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val n = writeCounted(withPartitionCol(alignToTarget(df)), stage.toString, "overwrite")
+      val dst = new Path(path)
+      if (!fs.exists(dst)) fs.mkdirs(dst)
+      fs.listStatus(stage).filter(_.getPath.getName.startsWith(s"$PartitionCol="))
+        .foreach { st =>
+          val dest = new Path(dst, st.getPath.getName)
+          if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+          else // partition already present (e.g. init chunk): move files in
+            fs.listStatus(st.getPath).foreach(f =>
+              fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+        }
+      n
+    } finally if (fs.exists(stage)) fs.delete(stage, true)
+  }
+
   /** Backfill period replace — reference B12+B14 fused
     * (`loop.sql:92-99,108-114`): DELETE rows in [from, to) then insert
     * the period's fresh rows. Implemented as dynamic partition overwrite
@@ -266,7 +291,11 @@ final class TargetTable(
   def alignToTarget(df: DataFrame): DataFrame =
     if (!exists) df
     else {
-      val targetSchema = read().schema
+      // schema only — from the sidecar, NOT a read() (which would list
+      // every partition directory just to infer what we already know)
+      val targetSchema = storedSchema
+        .map(s => StructType(s.fields.filterNot(_.name == PartitionCol)))
+        .getOrElse(read().schema)
       val incoming     = df.schema.fields.map(f => f.name -> f).toMap
       val cols = targetSchema.fields.map { tf =>
         incoming.get(tf.name) match {

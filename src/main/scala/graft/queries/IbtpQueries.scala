@@ -41,7 +41,8 @@ object IbtpQueries {
       period = period)
     val targetDir = Files.createTempDirectory(s"ibtp_q_${period.name}").toString
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
-    IbtpRunner.run(spark, dailyModel(dir), target, IbtpRunner.RunParams(cfg))
+    IbtpRunner.run(spark, dailyModel(dir), target,
+      IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 4))
     target.read().orderBy(col("day"), col("event_type"))
   }
 

@@ -61,7 +61,8 @@ object IbtpCli {
 
       val target = new TargetTable(spark, req("target"), cfg.timestampField)
       val res = IbtpRunner.run(spark, IbtpModel.SqlModel(sqlText), target,
-        IbtpRunner.RunParams(cfg, mode, log = println))
+        IbtpRunner.RunParams(cfg, mode, log = println,
+          maxConcurrentPeriods = opts.getOrElse("max-concurrent-periods", "1").toInt))
       println(s"[ibtp] done: mode=${res.mode} periods=${res.periodsRun.size} " +
         s"rows=${res.rowsInserted}")
     } finally spark.stop()

@@ -112,6 +112,19 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assertSameRows(target.read(), oneShot(jan1, feb1))
   }
 
+  test("concurrent period submission produces the identical table") {
+    val seq = new TargetTable(spark, tmpDir("ibtp_seq"), "day")
+    runner(seq)
+    val conc = new TargetTable(spark, tmpDir("ibtp_conc"), "day")
+    IbtpRunner.run(spark, dailyAggModel, conc,
+      IbtpRunner.RunParams(cfg, today = feb1, maxConcurrentPeriods = 4))
+    assertSameRows(conc.read(), seq.read())
+    // and resume still works after a concurrent build
+    val res = IbtpRunner.run(spark, dailyAggModel, conc,
+      IbtpRunner.RunParams(cfg, today = feb1))
+    assert(res.rowsInserted == 0)
+  }
+
   test("week and month periods tile the same window identically") {
     for (p <- Seq(PeriodUnit.Week, PeriodUnit.Month)) {
       val target = new TargetTable(spark, tmpDir(s"ibtp_${p.name}"), "day")

@@ -43,6 +43,7 @@ object SparkEntry {
     "q16_ibtp_loop_daily" -> (IbtpQueries.loopDaily _),
     "q17_ibtp_loop_weekly" -> (IbtpQueries.loopWeekly _),
     // extension operators (north star)
+    "q18_sessionize" -> (ExtensionQueries.sessionize _),
     "q20_dedup_exact" -> (ExtensionQueries.dedupExact _),
     "q21_dedup_minhash" -> (ExtensionQueries.dedupMinhash _),
     "q22_dedup_simhash" -> (ExtensionQueries.dedupSimhash _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "q15_events_daily_agg" -> CoreQueries.eventsDailyAggSql,
     "q16_ibtp_loop_daily" -> IbtpQueries.loopOracleSql,
     "q17_ibtp_loop_weekly" -> IbtpQueries.loopOracleSql,
+    "q18_sessionize" -> ExtensionQueries.sessionizeSql,
     "q20_dedup_exact" -> ExtensionQueries.dedupExactSql,
     "q24_similarity_bruteforce" -> ExtensionQueries.similarityBruteForceSql,
     "q27_text_quality" -> ExtensionQueries.textQualitySql,

@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Text primitives for the LLM-data-pipeline operators, built from
   * Spark's codegen'd built-ins and higher-order array functions — no
-  * UDFs, so every expression stays inside whole-stage codegen and the
-  * plans scale to arbitrarily wide corpora (per-row work, no shuffle).
+  * UDFs, per-row work with no shuffle. Heavy per-document signature
+  * computation (MinHash/SimHash/shingle hashing) lives in
+  * `graft.functions.expressions` as native Catalyst expressions
+  * instead: HOF lambdas evaluate interpreted, which measured ~100×
+  * slower for those (see TextHashExpressions).
   */
 object TextFunctions {
 
@@ -32,19 +35,6 @@ object TextFunctions {
   /** Distinct shingle set (for Jaccard). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
-  /** 64-permutation MinHash signature of a shingle set.
-    *
-    * Permutation s is simulated by seeding xxhash64 with s
-    * (min over shingles of xxhash64(s, shingle)); 64 independent
-    * min-hashes approximate Jaccard similarity with stderr ~1/8.
-    * Pure per-row columnar work — signatures for a 100 TB corpus
-    * compute embarrassingly parallel with zero shuffle.
-    */
-  def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingleSet, sh => xxhash64(s, sh))))
-
   /** LSH band keys: split the signature into `bands` bands of
     * `signature.size / bands` rows each and hash every band. Documents
     * sharing any band key are near-dup candidates — the classic
@@ -64,30 +54,6 @@ object TextFunctions {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0d, lit(1.0)).otherwise(inter / union)
-  }
-
-  /** 64-bit SimHash over the token multiset: bit i of the hash of each
-    * token votes +1/-1; the sign of the tally sets bit i of the
-    * fingerprint. Near-duplicates differ in few bits (small Hamming
-    * distance). Per-row columnar, no shuffle.
-    */
-  def simhash64(text: Column): Column = {
-    val toks = tokens(text)
-    val bits = transform(
-      sequence(lit(0), lit(63)),
-      i =>
-        when(
-          aggregate(
-            toks,
-            lit(0L),
-            (acc, t) =>
-              acc + when(bit_get(xxhash64(t), i) === 1, lit(1L)).otherwise(lit(-1L))) > 0L,
-          lit(1L)).otherwise(lit(0L)))
-    // pack in two 32-bit halves (acc*2+bit on a full 64 bits would trip
-    // ANSI overflow at bit 63); shiftleft is a bitwise op, no overflow
-    def packHalf(offset: Int): Column =
-      aggregate(reverse(slice(bits, offset + 1, 32)), lit(0L), (acc, b) => acc * 2 + b)
-    shiftleft(packHalf(32), 32).bitwiseOR(packHalf(0))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

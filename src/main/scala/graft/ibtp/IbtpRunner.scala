@@ -38,6 +38,12 @@ object IbtpRunner {
       cliStop: Option[LocalDate] = None,
       today: LocalDate = LocalDate.now(),
       log: String => Unit = _ => (),
+      /** Pre/post hooks — the reference's `run_hooks(pre_hooks)` /
+        * `run_hooks(post_hooks)` (`materialization.sql:65,82`): SQL
+        * statements run before the init/loop and after the loop.
+        */
+      preHooks: Seq[String] = Nil,
+      postHooks: Seq[String] = Nil,
       /** Periods submitted to Spark concurrently. 1 (default) is the
         * reference's strictly sequential loop: period i is durable
         * before i+1 starts, so resume-from-max never skips a gap.
@@ -67,6 +73,8 @@ object IbtpRunner {
 
     val (startDate, stopDate) =
       Boundaries.resolveStartStop(spark, effectiveCfg, sources)
+
+    params.preHooks.foreach(spark.sql(_).collect()) // run_hooks(pre_hooks)
 
     // ---- init path (`materialization.sql:68-77` → init.sql) ----------
     val needInit = !target.exists || mode == RunMode.FullRefresh
@@ -99,6 +107,7 @@ object IbtpRunner {
 
     if (window.numPeriods <= 0 || !window.start.isBefore(window.stop)) {
       log(s"[ibtp] nothing to do: window ${window.start}..${window.stop}")
+      params.postHooks.foreach(spark.sql(_).collect())
       return IbtpResult(mode, Some(window), Nil, rowsInserted)
     }
 
@@ -160,6 +169,7 @@ object IbtpRunner {
       } finally pool.shutdown()
     }
 
+    params.postHooks.foreach(spark.sql(_).collect()) // run_hooks(post_hooks)
     log(s"[ibtp] INSERT $rowsInserted")
     IbtpResult(mode, Some(window), slices, rowsInserted)
   }

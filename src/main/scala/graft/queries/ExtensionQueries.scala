@@ -162,6 +162,36 @@ object ExtensionQueries {
         element_at(col("fingerprint"), 1).as("first_fp"))
       .orderBy(col("doc_id"))
 
+  // ---- sessionization ------------------------------------------------
+
+  /** Gap-based sessions over events (30-minute gap). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.sessions(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_idx"))
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+      |                OR epoch_us(CAST(ts AS TIMESTAMP))
+      |                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+      |FROM numbered
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   // ---- multimodal ----------------------------------------------------
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =

@@ -27,7 +27,10 @@ object Tables {
   private def normalizeNanos(df: DataFrame, colName: String): DataFrame =
     df.schema.find(f => f.name == colName && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn(colName, timestamp_micros(floor(col(colName) / 1000L).cast(LongType)))
+        // integer `div`, NOT floor(x/1000): long/long is double division
+        // in Spark and ns-since-epoch exceeds 2^53, so the double path
+        // is off by up to 1 µs
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
       case None => df
     }
 

@@ -37,7 +37,8 @@ object EventStream {
       // glob, not a bare file path: the file stream source requires a
       // directory (or glob) to monitor for new files
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      // integer div: the double-division path loses sub-µs precision
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling daily aggregation with a watermark: the streaming twin
     * of the IBTP daily model (day, event_type, counts/sums). Append

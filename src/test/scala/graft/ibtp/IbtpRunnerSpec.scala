@@ -125,6 +125,16 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assert(res.rowsInserted == 0)
   }
 
+  test("pre/post hooks run as SQL around the loop") {
+    val target = new TargetTable(spark, tmpDir("ibtp_hooks"), "day")
+    IbtpRunner.run(spark, dailyAggModel, target,
+      IbtpRunner.RunParams(cfg, today = feb1,
+        preHooks = Seq("CREATE OR REPLACE TEMP VIEW ibtp_pre_marker AS SELECT 1 AS x"),
+        postHooks = Seq("CREATE OR REPLACE TEMP VIEW ibtp_post_marker AS SELECT 2 AS x")))
+    assert(spark.table("ibtp_pre_marker").head().getInt(0) == 1)
+    assert(spark.table("ibtp_post_marker").head().getInt(0) == 2)
+  }
+
   test("week and month periods tile the same window identically") {
     for (p <- Seq(PeriodUnit.Week, PeriodUnit.Month)) {
       val target = new TargetTable(spark, tmpDir(s"ibtp_${p.name}"), "day")

@@ -51,6 +51,7 @@ object SparkEntry {
     "q24_similarity_bruteforce" -> (ExtensionQueries.similarityBruteForce _),
     "q25_similarity_lsh" -> (ExtensionQueries.similarityLsh _),
     "q26_ivf_assignments" -> (ExtensionQueries.ivfAssignments _),
+    "q32_ivf_search" -> (ExtensionQueries.ivfSearch _),
     "q27_text_quality" -> (ExtensionQueries.textQuality _),
     "q28_lang_id" -> (ExtensionQueries.langId _),
     "q29_token_counts" -> (ExtensionQueries.tokenCounts _),

@@ -140,10 +140,11 @@ object Boundaries {
       Window(resume, stop, numPeriods(period, resume, stop))
   }
 
-  /** MAX(timestampField) over the existing target, as a date; None when the
-    * target is empty/absent. One tiny Spark job (`helpers.sql:119` probe).
-    * On a date-partitioned parquet target this reads only partition
-    * metadata + a minimal column — cheap at any scale.
+  /** MAX(timestampField) over an arbitrary relation, as a date — the
+    * literal form of the reference's resume probe (`helpers.sql:119`).
+    * The runner uses `TargetTable.maxPartitionDate` (a metadata
+    * listing) instead, which is equivalent on a day-partitioned target;
+    * this form remains for probing targets not managed by TargetTable.
     */
   def targetMaxDate(target: DataFrame, timestampField: String): Option[LocalDate] = {
     val row = target.agg(max(col(timestampField)).cast("date")).head()

@@ -208,17 +208,20 @@ final class TargetTable(
     require(uniqueKey.nonEmpty, "upsert requires unique_key")
     val fresh = withPartitionCol(alignToTarget(df)).cache()
     try {
+      // no broadcast hint: one period's keys usually fit a broadcast
+      // and AQE will pick that from runtime sizes, but a forced hint
+      // would OOM on a pathological period at cluster scale
       val keys = fresh.select(uniqueKey.map(col): _*).distinct()
       if (exists) {
         val target = readRaw()
         val affected = target
-          .join(broadcast(keys), uniqueKey, "left_semi")
+          .join(keys, uniqueKey, "left_semi")
           .select(col(PartitionCol)).distinct().collect()
           .map(_.getDate(0).toLocalDate).toSet
         if (affected.nonEmpty) {
           val kept = target
             .filter(col(PartitionCol).isInCollection(affected.toSeq.map(java.sql.Date.valueOf)))
-            .join(broadcast(keys), uniqueKey, "left_anti")
+            .join(keys, uniqueKey, "left_anti")
             .cache()
           try {
             val keptDates = kept.select(col(PartitionCol)).distinct().collect()

@@ -94,4 +94,38 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col(idCol), col("centroid_id"), round(col("dist2"), 6).as("dist2"))
   }
+
+  /** IVF-probed ANN top-k: search only the cells of each query's
+    * `nProbe` nearest centroids. The corpus is scored against a query
+    * only when both share a cell — the scan fraction is ~nProbe/nCells
+    * of brute force, the standard IVF recall/speed trade. Scale shape:
+    * corpus assignment is a broadcast-join map pass (or precomputed and
+    * stored partitioned by cell); candidate scoring shuffles only the
+    * probed cells' rows.
+    */
+  def ivfTopK(
+      corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+    // query → its nProbe nearest centroids
+    val qScored = queries
+      .select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .join(broadcast(centroids.select(col("centroid_id"), col(vecCol).as("c_vec"))))
+      .withColumn("dist2",
+        normSq(col("q_vec")) + normSq(col("c_vec")) - lit(2.0) * dot(col("q_vec"), col("c_vec")))
+    val wq = Window.partitionBy(col(queryIdCol)).orderBy(col("dist2").asc, col("centroid_id").asc)
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col(queryIdCol), col("centroid_id"), col("q_vec"))
+    val scored = assigned
+      .join(broadcast(probes),
+        Seq("centroid_id")) // only same-cell pairs
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("cosine", cosine(col(vecCol), col("q_vec")))
+    groupedTopK(scored, k, idCol, queryIdCol)
+  }
 }

@@ -112,14 +112,20 @@ object ExtensionQueries {
       Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10, planes = 6)
       .orderBy(col("query_id"), col("rank"))
 
-  def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val centroids = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding"))
-    Similarity.ivfAssign(Tables.embeddings(spark, dir), centroids)
+
+  def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(Tables.embeddings(spark, dir), ivfCentroids(spark, dir))
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("cell_size"))
       .orderBy(col("centroid_id"))
-  }
+
+  def ivfSearch(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), ivfCentroids(spark, dir),
+      queryVectors(spark, dir), k = 10, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
 
   // ---- text analysis -------------------------------------------------
 

@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
 
 import graft.ibtp._
-import graft.sources.Tables
+import graft.sources.{GraftSession, Tables}
 
 /** Command-line entry for the materialization — the analogue of the
   * reference's `dbt run` invocations (`/root/reference/README.md:108-143`):
@@ -27,16 +27,7 @@ object IbtpCli {
     def req(k: String): String = opts.getOrElse(k,
       sys.error(s"missing required --$k"))
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("ibtp")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config(Tables.NanosAsLong, "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create("ibtp")
     try {
       val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
       Tables.registerAll(spark, sfDir)

@@ -79,6 +79,19 @@ class ExtensionOpsSpec extends SparkSpecBase {
       table("embeddings").count())
   }
 
+  test("ivf-probed search returns true neighbors with reasonable recall") {
+    val bf = ExtensionQueries.similarityBruteForce(spark, sfDir)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ExtensionQueries.ivfSearch(spark, sfDir)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty)
+    // probing 3 of 8 cells: a meaningful fraction of true top-10 survives
+    val recall = ivf.count(bf.contains).toDouble / bf.size
+    assert(recall >= 0.2, s"ivf recall $recall")
+  }
+
   test("language id is deterministic and covers all docs") {
     val l = ExtensionQueries.langId(spark, sfDir)
     assert(l.count() == table("documents").count())

@@ -59,23 +59,6 @@ object TextFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Rolling-hash document fingerprint (winnowing): hash every k-char
-    * gram, then keep the minimum hash of each w-wide window; distinct
-    * mins form the fingerprint. Standard winnowing guarantees any
-    * shared substring of length >= w+k-1 yields a shared fingerprint
-    * element. Per-row columnar.
-    */
-  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 16): Column = {
-    val n = length(text)
-    val grams = when(n < k, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(1), n - k + 1),
-        i => xxhash64(substring(text, i, lit(k)))))
-    val mins = when(size(grams) <= w, array(array_min(grams)))
-      .otherwise(transform(sequence(lit(1), size(grams) - w + 1),
-        j => array_min(slice(grams, j, lit(w)))))
-    array_distinct(mins)
-  }
-
   /** Stopword-hit count against a small built-in list (quality signal). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))

@@ -113,6 +113,84 @@ object TextHashUtil {
     new GenericArrayData(sig)
   }
 
+  /** Winnowing fingerprint: hash every k-char gram (rolling single
+    * pass over the bytes), take the min of each w-wide window with a
+    * monotone deque (O(n), not O(n·w)), return the distinct mins.
+    * Same guarantee as the HOF formulation: any shared substring of
+    * length >= w+k-1 yields a shared fingerprint element.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val m = n - k + 1
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) { grams(i) = hashRange(bytes, i, i + k); i += 1 }
+    if (m <= w) {
+      var best = grams(0); i = 1
+      while (i < m) { if (grams(i) < best) best = grams(i); i += 1 }
+      return new GenericArrayData(Array(best))
+    }
+    // sliding-window minimum via monotone index deque
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < m) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(grams(deque(head)))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator; i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** One-pass language scoring: per-language stopword hit ratios (the
+    * language lists are fixed at construction into hash sets) plus a
+    * CJK character-ratio signal. Returns [en, es, de, fr, zh] scores.
+    * Replaces five interpreted array-filter passes per document.
+    */
+  def langScores(s: UTF8String, stopSets: Array[java.util.HashSet[String]]): ArrayData = {
+    val text = s.toString
+    val nLangs = stopSets.length
+    val hits = new Array[Int](nLangs)
+    var nTokens = 0
+    var cjk = 0
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(text.charAt(i))) {
+        val c = text.charAt(i)
+        if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+        i += 1
+      }
+      if (i > start) {
+        nTokens += 1
+        val tok = text.substring(start, i).toLowerCase
+        var l = 0
+        while (l < nLangs) {
+          if (stopSets(l).contains(tok)) hits(l) += 1
+          l += 1
+        }
+      }
+    }
+    val scores = new Array[Double](nLangs + 1)
+    var l = 0
+    while (l < nLangs) {
+      scores(l) = if (nTokens == 0) 0.0 else hits(l).toDouble / nTokens
+      l += 1
+    }
+    scores(nLangs) = if (len == 0) 0.0 else cjk.toDouble / len * 10
+    new GenericArrayData(scores)
+  }
+
   /** 64-bit SimHash over the token multiset (hash each token once,
     * tally all 64 bit-votes in one pass).
     */
@@ -166,6 +244,44 @@ case class ShingleHashes(child: Expression, shingleN: Int) extends UnaryExpressi
   override def prettyName: String = "shingle_hashes"
 }
 
+/** `winnow_fingerprint(text, k, w)` — distinct window-min gram hashes. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextHashUtil.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprint"
+}
+
+/** `lang_scores(text)` — [stopword-ratio per language..., cjk] scores
+  * in one tokenization pass; the stopword sets ride along as a codegen
+  * reference object.
+  */
+case class LangScores(child: Expression, langs: Seq[Seq[String]])
+    extends UnaryExpression {
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    langs.map { words =>
+      val h = new java.util.HashSet[String]()
+      words.foreach(h.add)
+      h
+    }.toArray
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.langScores(input.asInstanceOf[UTF8String], sets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextHashUtil.langScores($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
+  override def prettyName: String = "lang_scores"
+}
+
 /** `simhash64(text)` — 64-bit SimHash fingerprint. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -189,4 +305,10 @@ object TextHashFunctions {
 
   def shingle_hashes(text: Column, shingleN: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), shingleN))
+
+  def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, w))
+
+  def lang_scores(text: Column, langs: Seq[Seq[String]]): Column =
+    ColumnBridge.column(LangScores(ColumnBridge.expression(text), langs))
 }

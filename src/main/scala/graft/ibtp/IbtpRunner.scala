@@ -44,6 +44,12 @@ object IbtpRunner {
         */
       preHooks: Seq[String] = Nil,
       postHooks: Seq[String] = Nil,
+      /** When true, statically verify (once per run) that every
+        * time-bearing source scan in the model plan sits under a date
+        * filter — the contract the reference can only document
+        * (`README.md:96`). Off by default for fidelity.
+        */
+      guardPeriodFilter: Boolean = false,
       /** Periods submitted to Spark concurrently. 1 (default) is the
         * reference's strictly sequential loop: period i is durable
         * before i+1 starts, so resume-from-max never skips a gap.
@@ -75,6 +81,16 @@ object IbtpRunner {
       Boundaries.resolveStartStop(spark, effectiveCfg, sources)
 
     params.preHooks.foreach(spark.sql(_).collect()) // run_hooks(pre_hooks)
+
+    // static period-filter guard BEFORE any model execution — init
+    // itself runs the model, so checking later would let an unfiltered
+    // model load the full range once before being caught
+    if (params.guardPeriodFilter) {
+      val b = PeriodBounds(
+        Boundaries.periodFrom(cfg.period, 0, startDate),
+        Boundaries.periodTo(cfg.period, 0, startDate, stopDate))
+      graft.plans.PeriodFilterGuard.require(model.query(spark, b))
+    }
 
     // ---- init path (`materialization.sql:68-77` → init.sql) ----------
     val needInit = !target.exists || mode == RunMode.FullRefresh

@@ -128,7 +128,9 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol).as("id"),
+      graft.functions.expressions.TextHashFunctions
+        .shingle_hashes(col(textCol), n).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

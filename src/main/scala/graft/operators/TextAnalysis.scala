@@ -36,25 +36,22 @@ object TextAnalysis {
   }
 
   /** Heuristic language ID: score against per-language stopword lists
-    * plus a CJK character-range check; highest hit-count wins, 'en' on
-    * ties (deterministic order). Returns (id, predicted_lang, score).
+    * plus a CJK character-range check; highest score wins, earlier
+    * language on ties (deterministic order). One native scoring pass
+    * per document (`LangScores`). Returns (id, predicted_lang, score).
     */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    def score(words: Seq[String]): Column =
-      stopwordCount(lower(t), words).cast("double") / tokenCount(t)
-    val cjk = length(regexp_replace(t, "[^\\u4e00-\\u9fff]", "")).cast("double") / length(t)
-    val scores = map(
-      lit("en"), score(EnStop), lit("es"), score(EsStop),
-      lit("de"), score(DeStop), lit("fr"), score(FrStop), lit("zh"), cjk * 10)
-    // argmax over the map with fixed iteration order
     val langs = Seq("en", "es", "de", "fr", "zh")
-    val best = langs.tail.foldLeft(struct(lit("en").as("lang"), scores(lit("en")).as("s"))) {
-      (acc, l) =>
-        when(scores(lit(l)) > acc.getField("s"),
-          struct(lit(l).as("lang"), scores(lit(l)).as("s"))).otherwise(acc)
+    val scored = docs.select(col(idCol),
+      graft.functions.expressions.TextHashFunctions
+        .lang_scores(col(textCol), Seq(EnStop, EsStop, DeStop, FrStop)).as("scores"))
+    def s(i: Int): Column = element_at(col("scores"), i + 1)
+    val best = (1 until langs.size).foldLeft(
+      struct(lit(langs.head).as("lang"), s(0).as("s"))) { (acc, i) =>
+      when(s(i) > acc.getField("s"),
+        struct(lit(langs(i)).as("lang"), s(i).as("s"))).otherwise(acc)
     }
-    docs.select(col(idCol), best.getField("lang").as("predicted_lang"),
+    scored.select(col(idCol), best.getField("lang").as("predicted_lang"),
       round(best.getField("s"), 4).as("lang_score"))
   }
 
@@ -73,6 +70,7 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 16): DataFrame =
     docs.select(col(idCol),
-      winnowFingerprint(col(textCol), k, w).as("fingerprint"))
+      graft.functions.expressions.TextHashFunctions
+        .winnow_fingerprint(col(textCol), k, w).as("fingerprint"))
       .withColumn("fp_size", size(col("fingerprint")))
 }

@@ -25,6 +25,22 @@ object CoreQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  import org.apache.spark.sql.Column
+
+  /** Money sums go through DECIMAL: the fixture's money columns are
+    * exact 2-decimal values, so decimal accumulation is EXACT and
+    * engine-independent — double accumulation differs from DuckDB's in
+    * the last ulps and at sf0.1 that difference crosses ROUND(x, 4)
+    * boundaries (observed on sums ~6e9).
+    */
+  private[queries] def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Σ price·(1−discount) in exact decimal arithmetic. */
+  private[queries] def discPriceSum(price: Column, disc: Column): Column =
+    sum(price.cast("decimal(18,2)") * (lit(1) - disc.cast("decimal(4,2)")))
+      .cast("double")
+
   /** B1+B2+B3: scan with range filter + projection; the predicate and
     * 4-column read schema must reach the parquet scan (verified in
     * PlanSpec).
@@ -53,8 +69,8 @@ object CoreQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(moneySum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(discPriceSum(col("l_extendedprice"), col("l_discount")), 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -63,8 +79,8 @@ object CoreQueries {
   val aggPricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
       |       ROUND(SUM(l_quantity), 4) AS sum_qty,
-      |       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+      |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS sum_disc_price,
       |       ROUND(AVG(l_quantity), 4) AS avg_qty,
       |       ROUND(AVG(l_discount), 4) AS avg_disc,
       |       COUNT(*) AS count_order
@@ -106,13 +122,13 @@ object CoreQueries {
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+      .agg(round(discPriceSum(col("l_extendedprice"), col("l_discount")), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
 
   val joinBroadcastRevenueSql: String =
     """SELECT n_name,
-      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue,
       |       COUNT(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -128,13 +144,13 @@ object CoreQueries {
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-        round(sum(col("l_extendedprice")), 4).as("total_price"))
+        round(moneySum(col("l_extendedprice")), 4).as("total_price"))
       .orderBy(col("o_orderpriority"))
 
   val joinOrdersPrioritySql: String =
     """SELECT o_orderpriority,
       |       COUNT(DISTINCT o_orderkey) AS n_orders,
-      |       ROUND(SUM(l_extendedprice), 4) AS total_price
+      |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_price
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
@@ -326,13 +342,14 @@ object CoreQueries {
     Tables.events(spark, dir)
       .groupBy(col("ts").cast("date").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("total_value"),
+        round(moneySum(col("value")), 4).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("day"), col("event_type"))
 
   val eventsDailyAggSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,
-      |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+      |       COUNT(*) AS n_events,
+      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value,
       |       COUNT(DISTINCT user_id) AS n_users
       |FROM events
       |GROUP BY 1, 2

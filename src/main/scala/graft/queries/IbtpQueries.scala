@@ -23,7 +23,7 @@ object IbtpQueries {
       .filter(col("ts") >= from && col("ts") < to)
       .groupBy(col("ts").cast("date").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("total_value"),
+        round(CoreQueries.moneySum(col("value")), 4).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
   }
 
@@ -57,7 +57,8 @@ object IbtpQueries {
   /** Both loop queries share this one-shot full-range oracle. */
   val loopOracleSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,
-      |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+      |       COUNT(*) AS n_events,
+      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value,
       |       COUNT(DISTINCT user_id) AS n_users
       |FROM events
       |GROUP BY 1, 2

@@ -53,6 +53,7 @@ object IbtpCli {
       val target = new TargetTable(spark, req("target"), cfg.timestampField)
       val res = IbtpRunner.run(spark, IbtpModel.SqlModel(sqlText), target,
         IbtpRunner.RunParams(cfg, mode, log = println,
+          guardPeriodFilter = opts.contains("guard-period-filter"),
           maxConcurrentPeriods = opts.getOrElse("max-concurrent-periods", "1").toInt))
       println(s"[ibtp] done: mode=${res.mode} periods=${res.periodsRun.size} " +
         s"rows=${res.rowsInserted}")

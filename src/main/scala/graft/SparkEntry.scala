@@ -48,6 +48,7 @@ object SparkEntry {
     "q21_dedup_minhash" -> (ExtensionQueries.dedupMinhash _),
     "q22_dedup_simhash" -> (ExtensionQueries.dedupSimhash _),
     "q23_ngram_jaccard" -> (ExtensionQueries.ngramJaccardPlanted _),
+    "q33_dedup_embedding" -> (ExtensionQueries.dedupEmbedding _),
     "q24_similarity_bruteforce" -> (ExtensionQueries.similarityBruteForce _),
     "q25_similarity_lsh" -> (ExtensionQueries.similarityLsh _),
     "q26_ivf_assignments" -> (ExtensionQueries.ivfAssignments _),

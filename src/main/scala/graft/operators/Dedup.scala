@@ -122,6 +122,33 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    * bucketing generates candidates (vectors sharing a `planes`-bit
+    * sign bucket), exact cosine verifies at `threshold`. The bucket
+    * self-join shuffles an 8-byte key per vector; only same-bucket
+    * pairs carry vectors. Multi-probe extension: union buckets with
+    * one bit flipped (recall/cost dial), omitted here for the base op.
+    */
+  def embeddingNearDupPairs(
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      planes: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions
+    val bucketed = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", VectorFunctions.hyperplaneBits(col("v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("l.v"), col("r.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** N-gram Jaccard similarity for an explicit pair list (exact, no
     * LSH) — the verification primitive exposed standalone.
     */

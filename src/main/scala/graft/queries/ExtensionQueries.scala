@@ -168,6 +168,20 @@ object ExtensionQueries {
         element_at(col("fingerprint"), 1).as("first_fp"))
       .orderBy(col("doc_id"))
 
+  /** Embedding-cosine near-dup over a corpus with planted near-copies:
+    * embeddings ∪ slightly-perturbed copies (first component nudged by
+    * 1e-3) — cosine ≈ 1 for planted pairs, ~0 for random ones.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val perturbed = e.select(
+      (col("vec_id") + lit(ExactOffset)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    Dedup.embeddingNearDupPairs(e.unionAll(perturbed), planes = 8, threshold = 0.98)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- sessionization ------------------------------------------------
 
   /** Gap-based sessions over events (30-minute gap). */

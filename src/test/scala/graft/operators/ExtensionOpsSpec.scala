@@ -92,6 +92,19 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"ivf recall $recall")
   }
 
+  test("embedding near-dup finds the planted perturbed copies") {
+    val pairs = ExtensionQueries.dedupEmbedding(spark, sfDir)
+      .select(col("id_a"), col("id_b"), col("cosine")).collect()
+    assert(pairs.nonEmpty)
+    // every reported pair really is cosine-close
+    assert(pairs.forall(_.getDouble(2) >= 0.98))
+    // planted pairs hash to the same bucket almost always (perturbation
+    // flips a sign bit only when a hyperplane is near-orthogonal)
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    val n = table("embeddings").count()
+    assert(planted >= (n * 0.9).toInt, s"found $planted of $n planted pairs")
+  }
+
   test("language id is deterministic and covers all docs") {
     val l = ExtensionQueries.langId(spark, sfDir)
     assert(l.count() == table("documents").count())

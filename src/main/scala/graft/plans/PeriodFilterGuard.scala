@@ -67,8 +67,24 @@ object PeriodFilterGuard {
         val introducesTime = !guarded && hasTimeOutput(other) &&
           other.children.nonEmpty && !other.children.exists(c =>
             c.exists(n => hasTimeOutput(n)))
-        if (introducesTime) Seq(other)
-        else other.children.flatMap(collectUnguarded(_, guarded))
+        if (introducesTime) {
+          // a projection deriving time from raw storage types (e.g.
+          // nanos-as-long) may be range-restricted BELOW, on the raw
+          // column — the pushdown-friendly pattern. Accept any
+          // descendant literal-comparison filter as the period bound.
+          val rawFiltered = other.exists {
+            case f: Filter => hasLiteralComparison(f.condition)
+            case _         => false
+          }
+          if (rawFiltered) Nil else Seq(other)
+        } else other.children.flatMap(collectUnguarded(_, guarded))
+    }
+
+  /** Any comparison against a foldable (literal) operand. */
+  private def hasLiteralComparison(cond: Expression): Boolean =
+    cond.exists {
+      case c: BinaryComparison => c.left.foldable || c.right.foldable
+      case _                   => false
     }
 
   /** A comparison between a time-typed attribute (possibly under casts)

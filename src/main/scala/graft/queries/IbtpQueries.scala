@@ -18,13 +18,15 @@ object IbtpQueries {
   /** Daily per-type aggregation model (the README's canonical example
     * shape, `/root/reference/README.md:62-70`).
     */
-  private def dailyModel(dir: String): IbtpModel = IbtpModel.DfModel { (s, from, to) =>
-    Tables.events(s, dir)
-      .filter(col("ts") >= from && col("ts") < to)
-      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        round(CoreQueries.moneySum(col("value")), 4).as("total_value"),
-        countDistinct(col("user_id")).as("n_users"))
+  private def dailyModel(dir: String): IbtpModel = new IbtpModel {
+    def query(s: SparkSession, b: PeriodBounds): DataFrame =
+      // range-aware reader: the period predicate reaches the parquet
+      // scan via the raw nanos column (PlanSpec asserts PushedFilters)
+      Tables.eventsRange(s, dir, b.from, b.to)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(CoreQueries.moneySum(col("value")), 4).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
   }
 
   private def runLoop(spark: SparkSession, dir: String, period: PeriodUnit): DataFrame = {

@@ -35,6 +35,30 @@ object Tables {
     }
 
   def events(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "events")
+
+  /** Range-restricted events read with parquet pushdown. A filter on
+    * the NORMALIZED ts column sits above `timestamp_micros(ts div
+    * 1000)` and can never reach the scan; this applies the equivalent
+    * predicate to the raw nanos column first (the conversion is
+    * monotonic, day bounds are exact in both units), so the row-group
+    * stats prune at the source — the difference between scanning one
+    * period and scanning 100 TB per period.
+    */
+  def eventsRange(
+      spark: SparkSession, sfDir: String,
+      from: java.time.LocalDate, to: java.time.LocalDate): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        def nanos(d: java.time.LocalDate): Long =
+          d.toEpochDay * 86400L * 1000000000L
+        normalizeNanos(
+          raw.filter(col("ts") >= nanos(from) && col("ts") < nanos(to)), "ts")
+      case None =>
+        import java.sql.Date
+        raw.filter(col("ts") >= lit(Date.valueOf(from)) && col("ts") < lit(Date.valueOf(to)))
+    }
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "customer")

@@ -38,6 +38,13 @@ class PeriodFilterGuardSpec extends SparkSpecBase {
     assert(PeriodFilterGuard.unguardedScans(df).size == 1)
   }
 
+  test("raw-column range filter below the normalization passes the guard") {
+    val df = graft.sources.Tables
+      .eventsRange(spark, sfDir, b.from, b.to)
+      .groupBy(col("event_type")).count()
+    PeriodFilterGuard.require(df)
+  }
+
   test("runner guard rejects an unfiltered model end-to-end") {
     val model = IbtpModel.DfModel { (s, _, _) =>
       table("events").groupBy(col("ts").cast("date").as("day")).count()

@@ -59,6 +59,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("eventsRange pushes the period predicate into the parquet scan") {
+    import java.time.LocalDate
+    val df = graft.sources.Tables.eventsRange(spark, sfDir,
+      LocalDate.of(2024, 1, 5), LocalDate.of(2024, 1, 7))
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      p)
+  }
+
   test("IBTP target readRange prunes to the range's day-partitions") {
     import java.time.LocalDate
     import org.apache.spark.sql.functions._

@@ -125,6 +125,20 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assert(res.rowsInserted == 0)
   }
 
+  test("resume after interrupt at random cut points equals uninterrupted build") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val cut = jan1.plusDays(2 + rnd.nextInt(26).toLong)
+      val target = new TargetTable(spark, tmpDir("ibtp_cut"), "day")
+      // interrupted run: stops at a random day (simulates failure after
+      // the periods before `cut` committed)
+      runner(target, c = cfg.copy(stopDate = Some(cut)))
+      // plain re-run with the full config completes the build
+      runner(target)
+      assertSameRows(target.read(), oneShot(jan1, feb1))
+    }
+  }
+
   test("pre/post hooks run as SQL around the loop") {
     val target = new TargetTable(spark, tmpDir("ibtp_hooks"), "day")
     IbtpRunner.run(spark, dailyAggModel, target,

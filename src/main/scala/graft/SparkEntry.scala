@@ -49,6 +49,8 @@ object SparkEntry {
     "q22_dedup_simhash" -> (ExtensionQueries.dedupSimhash _),
     "q23_ngram_jaccard" -> (ExtensionQueries.ngramJaccardPlanted _),
     "q33_dedup_embedding" -> (ExtensionQueries.dedupEmbedding _),
+    "q34_approx_event_stats" -> (ExtensionQueries.approxEventStats _),
+    "q35_salted_join_revenue" -> (ExtensionQueries.saltedJoinRevenue _),
     "q24_similarity_bruteforce" -> (ExtensionQueries.similarityBruteForce _),
     "q25_similarity_lsh" -> (ExtensionQueries.similarityLsh _),
     "q26_ivf_assignments" -> (ExtensionQueries.ivfAssignments _),
@@ -83,5 +85,6 @@ object SparkEntry {
     "q24_similarity_bruteforce" -> ExtensionQueries.similarityBruteForceSql,
     "q27_text_quality" -> ExtensionQueries.textQualitySql,
     "q29_token_counts" -> ExtensionQueries.tokenCountsSql,
+    "q35_salted_join_revenue" -> ExtensionQueries.saltedJoinRevenueSql,
   )
 }

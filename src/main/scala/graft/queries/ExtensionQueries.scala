@@ -212,6 +212,42 @@ object ExtensionQueries {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---- approximate aggregates (sketches) -----------------------------
+
+  /** HLL distinct users + approximate value quantiles per event type.
+    * Sketch outputs are engine-specific (no DuckDB oracle); the spec
+    * bounds their error against exact answers instead.
+    */
+  def approxEventStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+      .orderBy(col("event_type"))
+
+  /** Skew-safe join: lineitem salted against the small orders-priority
+    * dim — result must equal the plain join (spec-checked).
+    */
+  def saltedJoinRevenue(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+      Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), factor = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(CoreQueries.moneySum(col("l_extendedprice")), 4).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val saltedJoinRevenueSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---- multimodal ----------------------------------------------------
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =

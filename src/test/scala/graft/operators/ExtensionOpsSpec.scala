@@ -124,6 +124,33 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert((fp(1L) intersect fp(3L)).isEmpty)    // nothing shared
   }
 
+  test("salted join equals the plain join") {
+    val plain = table("lineitem")
+      .join(table("orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).count()
+    val salted = ExtensionQueries.saltedJoinRevenue(spark, sfDir)
+      .select(col("o_orderpriority"), col("n_items").as("count"))
+    assertSameRows(salted, plain.select(col("o_orderpriority"), col("count")))
+  }
+
+  test("approximate aggregates stay within error bounds of exact answers") {
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    val approx = ExtensionQueries.approxEventStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = table("events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"),
+        sqlExpr("percentile(value, 0.5)").as("p50"),
+        sqlExpr("percentile(value, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (u, p50, p95)) =>
+      val (au, ap50, ap95) = approx(k)
+      assert(math.abs(au - u).toDouble / u <= 0.1, s"$k distinct: $au vs $u")
+      assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
+      assert(math.abs(ap95 - p95) / p95 <= 0.05, s"$k p95: $ap95 vs $p95")
+    }
+  }
+
   test("multimodal pipeline: features are deterministic and complete") {
     val f1 = ExtensionQueries.multimodalFeatures(spark, sfDir).collect()
     val f2 = ExtensionQueries.multimodalFeatures(spark, sfDir).collect()

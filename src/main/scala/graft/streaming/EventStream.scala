@@ -4,6 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Per-user session accumulator for stateful streaming. Top-level (not
+  * nested in the object): nested case classes trip the safe-projection
+  * codegen's constructor access.
+  */
+case class SessionState(sessionStartUs: Long, lastUs: Long, nEvents: Long)
+
+/** Emitted when a session closes (gap exceeded or state timeout). */
+case class ClosedSession(
+    user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+private[streaming] case class SessionEvent(user_id: Long, ts_us: Long)
+
 /** Structured Streaming ingestion for the events table — the streaming
   * analogue of the batch period loop: where IBTP tiles history into
   * half-open [from, to) chunks, the stream tiles arriving data into
@@ -53,6 +65,51 @@ object EventStream {
         round(sum(col("value")), 4).as("total_value"))
       .select(col("w.start").cast("date").as("day"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Stateful gap-based sessionization — the custom-state path
+    * (`flatMapGroupsWithState`): per-user state holds the open
+    * session; an event past the gap closes and emits the previous
+    * session. The streaming twin of `operators.Sessionize` with
+    * bounded state (one open session per active user; event-time
+    * timeout would close idle users in a production config).
+    *
+    * Note: without watermark-based cleanup the state grows with the
+    * number of distinct users — fine for keyed entities in the
+    * millions; pair with `GroupStateTimeout.EventTimeTimeout` and a
+    * watermark at scale.
+    */
+  def sessionizeStateful(
+      events: DataFrame,
+      gapMicros: Long = 30L * 60 * 1000000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var cur = state.getOption
+          events.toSeq.sortBy(_.ts_us).foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.lastUs <= gapMicros =>
+                cur = Some(s.copy(lastUs = e.ts_us, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                out += ClosedSession(userId, s.sessionStartUs, s.lastUs, s.nEvents)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
 
   /** Sliding-window per-type rates (5-day window, 1-day slide). */
   def slidingTypeRates(events: DataFrame): DataFrame =

@@ -38,6 +38,29 @@ class EventStreamSpec extends SparkSpecBase {
       batch.join(got.select(col("day")).distinct(), Seq("day"), "left_semi"))
   }
 
+  test("stateful sessionization emits closed sessions matching the batch operator") {
+    val stream = EventStream.sessionizeStateful(EventStream.readEvents(spark, sfDir))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions_out")
+    assert(got.count() > 0)
+    // closed streaming sessions are exactly the batch sessions minus
+    // each user's final (still-open) session
+    val batch = graft.operators.Sessionize.sessions(table("events"))
+      .select(col("user_id"), unix_micros(col("session_start")).as("session_start_us"),
+        col("n_events"))
+    val open = batch.groupBy(col("user_id"))
+      .agg(max(col("session_start_us")).as("session_start_us"))
+    val expectedClosed = batch.join(open, Seq("user_id", "session_start_us"), "left_anti")
+    assertSameRows(
+      got.select(col("user_id"), col("session_start_us"), col("n_events")),
+      expectedClosed)
+  }
+
   test("sliding windows produce one row per (window, type) with correct totals") {
     val stream = EventStream.slidingTypeRates(EventStream.readEvents(spark, sfDir))
     val q = stream.writeStream

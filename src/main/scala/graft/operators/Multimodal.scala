@@ -94,4 +94,39 @@ object Multimodal {
   /** End-to-end: wrap + decode, the full multimodal feature pipeline. */
   def featurePipeline(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     decodeAndFeaturize(syntheticMedia(docs, idCol, textCol))
+
+  /** STUB resize: a real implementation decodes, scales, re-encodes;
+    * the stub transforms the payload deterministically (truncation to
+    * the area-scaled length — byte count tracks pixel count) and
+    * rewrites the metadata. Schema contract and per-row shape are the
+    * real ones.
+    */
+  def resizeStub(media: DataFrame, newW: Int, newH: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      substring(col("content"), lit(1),
+        greatest(lit(1),
+          (length(col("content")) * lit(newW * newH) /
+            greatest(col("meta.width") * col("meta.height"), lit(1)))
+            .cast("int")))
+        .as("content"),
+      struct(
+        col("meta.media_type").as("media_type"),
+        lit(newW).as("width"),
+        lit(newH).as("height"),
+        col("meta.n_frames").as("n_frames")).as("meta"))
+
+  /** Frame sampling as a first-class relation: one row per sampled
+    * frame index, (media_id, frame_idx, n_frames) — the fan-out shape
+    * a video pipeline feeds to per-frame feature extraction. The
+    * explode multiplies rows but carries no payload; the frame decode
+    * join happens downstream on (media_id, frame_idx).
+    */
+  def sampleFrames(media: DataFrame, every: Int = 30): DataFrame =
+    media.select(
+      col("media_id"),
+      col("meta.n_frames").as("n_frames"),
+      explode(sequence(lit(0), col("meta.n_frames") - 1,
+        lit(every))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"), col("n_frames"))
 }

@@ -158,4 +158,29 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(f1.length == table("documents").count())
     assert(f1.forall(_.getLong(2) > 0)) // n_bytes
   }
+
+  test("multimodal resize scales payload and rewrites metadata") {
+    val media = Multimodal.syntheticMedia(table("documents"), "doc_id", "text")
+    val resized = Multimodal.resizeStub(media, 64, 64)
+    val r = resized.select(col("meta.width"), col("meta.height"),
+      length(col("content")).as("len")).collect()
+    assert(r.forall(x => x.getInt(0) == 64 && x.getInt(1) == 64))
+    assert(r.forall(_.getInt(2) >= 1))
+    // smaller target area => payload no larger than the original
+    val orig = media.select(length(col("content"))).collect().map(_.getInt(0))
+    val now = resized.select(length(col("content"))).collect().map(_.getInt(0))
+    assert(now.sum <= orig.sum)
+  }
+
+  test("frame sampling fans out every Nth frame index per media row") {
+    val media = Multimodal.syntheticMedia(table("documents"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, every = 30)
+    val byMedia = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n"), max(col("n_frames")).as("nf"))
+      .collect()
+    byMedia.foreach { r =>
+      val expected = (r.getInt(2) + 29) / 30 // ceil(n_frames / 30)
+      assert(r.getLong(1) == expected, s"media ${r.getLong(0)}")
+    }
+  }
 }

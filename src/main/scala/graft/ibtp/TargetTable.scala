@@ -219,8 +219,21 @@ final class TargetTable(
           .select(col(PartitionCol)).distinct().collect()
           .map(_.getDate(0).toLocalDate).toSet
         if (affected.nonEmpty) {
-          val kept = target
-            .filter(col(PartitionCol).isInCollection(affected.toSeq.map(java.sql.Date.valueOf)))
+          // small sets inline as an IN-list (partition-prunable
+          // literals); large sets would blow up the expression tree,
+          // so they go through a broadcast semi-join on p_date instead
+          val affectedFilter: DataFrame => DataFrame =
+            if (affected.size <= 300)
+              _.filter(col(PartitionCol)
+                .isInCollection(affected.toSeq.map(java.sql.Date.valueOf)))
+            else {
+              val dates = spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                  affected.toSeq.map(d => org.apache.spark.sql.Row(java.sql.Date.valueOf(d)))),
+                StructType(Seq(StructField(PartitionCol, DateType))))
+              _.join(broadcast(dates), Seq(PartitionCol), "left_semi")
+            }
+          val kept = affectedFilter(target)
             .join(keys, uniqueKey, "left_anti")
             .cache()
           try {

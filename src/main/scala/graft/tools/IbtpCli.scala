@@ -15,6 +15,8 @@ import graft.sources.{GraftSession, Tables}
   *   --timestamp-field day --start-date 2024-01-01 [--stop-date D]
   *   [--period day|week|month|year] [--unique-key k1,k2]
   *   [--full-refresh] [--backfill] [--sf-dir /root/testdata/sf0.001]
+  *   [--on-schema-change ignore|fail|append_new_columns|sync_all_columns]
+  *   [--guard-period-filter] [--max-concurrent-periods N]
   * }}}
   *
   * The model SQL may reference any test table by name (registered as

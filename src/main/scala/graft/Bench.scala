@@ -13,15 +13,22 @@ object Bench {
     // untimed warmup: JIT + parquet footer caches, so the first timed
     // query isn't charged for JVM warm-up
     try exec("q01_scan_filter_project") catch { case _: Throwable => () }
+    // a failed query must SURFACE (an "err" entry), never bench as ~0 s
+    // and silently improve the total
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try exec(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val err: Option[String] =
+        try { exec(name); None }
+        catch { case t: Throwable => Some(t.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + err.fold(v.toString)(e => s"""{"sec":$v,"err":"$e"}""")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val nErr = results.count(_._3.isDefined)
+    val errField = if (nErr > 0) s""","errors":$nErr""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
     spark.stop()
   }
 }

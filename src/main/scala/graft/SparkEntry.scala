@@ -82,9 +82,13 @@ object SparkEntry {
     "q17_ibtp_loop_weekly" -> IbtpQueries.loopOracleSql,
     "q18_sessionize" -> ExtensionQueries.sessionizeSql,
     "q20_dedup_exact" -> ExtensionQueries.dedupExactSql,
+    "q23_ngram_jaccard" -> ExtensionQueries.ngramJaccardPlantedSql,
     "q24_similarity_bruteforce" -> ExtensionQueries.similarityBruteForceSql,
+    "q26_ivf_assignments" -> ExtensionQueries.ivfAssignmentsSql,
     "q27_text_quality" -> ExtensionQueries.textQualitySql,
+    "q28_lang_id" -> ExtensionQueries.langIdSql,
     "q29_token_counts" -> ExtensionQueries.tokenCountsSql,
+    "q32_ivf_search" -> ExtensionQueries.ivfSearchSql,
     "q35_salted_join_revenue" -> ExtensionQueries.saltedJoinRevenueSql,
   )
 }

@@ -60,7 +60,26 @@ object GraftExtensions {
       new ExpressionInfo(classOf[LangScores].getName, "lang_scores"),
       (args: Seq[Expression]) => LangScores(args.head,
         Seq(TextAnalysis.EnStop, TextAnalysis.EsStop,
-          TextAnalysis.DeStop, TextAnalysis.FrStop))))
+          TextAnalysis.DeStop, TextAnalysis.FrStop))),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("vec_dot(a, b)")
+      }),
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("vec_cosine(a, b)")
+      }),
+    (FunctionIdentifier("hyperplane_bits"),
+      new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, p)    => HyperplaneBits(v, intArg(p, "planes"), 0x5eed)
+        case Seq(v, p, s) => HyperplaneBits(v, intArg(p, "planes"), intArg(s, "seed"))
+        case _ => throw new IllegalArgumentException("hyperplane_bits(v, planes[, seed])")
+      }))
 
   /** Install into a live session (when session construction isn't in
     * your hands — notebooks, shared test sessions). The

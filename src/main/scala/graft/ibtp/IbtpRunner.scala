@@ -141,6 +141,11 @@ object IbtpRunner {
     slices.headOption.foreach { s =>
       val probe = model.query(spark, PeriodBounds(s.from, s.to))
       target.evolveSchema(probe.schema, schemaMode) // df.schema is free pre-execution
+      // the reference widens target column types UNCONDITIONALLY each
+      // iteration (`loop.sql:78-79`), independent of on_schema_change —
+      // an int column becoming long mid-history widens the target
+      // rather than failing the insert
+      target.expandTargetColumnTypes(probe.schema)
     }
 
     def runSlice(s: Boundaries.PeriodSlice, isolated: Boolean): Long = {

@@ -110,9 +110,12 @@ final class TargetTable(
       } finally in.close()
     }
 
-  private def writeSchemaSidecar(userSchema: StructType): Unit = {
-    // full on-disk schema = user columns + day-partition column
-    val full = StructType(userSchema.fields :+ StructField(PartitionCol, DateType))
+  private def writeSchemaSidecar(userSchema: StructType): Unit =
+    writeFullSidecar(
+      // full on-disk schema = user columns + day-partition column
+      StructType(userSchema.fields :+ StructField(PartitionCol, DateType)))
+
+  private def writeFullSidecar(full: StructType): Unit = {
     val out = fs.create(schemaSidecar, true)
     try out.write(full.json.getBytes("UTF-8")) finally out.close()
   }
@@ -178,18 +181,16 @@ final class TargetTable(
     * longer populates (dynamic overwrite alone would leave those stale).
     */
   def replaceRange(df: DataFrame, from: LocalDate, to: LocalDate): Long = {
-    val fresh = withPartitionCol(alignToTarget(df)).cache()
-    try {
-      val writtenDates: Set[LocalDate] =
-        fresh.select(col(PartitionCol)).distinct().collect()
-          .map(_.getDate(0).toLocalDate).toSet
-      val n = writeDynamicOverwrite(fresh)
-      // remove stale partitions inside [from, to) that got no fresh rows
-      val staleDays = Iterator.iterate(from)(_.plusDays(1)).takeWhile(_.isBefore(to))
-        .filterNot(writtenDates.contains)
-      staleDays.foreach(d => deletePartition(d))
-      n
-    } finally fresh.unpersist()
+    val fresh = withPartitionCol(alignToTarget(df))
+    // single pass: the write's observed metrics carry both the row
+    // count and the set of day-partitions written (no cache, no
+    // pre-write distinct job)
+    val (n, writtenDates) = writeDynamicOverwrite(fresh)
+    // remove stale partitions inside [from, to) that got no fresh rows
+    val staleDays = Iterator.iterate(from)(_.plusDays(1)).takeWhile(_.isBefore(to))
+      .filterNot(writtenDates.contains)
+    staleDays.foreach(d => deletePartition(d))
+    n
   }
 
   /** Unique-key upsert — reference B13+B14 (`loop.sql:100-107`):
@@ -235,13 +236,9 @@ final class TargetTable(
             }
           val kept = affectedFilter(target)
             .join(keys, uniqueKey, "left_anti")
-            .cache()
-          try {
-            val keptDates = kept.select(col(PartitionCol)).distinct().collect()
-              .map(_.getDate(0).toLocalDate).toSet
-            writeDynamicOverwrite(kept)
-            affected.diff(keptDates).foreach(deletePartition)
-          } finally kept.unpersist()
+          // single pass: written-partition set rides the write metrics
+          val (_, keptDates) = writeDynamicOverwrite(kept)
+          affected.diff(keptDates).foreach(deletePartition)
         }
       }
       writeCounted(fresh, path, "append")
@@ -297,6 +294,37 @@ final class TargetTable(
     }
   }
 
+  /** Unconditional target type-widening — the reference calls
+    * `adapter.expand_target_column_types` on EVERY loop iteration
+    * regardless of `on_schema_change`
+    * (`insert_by_timeperiod_loop.sql:78-79`): when an incoming column
+    * safely contains the target's type (int→long, float→double, …) the
+    * TARGET widens instead of the insert failing. Pure metadata here —
+    * only the schema sidecar changes; historic narrower parquet files
+    * read through the widened schema via the parquet reader's type
+    * promotion. Same/narrower/new columns are untouched (narrower
+    * incoming is [[alignToTarget]]'s cast-up; new columns are
+    * `on_schema_change`'s business).
+    */
+  def expandTargetColumnTypes(incoming: StructType): Unit = {
+    if (!exists) return
+    storedSchema.foreach { full =>
+      val inTypes = incoming.fields.filterNot(_.name == PartitionCol)
+        .map(f => f.name -> f.dataType).toMap
+      var changed = false
+      val widened = full.fields.map { tf =>
+        inTypes.get(tf.name) match {
+          case Some(inT) if inT != tf.dataType &&
+              SchemaEvolution.canSafelyCast(tf.dataType, inT) =>
+            changed = true
+            tf.copy(dataType = inT)
+          case _ => tf
+        }
+      }
+      if (changed) writeFullSidecar(StructType(widened))
+    }
+  }
+
   /** Schema alignment on insert — the reference inserts using the
     * TARGET's column list (`loop.sql:88,109-114`) with
     * `expand_target_column_types` widening (`loop.sql:78-79`). Spark
@@ -333,35 +361,45 @@ final class TargetTable(
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Append/overwrite write that also returns the row count, via a
-    * cheap count over the (cached upstream or re-scanned) frame. The
+  /** Append/overwrite write that also returns the row count. The
     * reference extracts `rows_affected` from the DML result
     * (`init.sql:58-62`, `loop.sql:117-126`); parquet commit gives no
-    * row count, so we count the input. Counting a cached frame is a
-    * metadata hit; counting an uncached one re-runs the (period-sized)
-    * plan once — acceptable control-plane cost, skippable by callers
-    * that don't need accounting.
+    * row count, so the count rides the write itself as an observed
+    * metric (`Dataset.observe` → CollectMetrics): per-partition
+    * accumulators merged on the driver — one job, zero extra passes,
+    * no cache. `countRows=false` skips even that (reports -1).
     */
   private def writeCounted(df: DataFrame, dst: String, mode: String): Long =
     if (!countRows) {
       df.write.mode(mode).partitionBy(PartitionCol).parquet(dst)
       -1L
     } else {
-      val cached = df.cache()
-      try {
-        val n = cached.count()
-        cached.write.mode(mode).partitionBy(PartitionCol).parquet(dst)
-        n
-      } finally cached.unpersist()
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_rows_${java.util.UUID.randomUUID().toString.take(8)}")
+      df.observe(obs, count(lit(1)).as("n"))
+        .write.mode(mode).partitionBy(PartitionCol).parquet(dst)
+      obs.get("n").asInstanceOf[Long]
     }
 
-  private def writeDynamicOverwrite(df: DataFrame): Long = {
-    val n = if (countRows) df.count() else -1L
-    df.write.mode("overwrite")
+  /** Dynamic partition overwrite returning (rows written, day-partition
+    * values written). The partition set is needed by both callers for
+    * stale-partition cleanup and used to cost a separate
+    * distinct+collect pre-pass; now it rides the write's observed
+    * metrics (`collect_set` is per-partition set-union — bounded by the
+    * number of distinct days, not rows).
+    */
+  private def writeDynamicOverwrite(df: DataFrame): (Long, Set[LocalDate]) = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_dates_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.observe(obs, count(lit(1)).as("n"), collect_set(col(PartitionCol)).as("dates"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(PartitionCol)
       .parquet(path)
-    n
+    val m = obs.get
+    val dates = m("dates").asInstanceOf[scala.collection.Seq[java.sql.Date]]
+      .map(_.toLocalDate).toSet
+    (if (countRows) m("n").asInstanceOf[Long] else -1L, dates)
   }
 }
 

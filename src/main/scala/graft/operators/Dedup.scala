@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -16,8 +18,57 @@ import graft.functions.TextFunctions._
   *    fraction) are re-joined against the shingle sets for exact
   *    Jaccard verification;
   *  - SimHash shuffles one 64-bit fingerprint per document per rotation.
+  *
+  * Hot-bucket guard: an LSH bucket holding c near-identical documents
+  * (boilerplate pages at web scale) emits c²/2 candidate pairs — a
+  * quadratic blowup no cluster survives. Two mitigations, both on by
+  * default in the near-dup operators:
+  *  1. identical content is collapsed to one representative (min id)
+  *     BEFORE signatures — exact copies are `exactGroups`' business and
+  *     would otherwise fill every band's bucket with the same text;
+  *  2. buckets wider than `maxBucket` are skipped (the window count
+  *     rides the same hash partitioning the self-join needs, so the
+  *     exchange is reused). Skipping a bucket drops candidates only
+  *     from that band/rotation — MinHash pairs can still surface via
+  *     the other `bands−1` bands; the audit view of what was dropped
+  *     is [[hotBuckets]].
   */
-object Dedup {
+object Dedup extends Logging {
+
+  /** Keep bucket keys whose width is <= maxBucket; logs that the guard
+    * is active. Partitioning by `keys` is the same as the downstream
+    * self-join's, so this adds no extra exchange.
+    */
+  private def capBuckets(bucketed: DataFrame, maxBucket: Int, keys: Seq[String]): DataFrame = {
+    logInfo(s"LSH hot-bucket cap active: dropping buckets wider than $maxBucket " +
+      s"on (${keys.mkString(", ")}); audit dropped buckets via Dedup.hotBuckets")
+    val w = Window.partitionBy(keys.map(col): _*)
+    bucketed.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+  }
+
+  /** Audit view: the over-cap bucket keys and widths a near-dup run
+    * would skip (lazy — count/inspect it without paying for it in the
+    * main pipeline).
+    */
+  def hotBuckets(bucketed: DataFrame, maxBucket: Int, keys: Seq[String]): DataFrame =
+    bucketed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_width"))
+      .filter(col("bucket_width") > maxBucket)
+
+  /** One representative (min id) per distinct content — identical texts
+    * collapse before LSH so exact copies can't form hot buckets. The
+    * group key is the 64-bit digest + length, not the text (16-byte
+    * shuffle rows, same as [[exactGroups]]).
+    */
+  private def contentRepresentatives(
+      docs: DataFrame, idCol: String, contentKey: Column): DataFrame = {
+    val w = Window.partitionBy(contentKey)
+    docs.withColumn("__rep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__rep"))
+      .drop("__rep")
+  }
 
   /** Exact duplicate groups by content digest. Groups on xxhash64(text)
     * + length (collision belt-and-braces) rather than the raw text so
@@ -53,23 +104,28 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
     // signatures + shingle-hash sets via the native expressions (one
     // hash pass per document, 8-byte shingle elements instead of
     // strings); persisted because the pipeline reads them four times
     // (two band-join sides + two verify sides). At cluster scale this
     // would be a checkpoint to storage instead.
     import graft.functions.expressions.TextHashFunctions._
-    val sigs = docs
+    val reps = contentRepresentatives(docs, idCol,
+      struct(xxhash64(col(textCol)), length(col(textCol))))
+    val sigs = reps
       .select(col(idCol).as("id"),
         shingle_hashes(col(textCol), shingleN).as("shingles"),
         minhash_sig(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bandKeys = sigs
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val bandKeys = capBuckets(
+      sigs
+        .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash")),
+      maxBucket, Seq("band", "band_hash"))
 
     val candidates = bandKeys.as("l")
       .join(bandKeys.as("r"),
@@ -101,16 +157,21 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxDistance: Int = 3): DataFrame = {
-    val prints = docs.select(col(idCol).as("id"),
+      maxDistance: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
+    val reps = contentRepresentatives(docs, idCol,
+      struct(xxhash64(col(textCol)), length(col(textCol))))
+    val prints = reps.select(col(idCol).as("id"),
       graft.functions.expressions.TextHashFunctions.simhash64_fast(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocks = prints.select(
-      col("id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("block"),
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("block_val"))): _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.block").as("block"), col("bk.block_val").as("block_val"))
+    val blocks = capBuckets(
+      prints.select(
+        col("id"), col("sh"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("block"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("block_val"))): _*)).as("bk"))
+        .select(col("id"), col("sh"), col("bk.block").as("block"), col("bk.block_val").as("block_val")),
+      maxBucket, Seq("block", "block_val"))
     blocks.as("l")
       .join(blocks.as("r"),
         col("l.block") === col("r.block") &&
@@ -134,12 +195,16 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       planes: Int = 8,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxBucket: Int = 256): DataFrame = {
     import graft.functions.VectorFunctions
-    val bucketed = vectors
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", VectorFunctions.hyperplaneBits(col("v"), planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = contentRepresentatives(vectors, idCol, xxhash64(col(vecCol).cast("string")))
+    val bucketed = capBuckets(
+      reps
+        .select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", VectorFunctions.hyperplaneBits(col("v"), planes))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxBucket, Seq("bucket"))
     bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))

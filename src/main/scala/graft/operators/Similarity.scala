@@ -90,9 +90,17 @@ object Similarity {
       .join(broadcast(centroids.select(col("centroid_id"), col(vecCol).as("c_vec"))))
       .withColumn("dist2",
         normSq(col(vecCol)) + normSq(col("c_vec")) - lit(2.0) * dot(col(vecCol), col("c_vec")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist2").asc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"), round(col("dist2"), 6).as("dist2"))
+    // argmin via min(struct(dist2, centroid_id)): lexicographic struct
+    // ordering gives the deterministic centroid_id tiebreak, and the
+    // aggregate gets map-side partial aggregation — the shuffle carries
+    // one row per vector. (A Window(row_number) plan would sort and
+    // shuffle the full corpus×centroids scored set, vectors attached —
+    // a scale-killer at 100 TB.)
+    scored
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist2"), col("centroid_id"))).as("best"))
+      .select(col(idCol), col("best.centroid_id").as("centroid_id"),
+        round(col("best.dist2"), 6).as("dist2"))
   }
 
   /** IVF-probed ANN top-k: search only the cells of each query's
@@ -111,7 +119,9 @@ object Similarity {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol), col("centroid_id"))
       .join(corpus.select(col(idCol), col(vecCol)), idCol)
-    // query → its nProbe nearest centroids
+    // query → its nProbe nearest centroids. A Window is fine HERE: the
+    // windowed set is queries × centroids, both broadcast-small by
+    // contract — unlike the corpus-sized assignment above.
     val qScored = queries
       .select(col(queryIdCol), col(vecCol).as("q_vec"))
       .join(broadcast(centroids.select(col("centroid_id"), col(vecCol).as("c_vec"))))

@@ -328,7 +328,7 @@ object CoreQueries {
 
   val jsonExtractEventsSql: String =
     """SELECT event_type,
-      |       COUNT(k) AS n_with_k, SUM(k) AS sum_k, ROUND(AVG(k), 4) AS avg_k
+      |       COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k, ROUND(AVG(k), 4) AS avg_k
       |FROM (SELECT event_type,
       |             CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
       |      FROM events)

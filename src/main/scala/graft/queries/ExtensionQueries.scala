@@ -74,6 +74,40 @@ object ExtensionQueries {
       .orderBy(col("id_a"))
   }
 
+  /** DuckDB oracle: the engine computes Jaccard over 64-bit shingle
+    * HASHES; the oracle computes it over the shingle STRINGS — equal
+    * counts unless FNV collides within a document pair (2^-64-scale,
+    * none at test sizes), so this is a hard check of the set algebra.
+    * Near-copy corpus is rebuilt token-wise (retokenizing
+    * `concat_ws(' ', toks)` is the identity on non-empty tokens).
+    */
+  val ngramJaccardPlantedSql: String =
+    """WITH toksed AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         LIST_SLICE(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1,
+      |                    GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) - 3, 1))
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM toksed
+      |),
+      |pairs AS (SELECT doc_id AS id_a, doc_id + 2000000 AS id_b FROM documents)
+      |SELECT p.id_a, p.id_b,
+      |       ROUND(CASE WHEN LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)) = 0
+      |                  THEN 1.0
+      |                  ELSE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+      |                       / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+      |             END, 4) AS jaccard
+      |FROM pairs p
+      |JOIN sh a ON a.doc_id = p.id_a
+      |JOIN sh b ON b.doc_id = p.id_b
+      |ORDER BY id_a""".stripMargin
+
   // ---- similarity search --------------------------------------------
 
   /** Query set: the first 5 embeddings (vec_id < 5). */
@@ -122,10 +156,80 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("cell_size"))
       .orderBy(col("centroid_id"))
 
+  /** Shared oracle CTE prefix: exact double-precision assignment of
+    * every vector to its nearest of the 8 centroids. `list_dot_product`
+    * over `DOUBLE[]` folds left-to-right like the native `vec_dot`
+    * loop, so dist2 — ((‖v‖² + ‖c‖²) − 2·v·c) in that exact operation
+    * order — is bit-identical and the argmin deterministic
+    * (tiebreak: centroid_id ASC, matching min(struct(dist2, cid))).
+    */
+  private val ivfAssignCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings WHERE vec_id < 8),
+      |ascored AS (
+      |  SELECT e.vec_id, c.centroid_id,
+      |         LIST_DOT_PRODUCT(e.v, e.v) + LIST_DOT_PRODUCT(c.cv, c.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(e.v, c.cv) AS dist2
+      |  FROM e CROSS JOIN c
+      |),
+      |assigned AS (
+      |  SELECT vec_id, centroid_id
+      |  FROM (SELECT vec_id, centroid_id,
+      |               ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                                  ORDER BY dist2 ASC, centroid_id ASC) AS rn
+      |        FROM ascored)
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  val ivfAssignmentsSql: String =
+    s"""$ivfAssignCtes
+       |SELECT centroid_id, COUNT(*) AS cell_size
+       |FROM assigned
+       |GROUP BY centroid_id
+       |ORDER BY centroid_id""".stripMargin
+
   def ivfSearch(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(spark, dir), ivfCentroids(spark, dir),
       queryVectors(spark, dir), k = 10, nProbe = 3)
       .orderBy(col("query_id"), col("rank"))
+
+  /** IVF-probed search oracle: same exact-arithmetic assignment, then
+    * each query probes its 3 nearest cells and ranks candidates by
+    * cosine (DESC, vec_id ASC) — all in the bit-stable DOUBLE fold.
+    */
+  val ivfSearchSql: String =
+    s"""$ivfAssignCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |qscored AS (
+       |  SELECT q.query_id, c.centroid_id, q.qv,
+       |         LIST_DOT_PRODUCT(q.qv, q.qv) + LIST_DOT_PRODUCT(c.cv, c.cv)
+       |           - 2.0 * LIST_DOT_PRODUCT(q.qv, c.cv) AS dist2
+       |  FROM q CROSS JOIN c
+       |),
+       |probes AS (
+       |  SELECT query_id, centroid_id, qv
+       |  FROM (SELECT query_id, centroid_id, qv,
+       |               ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                  ORDER BY dist2 ASC, centroid_id ASC) AS rn
+       |        FROM qscored)
+       |  WHERE rn <= 3
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         LIST_DOT_PRODUCT(e.v, p.qv) /
+       |           (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) * SQRT(LIST_DOT_PRODUCT(p.qv, p.qv))) AS cos
+       |  FROM assigned a
+       |  JOIN probes p USING (centroid_id)
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, vec_id, ROUND(cos, 6) AS cosine,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+       |FROM cand
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   // ---- text analysis -------------------------------------------------
 
@@ -150,6 +254,35 @@ object ExtensionQueries {
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** DuckDB oracle for the language-ID heuristic: per-language
+    * stopword-hit ratios + the CJK char-ratio signal, winner = first
+    * language (en,es,de,fr,zh order) attaining the max — the exact
+    * strict-`>` fold semantics of `TextAnalysis.languageId`.
+    */
+  val langIdSql: String = {
+    def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+    s"""WITH toksed AS (
+       |  SELECT doc_id, text, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+       |  FROM documents
+       |),
+       |scores AS (
+       |  SELECT doc_id,
+       |    LEN(LIST_FILTER(toks, x -> LOWER(x) IN (${inList(TextAnalysis.EnStop)})))::DOUBLE / LEN(toks) AS s_en,
+       |    LEN(LIST_FILTER(toks, x -> LOWER(x) IN (${inList(TextAnalysis.EsStop)})))::DOUBLE / LEN(toks) AS s_es,
+       |    LEN(LIST_FILTER(toks, x -> LOWER(x) IN (${inList(TextAnalysis.DeStop)})))::DOUBLE / LEN(toks) AS s_de,
+       |    LEN(LIST_FILTER(toks, x -> LOWER(x) IN (${inList(TextAnalysis.FrStop)})))::DOUBLE / LEN(toks) AS s_fr,
+       |    LENGTH(REGEXP_REPLACE(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))::DOUBLE / LENGTH(text) * 10 AS s_zh
+       |  FROM toksed
+       |)
+       |SELECT doc_id,
+       |       CASE WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+       |            WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
+       |            ELSE 'zh' END AS predicted_lang,
+       |       ROUND(m, 4) AS lang_score
+       |FROM (SELECT *, GREATEST(s_en, s_es, s_de, s_fr, s_zh) AS m FROM scores)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
@@ -201,8 +334,8 @@ object ExtensionQueries {
       |),
       |numbered AS (
       |  SELECT user_id, ts,
-      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM flagged
       |)
       |SELECT user_id, session_idx, COUNT(*) AS n_events,

@@ -182,6 +182,67 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assert(e.exists(d => d.isAfter(LocalDate.of(2024, 1, 25))))
   }
 
+  test("int→long incoming widens the target unconditionally (even under Ignore)") {
+    // reference `loop.sql:78-79`: expand_target_column_types runs every
+    // iteration regardless of on_schema_change — a column whose type
+    // widens mid-history must widen the target, not throw
+    val mid = LocalDate.of(2024, 1, 15)
+    def model(wide: Boolean): IbtpModel = IbtpModel.DfModel { (_, from, to) =>
+      table("events")
+        .filter(col("ts") >= from && col("ts") < to)
+        .groupBy(col("ts").cast("date").cast("timestamp").as("day"))
+        .agg(count("*").cast(if (wide) "long" else "int").as("n"))
+    }
+    val target = new TargetTable(spark, tmpDir("ibtp_widen"), "day")
+    // first half of history lands as INT
+    IbtpRunner.run(spark, model(wide = false), target,
+      IbtpRunner.RunParams(cfg.copy(stopDate = Some(mid)), today = feb1))
+    assert(target.read().schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // resume with the column now LONG, default on_schema_change=Ignore:
+    // must widen and complete, not throw
+    IbtpRunner.run(spark, model(wide = true), target,
+      IbtpRunner.RunParams(cfg, today = feb1))
+    assert(target.read().schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // historic int32 files read correctly through the widened schema
+    val expected = model(wide = true).query(spark, PeriodBounds(jan1, feb1))
+    assertSameRows(target.read(), expected)
+  }
+
+  test("append row count rides the write job itself — no extra count pass") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val target = new TargetTable(spark, tmpDir("ibtp_obsjob"), "day")
+    def mk(day: Int) = {
+      import spark.implicits._
+      Seq((java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), 1L),
+        (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 01:00:00"), 2L))
+        .toDF("day", "v")
+    }
+    target.init(mk(1))
+    val group = "graft-obs-job-count"
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id")) jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "observed append")
+      val n = target.append(mk(2))
+      assert(n == 2) // the observed metric, not a separate count()
+      // listener bus is async — wait for it to settle
+      var waited = 0
+      while (waited < 5000 && jobs < 1) { Thread.sleep(50); waited += 50 }
+      Thread.sleep(250)
+      assert(jobs == 1, s"expected exactly 1 Spark job for append, saw $jobs")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("schema-sample init creates empty typed target, loop then fills it") {
     table("events").createOrReplaceTempView("events")
     val c = cfg.copy(sampleSelectForSchema = Some(

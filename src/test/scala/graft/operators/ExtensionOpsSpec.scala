@@ -41,12 +41,17 @@ class ExtensionOpsSpec extends SparkSpecBase {
     val got = ExtensionQueries.dedupSimhash(spark, sfDir)
       .select(col("id_a"), col("id_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // brute force: all-pairs hamming over the 64-bit fingerprints
-    val prints = corpus.select(col("doc_id"),
+    // brute force: all-pairs hamming over the 64-bit fingerprints.
+    // The operator collapses exact-identical texts to their min-id
+    // representative before LSH (hot-bucket guard), so the expected
+    // set is pairs among representatives, not raw ids.
+    val prints = corpus.select(col("doc_id"), col("text"),
       TextHashFunctions.simhash64_fast(col("text")).as("sh"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val reps = prints.groupBy(_._2).map(_._2.minBy(_._1)).toSeq
+      .map(t => (t._1, t._3))
     val expected = (for {
-      (ia, sa) <- prints; (ib, sb) <- prints
+      (ia, sa) <- reps; (ib, sb) <- reps
       if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
     } yield (ia, ib)).toSet
     assert(got == expected,
@@ -103,6 +108,54 @@ class ExtensionOpsSpec extends SparkSpecBase {
     val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
     val n = table("embeddings").count()
     assert(planted >= (n * 0.9).toInt, s"found $planted of $n planted pairs")
+  }
+
+  test("hot-bucket guard: boilerplate flood collapses to one representative, recall holds") {
+    import spark.implicits._
+    // 400 exact copies of one boilerplate page — at web scale this is
+    // the bucket that emits c²/2 pairs and kills the join. Pre-exact-
+    // dedup must collapse them to one representative BEFORE LSH.
+    val boiler = (0 until 400)
+      .map(i => (3000000L + i, "terms of service apply to all users of this site " +
+        "please read carefully before proceeding with registration"))
+      .toDF("doc_id", "text")
+    val corpus = ExtensionQueries.corpusWithNearDups(spark, sfDir).unionAll(boiler)
+    val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // no quadratic boilerplate self-pairs (399*400/2 without the guard)
+    assert(!pairs.exists(p => p._1 >= 3000000L && p._2 >= 3000000L),
+      "exact copies must collapse before LSH, not emit pairwise candidates")
+    // planted near-dup recall unaffected by the guard
+    val found = pairs.toSet
+    val planted = table("documents").select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 2000000L))
+    val recall = planted.count(found.contains).toDouble / planted.length
+    assert(recall >= 0.98, s"minhash recall with guard active: $recall")
+  }
+
+  test("hot-bucket cap drops over-wide LSH buckets; audit view reports them") {
+    import spark.implicits._
+    // 300 DISTINCT but colinear vectors (scaled copies): identical sign
+    // pattern on every hyperplane → one bucket of width 300
+    val base = (0 until 16).map(j => ((j * 31 + 7) % 13 - 6).toFloat / 6f).toArray
+    val vecs = (0 until 300)
+      .map(i => (i.toLong, base.map(_ * (i + 1))))
+      .toDF("vec_id", "embedding")
+    // cap below the bucket width: the bucket is skipped entirely
+    val capped = Dedup.embeddingNearDupPairs(vecs, planes = 8,
+      threshold = 0.99, maxBucket = 100)
+    assert(capped.count() == 0, "over-cap bucket must be skipped")
+    // cap above: all colinear pairs (cosine 1) surface
+    val uncapped = Dedup.embeddingNearDupPairs(vecs, planes = 8,
+      threshold = 0.99, maxBucket = 100000)
+    assert(uncapped.count() == 300L * 299 / 2)
+    // the audit view names the skipped bucket and its width
+    val bucketed = vecs.select(col("vec_id").as("id"),
+      graft.functions.VectorFunctions.hyperplaneBits(col("embedding"), 8).as("bucket"))
+    val hot = Dedup.hotBuckets(bucketed, maxBucket = 100, Seq("bucket")).collect()
+    assert(hot.length == 1 && hot.head.getLong(1) == 300)
   }
 
   test("language id is deterministic and covers all docs") {

@@ -39,12 +39,23 @@ def main(out_dir, sf_dir):
             got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_names = [c.lower() for c in got_rel.columns]
+            got_types = [str(t) for t in got_rel.types]
             got = rows_key(got_rel.fetchall(), got_names)
             exp_rel = con.sql(sql)
             exp_names = [c.lower() for c in exp_rel.columns]
+            exp_types = [str(t) for t in exp_rel.types]
             exp = rows_key(exp_rel.fetchall(), exp_names)
+            # The driver hashes DuckDB-visible column TYPES too (a HUGEINT
+            # SUM vs Spark's BIGINT fails its gate even with equal values),
+            # so compare types by sorted column name, not just values.
+            got_typed = sorted(zip(got_names, got_types))
+            exp_typed = sorted(zip(exp_names, exp_types))
             if sorted(got_names) != sorted(exp_names):
                 print(f"FAIL {name}: columns {sorted(got_names)} != {sorted(exp_names)}")
+                n_fail += 1
+            elif got_typed != exp_typed:
+                diffs = [(a, b) for a, b in zip(got_typed, exp_typed) if a != b]
+                print(f"FAIL {name}: column types differ: {diffs}")
                 n_fail += 1
             elif got != exp:
                 diffs = [(a, b) for a, b in zip(got, exp) if a != b][:3]

@@ -41,6 +41,15 @@ object IbtpRunner {
       /** Pre/post hooks — the reference's `run_hooks(pre_hooks)` /
         * `run_hooks(post_hooks)` (`materialization.sql:65,82`): SQL
         * statements run before the init/loop and after the loop.
+        *
+        * Fidelity note: the reference also runs in-transaction post
+        * hooks inside each init commit (`init.sql:70`,
+        * `run_hooks(..., inside_transaction=True)`). Spark has no
+        * cross-statement transactions — every write commits on its own
+        * — so there is no "inside the commit" point to attach to;
+        * post-hooks here run once, after the loop. Hooks that must see
+        * each period's rows can instead be expressed as part of the
+        * model query itself.
         */
       preHooks: Seq[String] = Nil,
       postHooks: Seq[String] = Nil,

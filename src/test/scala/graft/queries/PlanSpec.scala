@@ -59,6 +59,31 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("native vector expressions keep ANN projections inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    // the interpreted-HOF formulation put the bucket/cosine projection
+    // OUTSIDE the '*(n)' codegen spans; the native expressions keep
+    // it inside one
+    val df = table("embeddings")
+      .select(col("vec_id"),
+        VectorFunctions.hyperplaneBits(col("embedding"), 8).as("bucket"),
+        VectorFunctions.cosine(col("embedding"), col("embedding")).as("self_cos"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("hyperplane_bits")).getOrElse("")
+    assert(projLine.trim.startsWith("*("), s"projection not codegen'd:\n$p")
+  }
+
+  test("ivfAssign argmin aggregates with map-side partials — no Window over the scored set") {
+    val df = graft.queries.ExtensionQueries.ivfAssignments(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"argmin must not plan as Window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"), // map-side partial agg
+      s"argmin must get partial aggregation:\n$p")
+  }
+
   test("eventsRange pushes the period predicate into the parquet scan") {
     import java.time.LocalDate
     val df = graft.sources.Tables.eventsRange(spark, sfDir,

@@ -55,6 +55,7 @@ object SparkEntry {
     "q25_similarity_lsh" -> (ExtensionQueries.similarityLsh _),
     "q26_ivf_assignments" -> (ExtensionQueries.ivfAssignments _),
     "q32_ivf_search" -> (ExtensionQueries.ivfSearch _),
+    "q36_kmeans_step" -> (ExtensionQueries.kmeansStep _),
     "q27_text_quality" -> (ExtensionQueries.textQuality _),
     "q28_lang_id" -> (ExtensionQueries.langId _),
     "q29_token_counts" -> (ExtensionQueries.tokenCounts _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q28_lang_id" -> ExtensionQueries.langIdSql,
     "q29_token_counts" -> ExtensionQueries.tokenCountsSql,
     "q32_ivf_search" -> ExtensionQueries.ivfSearchSql,
+    "q36_kmeans_step" -> ExtensionQueries.kmeansStepSql,
     "q35_salted_join_revenue" -> ExtensionQueries.saltedJoinRevenueSql,
   )
 }

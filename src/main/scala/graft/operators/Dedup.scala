@@ -187,8 +187,15 @@ object Dedup extends Logging {
     * bucketing generates candidates (vectors sharing a `planes`-bit
     * sign bucket), exact cosine verifies at `threshold`. The bucket
     * self-join shuffles an 8-byte key per vector; only same-bucket
-    * pairs carry vectors. Multi-probe extension: union buckets with
-    * one bit flipped (recall/cost dial), omitted here for the base op.
+    * pairs carry vectors.
+    *
+    * `probeBits=1` turns on multi-probe: one side of the self-join also
+    * probes the `planes` buckets one sign-flip away, recovering pairs
+    * that disagree on exactly one near-orthogonal hyperplane. Each
+    * qualifying pair is still generated exactly once (a pair at bucket
+    * Hamming distance d ≤ 1 matches via exactly one probe of the left
+    * side), at `planes+1`× the left side's shuffle rows — keys only,
+    * never vectors.
     */
   def embeddingNearDupPairs(
       vectors: DataFrame,
@@ -196,8 +203,10 @@ object Dedup extends Logging {
       vecCol: String = "embedding",
       planes: Int = 8,
       threshold: Double = 0.95,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256,
+      probeBits: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions
+    require(probeBits >= 0 && probeBits <= 1, "probeBits supports 0 or 1")
     val reps = contentRepresentatives(vectors, idCol, xxhash64(col(vecCol).cast("string")))
     val bucketed = capBuckets(
       reps
@@ -205,13 +214,25 @@ object Dedup extends Logging {
         .withColumn("bucket", VectorFunctions.hyperplaneBits(col("v"), planes))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       maxBucket, Seq("bucket"))
-    bucketed.as("l")
-      .join(bucketed.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("l.v"), col("r.v")))
+    // candidate generation on (id, bucket) keys ONLY — the probe
+    // explosion multiplies 16-byte rows, not vectors; vectors join back
+    // for exact verification on just the matched pairs
+    val keyed = bucketed.select(col("id"), col("bucket"))
+    val probing =
+      if (probeBits == 0) keyed
+      else keyed.withColumn("bucket",
+        explode(array(col("bucket") +:
+          (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+    val candidates = probing.select(col("id").as("id_a"), col("bucket"))
+      .join(keyed.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    candidates
+      .join(bucketed.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(bucketed.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** N-gram Jaccard similarity for an explicit pair list (exact, no

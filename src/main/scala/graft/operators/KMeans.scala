@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** K-means (Lloyd's) training for IVF coarse quantizers, entirely in
+  * DataFrame ops — the missing "train" half of
+  * [[Similarity.ivfAssign]]/[[Similarity.ivfTopK]].
+  *
+  * Scale shape per iteration (the 100 TB loop):
+  *  - assignment is a broadcast of k centroids + a map pass with
+  *    `min(struct(dist2, centroid_id))` argmin — map-side partial
+  *    aggregation, one shuffled row per vector;
+  *  - mean recomputation posexplodes to (cell, pos, x) and aggregates —
+  *    partial aggregation collapses each map partition to ≤ k·dim rows
+  *    before the exchange, so the shuffle is centroid-sized, not
+  *    corpus-sized;
+  *  - only the k×dim centroid matrix ever reaches the driver
+  *    (control plane, like the materialization's boundary probes).
+  *
+  * Determinism: floating-point `avg` depends on partial-combine order,
+  * so plain Lloyd's is not reproducible across partitionings. Here each
+  * component is quantized to DECIMAL(18,6) and summed EXACTLY
+  * (decimal addition is order-free), then the mean is rounded back to
+  * 6 decimals — every iteration, and therefore the whole fit, is
+  * bit-reproducible on any cluster layout, and the single step has a
+  * DuckDB oracle (`ExtensionQueries.kmeansStepSql`). The 1e-6
+  * quantization is far below embedding noise.
+  */
+object KMeans {
+
+  /** One deterministic Lloyd step: assign to nearest centroid, then
+    * per-(cell, component) quantized-exact mean. Returns
+    * (centroid_id, pos, m) rows — cells that captured no vectors keep
+    * no rows (caller decides: keep old centroid).
+    */
+  def step(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = Similarity.ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+    assigned
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(round(
+        sum(col("x").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+        .as("m"))
+  }
+
+  /** Full fit: deterministic init (the k lowest-id vectors), then up to
+    * `maxIters` quantized Lloyd steps, stopping early when no centroid
+    * component moves. Returns (centroid_id, vecCol) with
+    * array<double> centroids, ready for [[Similarity.ivfTopK]].
+    */
+  def fit(
+      corpus: DataFrame, k: Int, maxIters: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    def toDf(cs: Array[Array[Double]]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cs.zipWithIndex.toIndexedSeq.map { case (v, i) => Row(i.toLong, v.toSeq) }, 1),
+        StructType(Seq(
+          StructField("centroid_id", LongType, nullable = false),
+          StructField(vecCol, ArrayType(DoubleType, containsNull = false)))))
+
+    // deterministic seed: the k lowest-id vectors, quantized like means
+    var cs: Array[Array[Double]] = corpus
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(transform(col(vecCol),
+        x => round(x.cast("double"), 6)).as(vecCol))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    var iter = 0
+    var moved = true
+    while (iter < maxIters && moved) {
+      val means = step(corpus, toDf(cs), idCol, vecCol)
+        .collect() // k·dim rows — control plane
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val dim = rows.length
+          val v = new Array[Double](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          cid.toInt -> v
+        }
+      val next = cs.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      moved = next.zip(cs).exists { case (a, b) => !java.util.Arrays.equals(a, b) }
+      cs = next
+      iter += 1
+    }
+    toDf(cs)
+  }
+
+  /** Within-cluster sum of squared distances — the objective; used by
+    * specs to assert Lloyd's monotone improvement.
+    */
+  def sse(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double =
+    Similarity.ivfAssign(corpus, centroids, idCol, vecCol)
+      .agg(sum(col("dist2"))).head().getDouble(0)
+}

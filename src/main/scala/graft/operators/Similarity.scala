@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,21 +56,37 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** All buckets within Hamming distance `probeBits` (0 or 1) of the
+    * base bucket — the multi-probe set. Probing rides the SMALL side of
+    * the join, so the expansion factor (planes+1 for one flipped bit)
+    * multiplies broadcast rows, never the corpus.
+    */
+  private def probeBuckets(bucket: Column, planes: Int, probeBits: Int): Column = {
+    require(probeBits >= 0 && probeBits <= 1, "probeBits supports 0 or 1")
+    if (probeBits == 0) array(bucket)
+    else array(bucket +: (0 until planes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
+  }
+
   /** LSH-bucketed ANN: score only candidates sharing a hyperplane
-    * bucket with the query (with multi-probe via allowing
-    * `probeBits` flipped bits). Returns the same shape as
-    * bruteForceTopK; recall < 1 by construction, measured in tests.
+    * bucket with the query. `probeBits=1` turns on multi-probe — each
+    * query also probes the `planes` buckets one sign-flip away, the
+    * standard recall/cost dial (a cosine-close vector that disagrees on
+    * exactly one near-orthogonal hyperplane is recovered at the price
+    * of scanning planes+1 of the 2^planes buckets instead of 1).
+    * Returns the same shape as bruteForceTopK; recall < 1 by
+    * construction, measured in tests.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id", probeBits: Int = 0): DataFrame = {
     val bucketed = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("bucket", hyperplaneBits(col(vecCol), planes))
     val qb = queries
       .select(col(queryIdCol), col(vecCol).as("q_vec"))
-      .withColumn("q_bucket", hyperplaneBits(col("q_vec"), planes))
+      .withColumn("q_bucket",
+        explode(probeBuckets(hyperplaneBits(col("q_vec"), planes), planes, probeBits)))
     val scored = bucketed
       .join(broadcast(qb),
         col("bucket") === col("q_bucket") && col(idCol) =!= col(queryIdCol))

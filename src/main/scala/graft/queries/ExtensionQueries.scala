@@ -231,6 +231,30 @@ object ExtensionQueries {
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** One deterministic k-means (Lloyd) step from the q26 centroids:
+    * per-(cell, component) mean over DECIMAL-quantized components —
+    * exact, order-free sums make the step bit-reproducible and
+    * hard-oracle-able (see [[graft.operators.KMeans]]).
+    */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.step(
+      Tables.embeddings(spark, dir), ivfCentroids(spark, dir))
+      .orderBy(col("centroid_id"), col("pos"))
+
+  val kmeansStepSql: String =
+    s"""$ivfAssignCtes,
+       |pv AS (
+       |  SELECT a.centroid_id,
+       |         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(e.v) + 1),
+       |                i -> {'pos': i - 1, 'x': e.v[i]})) AS u
+       |  FROM assigned a JOIN e ON e.vec_id = a.vec_id
+       |)
+       |SELECT centroid_id, CAST(u.pos AS INTEGER) AS pos,
+       |       ROUND(CAST(SUM(CAST(u.x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS m
+       |FROM pv
+       |GROUP BY centroid_id, u.pos
+       |ORDER BY centroid_id, pos""".stripMargin
+
   // ---- text analysis -------------------------------------------------
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =

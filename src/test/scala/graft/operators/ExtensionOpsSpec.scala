@@ -158,6 +158,80 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(hot.length == 1 && hot.head.getLong(1) == 300)
   }
 
+  test("multi-probe LSH recovers planted pairs lost to single-probe bucketing") {
+    import org.apache.spark.sql.functions.transform
+    val e = table("embeddings").select(col("vec_id"), col("embedding"))
+    // larger perturbation + more planes than q33: some planted pairs
+    // land one sign-flip apart, which single-probe misses by design
+    val perturbed = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i <= 1, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val corpus = e.unionAll(perturbed)
+    def planted(probeBits: Int): Long =
+      Dedup.embeddingNearDupPairs(corpus, planes = 14, threshold = 0.9,
+        probeBits = probeBits)
+        .filter(col("id_b") === col("id_a") + 1000000L).count()
+    val single = planted(0)
+    val multi = planted(1)
+    assert(multi >= single, s"multi-probe lost pairs: $multi < $single")
+    assert(multi > single,
+      s"multi-probe should recover one-flip pairs (single=$single multi=$multi)")
+    val n = table("embeddings").count()
+    assert(multi >= (n * 0.9).toLong, s"multi-probe recall: $multi of $n")
+  }
+
+  test("multi-probe ANN recall is at least single-probe recall") {
+    val queries = table("embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = table("embeddings")
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(probeBits: Int): Double = {
+      val got = Similarity.lshTopK(corpus, queries, k = 10, planes = 10,
+        probeBits = probeBits)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      got.count(bf.contains).toDouble / bf.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe recall $r1 < single-probe $r0")
+  }
+
+  test("kmeans fit lowers SSE over the seed and is bit-reproducible") {
+    val corpus = table("embeddings")
+    val c0 = KMeans.fit(corpus, k = 4, maxIters = 0)
+    val c5 = KMeans.fit(corpus, k = 4, maxIters = 5)
+    val sse0 = KMeans.sse(corpus, c0)
+    val sse5 = KMeans.sse(corpus, c5)
+    assert(sse5 < sse0, s"Lloyd's must improve the objective: $sse5 vs $sse0")
+    // quantized-mean Lloyd is deterministic by construction — rerun is
+    // bit-identical, not tolerance-close
+    assertSameRows(c5, KMeans.fit(corpus, k = 4, maxIters = 5))
+  }
+
+  test("kmeans recovers well-separated planted clusters exactly") {
+    import spark.implicits._
+    // id % 3 = planted cluster, so the deterministic lowest-id seeds
+    // (ids 0,1,2) span all three clusters
+    val pts = (for (c <- 0 until 3; i <- 0 until 30) yield {
+      val id = (i * 3 + c).toLong
+      val v = Array.tabulate(8)(j =>
+        (if (j == c) 10f else 0f) + ((i * 7 + j * 3) % 5) * 0.01f)
+      (id, v)
+    }).toDF("vec_id", "embedding")
+    val cents = KMeans.fit(pts, k = 3, maxIters = 10)
+    val assigned = Similarity.ivfAssign(pts, cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .withColumn("planted", col("vec_id") % 3)
+    val purity = assigned.groupBy(col("planted"))
+      .agg(countDistinct(col("centroid_id")).as("cells"))
+      .collect()
+    assert(purity.forall(_.getLong(1) == 1), "each planted cluster maps to one cell")
+    assert(assigned.select(col("centroid_id")).distinct().count() == 3)
+  }
+
   test("language id is deterministic and covers all docs") {
     val l = ExtensionQueries.langId(spark, sfDir)
     assert(l.count() == table("documents").count())

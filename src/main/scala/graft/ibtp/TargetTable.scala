@@ -354,6 +354,61 @@ final class TargetTable(
       df.select(cols.toIndexedSeq: _*)
     }
 
+  /** Per-partition small-file compaction — the operational counterpart
+    * of the chunked loop: every period job commits at least one file
+    * per day-partition it touches, so a long-lived target accumulates
+    * files far smaller than a scan-efficient size (and at 100 TB, file
+    * count is what kills listing and scan planning).
+    *
+    * For each day-partition in [from, to] whose file count exceeds what
+    * `targetFileBytes` calls for, rewrite that partition's files into
+    * ceil(bytes/targetFileBytes) files. Each partition is one small
+    * independent job (resumable, bounded working set — the same design
+    * as the load loop); partitions already at target are skipped
+    * without reading data (size check is a pure metadata listing).
+    * The swap (delete originals, move staged files in) has the same
+    * brief non-atomic exposure as init's rename swap — run it like the
+    * reference runs full refreshes: not concurrently with readers that
+    * can't tolerate a retry.
+    */
+  def compact(
+      from: Option[LocalDate] = None,
+      to: Option[LocalDate] = None,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[CompactionStat] = {
+    if (!exists) return Nil
+    val userSchema = storedSchema
+      .map(s => StructType(s.fields.filterNot(_.name == PartitionCol)))
+    val parts = fs.listStatus(new Path(path)).toSeq
+      .filter(_.getPath.getName.startsWith(s"$PartitionCol="))
+      .map(st => (LocalDate.parse(st.getPath.getName.stripPrefix(s"$PartitionCol=")),
+        st.getPath))
+      .filter { case (d, _) =>
+        from.forall(f => !d.isBefore(f)) && to.forall(t => !d.isAfter(t)) }
+      .sortBy(_._1)
+    parts.flatMap { case (d, dir) =>
+      val files = fs.listStatus(dir).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+      val bytes = files.map(_.getLen).sum
+      val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      if (files.size <= targetFiles) None
+      else {
+        val stage = new Path(path + s"__compact_${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          val reader = userSchema.fold(spark.read)(s => spark.read.schema(s))
+          reader.parquet(dir.toString)
+            .coalesce(targetFiles)
+            .write.mode("overwrite").parquet(stage.toString)
+          files.foreach(f => fs.delete(f.getPath, false))
+          fs.listStatus(stage)
+            .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+            .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+          Some(CompactionStat(d, files.size, targetFiles, bytes))
+        } finally if (fs.exists(stage)) fs.delete(stage, true)
+      }
+    }
+  }
+
   // -------------------------------------------------------------------
 
   private def deletePartition(d: LocalDate): Unit = {
@@ -402,6 +457,10 @@ final class TargetTable(
     (if (countRows) m("n").asInstanceOf[Long] else -1L, dates)
   }
 }
+
+/** One partition's compaction outcome. */
+final case class CompactionStat(
+    date: LocalDate, filesBefore: Int, filesAfter: Int, bytes: Long)
 
 object TargetTable {
   /** Internal day-partition column added next to the user's columns. */

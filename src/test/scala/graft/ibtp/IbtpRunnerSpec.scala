@@ -243,6 +243,27 @@ class IbtpRunnerSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction merges small partition files without changing data") {
+    val target = new TargetTable(spark, tmpDir("ibtp_compact"), "day")
+    runner(target)
+    // a second append doubles rows AND leaves ≥2 files per partition —
+    // the accumulation pattern of a long-lived chunk-loaded target
+    target.append(oneShot(jan1, feb1))
+    val before = target.read().collect().map(_.toString).sorted
+    def filesIn(d: String): Int =
+      new java.io.File(target.path, s"p_date=$d").listFiles()
+        .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(filesIn("2024-01-05") >= 2)
+    val stats = target.compact()
+    assert(stats.nonEmpty)
+    assert(stats.forall(s => s.filesAfter < s.filesBefore))
+    assert(filesIn("2024-01-05") == 1)
+    val after = target.read().collect().map(_.toString).sorted
+    assert(before.sameElements(after), "compaction must not change data")
+    // second compaction is a no-op (already at target)
+    assert(target.compact().isEmpty)
+  }
+
   test("schema-sample init creates empty typed target, loop then fills it") {
     table("events").createOrReplaceTempView("events")
     val c = cfg.copy(sampleSelectForSchema = Some(

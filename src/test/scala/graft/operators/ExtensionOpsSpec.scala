@@ -232,6 +232,31 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(assigned.select(col("centroid_id")).distinct().count() == 3)
   }
 
+  test("incremental dedup: new batches pair against the index without re-reading corpus text") {
+    val idx = new SignatureIndex(spark, tmpDir("sigindex"))
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val n = docs.count()
+    idx.append(docs, "doc_id", "text") // bootstrap the corpus index
+    // batch 2: the planted near copies — every pair must cross into the index
+    val near = graft.queries.ExtensionQueries.corpusWithNearDups(spark, sfDir)
+      .filter(col("doc_id") >= 2000000L)
+    val pairs2 = idx.dedupAndAppend(near, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs2.forall(p => p._1 >= 2000000L || p._2 >= 2000000L),
+      "every pair must involve the new batch")
+    val planted2 = pairs2.count(p => p._2 == p._1 + 2000000L)
+    assert(planted2 >= (n * 0.98).toLong, s"cross-batch recall: $planted2 of $n")
+    // batch 3: exact copies of the originals — identical shingle sets
+    // share every band key, so recall is exact and jaccard is 1.0
+    val exact = docs.select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+    val pairs3 = idx.dedupAndAppend(exact, "doc_id", "text", threshold = 0.5)
+      .filter(col("id_b") === col("id_a") + 4000000L)
+    assert(pairs3.count() == n)
+    assert(pairs3.filter(col("jaccard") =!= 1.0).count() == 0)
+    // the index now holds all three batches
+    assert(idx.read().count() == 3 * n)
+  }
+
   test("language id is deterministic and covers all docs") {
     val l = ExtensionQueries.langId(spark, sfDir)
     assert(l.count() == table("documents").count())

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtensionQueries, IbtpQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,13 @@ object SparkEntry {
     "q29_token_counts" -> (ExtensionQueries.tokenCounts _),
     "q30_fingerprint_stats" -> (ExtensionQueries.fingerprintStats _),
     "q31_multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
+    // corpus curation (deterministic sampling, decontamination, stats)
+    "q37_stratified_sample" -> (CurationQueries.stratifiedSample _),
+    "q38_uniform_mixture" -> (CurationQueries.uniformMixture _),
+    "q39_decontaminate" -> (CurationQueries.decontaminate _),
+    "q40_latest_per_key" -> (CurationQueries.latestPerKey _),
+    "q41_token_topk" -> (CurationQueries.tokenTopK _),
+    "q42_quantile_filter" -> (CurationQueries.quantileFilter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,5 +99,11 @@ object SparkEntry {
     "q32_ivf_search" -> ExtensionQueries.ivfSearchSql,
     "q36_kmeans_step" -> ExtensionQueries.kmeansStepSql,
     "q35_salted_join_revenue" -> ExtensionQueries.saltedJoinRevenueSql,
+    "q37_stratified_sample" -> CurationQueries.stratifiedSampleSql,
+    "q38_uniform_mixture" -> CurationQueries.uniformMixtureSql,
+    "q39_decontaminate" -> CurationQueries.decontaminateSql,
+    "q40_latest_per_key" -> CurationQueries.latestPerKeySql,
+    "q41_token_topk" -> CurationQueries.tokenTopKSql,
+    "q42_quantile_filter" -> CurationQueries.quantileFilterSql,
   )
 }

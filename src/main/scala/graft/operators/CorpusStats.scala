@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level statistics for curation decisions: global token
+  * frequencies and exact discrete quantiles.
+  */
+object CorpusStats {
+
+  /** Corpus-wide token frequency, top `k` by (count DESC, token ASC).
+    * Plan shape at scale: explode → hash aggregate with map-side
+    * partials (one row per distinct token per partition shuffles, not
+    * one per token occurrence) → TakeOrderedAndProject, which keeps a
+    * k-row heap per partition and merges k-row heaps — no global sort
+    * of the frequency table.
+    */
+  def tokenTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Exact discrete quantile of an integer-valued column, computed
+    * via value histogram: `groupBy(value)` collapses the corpus to
+    * one row per distinct value (map-side partials), and the
+    * cumulative scan + threshold selection run over that small
+    * histogram — the scale-right EXACT quantile for discrete domains.
+    * (Continuous domains at scale → `percentile_approx`, q34.)
+    *
+    * Returns a 1-row (threshold) frame: the smallest value v whose
+    * cumulative count reaches floor((n-1)·q)+1 — i.e. the element at
+    * 0-based index floor((n-1)·q) of the sorted values, matching
+    * DuckDB's QUANTILE_DISC so the oracle can use the built-in.
+    *
+    * The single-partition window is over the histogram only; the
+    * corpus never sorts.
+    */
+  def quantileDisc(df: DataFrame, valueCol: String, q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile out of range: $q")
+    val hist = df.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cume",
+      sum(col("cnt")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+      .filter(col("cume") >= floor((col("n") - 1) * q) + 1)
+      .agg(min(col("v")).as("threshold"))
+  }
+
+  /** Rows of `df` whose `valueCol` is at or above the exact q-th
+    * discrete percentile — quantile-based quality filtering. The
+    * 1-row threshold broadcasts onto an in-place corpus filter; the
+    * corpus is scanned twice (histogram + filter) but never shuffled.
+    */
+  def filterAboveQuantile(df: DataFrame, valueCol: String, q: Double): DataFrame =
+    df.crossJoin(broadcast(quantileDisc(df, valueCol, q)))
+      .filter(col(valueCol) >= col("threshold"))
+      .drop("threshold")
+}

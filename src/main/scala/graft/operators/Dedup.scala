@@ -250,4 +250,23 @@ object Dedup extends Logging {
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Keep-latest dedup: one row per key, the maximum by `orderCols`
+    * (lexicographic) — the standard CDC/recrawl policy where the
+    * newest snapshot of a URL/document wins.
+    *
+    * `max_by(struct(all), struct(order))` aggregates with map-side
+    * partials: one candidate row per key per partition shuffles,
+    * never the full history — vs. the textbook `row_number` window,
+    * which shuffles AND sorts every version of every key. Make
+    * `orderCols` total (e.g. include a unique id as tiebreak) for a
+    * deterministic result.
+    */
+  def keepLatest(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, ord).as("graft_latest"))
+      .select(col("graft_latest.*"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for corpus curation.
+  *
+  * Training-data pipelines need REPRODUCIBLE sampling: the same
+  * document set must be selected on every rerun and on any cluster
+  * layout, and the keep/drop decision must be derivable row-locally
+  * (no RNG seed threading through partitions, no global state). Rows
+  * are bucketed by md5 of their id — a pure per-row projection of
+  * codegen'd built-ins that rides the scan unshuffled and is
+  * bit-identical in any engine with md5, so the DuckDB oracles
+  * recompute the exact same sample.
+  *
+  * Thresholds use floor (never round): floor of an exactly-shared
+  * double is the same integer in every engine, while ROUND half-way
+  * tie-breaking differs across engines.
+  *
+  * Reference scope note: the reference materialization loads whole
+  * periods (no sampling surface, `/root/reference/macros/
+  * insert_by_timeperiod_loop.sql`); sampling is a north-star curation
+  * extension (BASELINE.json).
+  */
+object Sampling {
+
+  /** Bucket resolution — rates quantize to 1/10000. */
+  val Buckets = 10000
+
+  /** Stable bucket in [0, Buckets): first 32 bits of md5 of the id
+    * rendered as a decimal string, mod Buckets. Uniform across ids,
+    * independent of partitioning, identical across engines.
+    */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % Buckets
+
+  /** Keep a deterministic ~`fraction` of rows (quantized to 1e-4).
+    * Plan shape: Filter directly over the scan — no shuffle, no RNG.
+    */
+  def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.filter(hashBucket(col(idCol)) < math.floor(fraction * Buckets).toLong)
+  }
+
+  /** Per-stratum sampling rates (up-weight curated sources,
+    * down-weight crawl); strata absent from `rates` are dropped. The
+    * rates frame is one row per stratum — broadcast, so the fact side
+    * never shuffles.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF(strataCol, "graft_rate")
+    df.join(broadcast(ratesDf), strataCol)
+      .filter(hashBucket(col(idCol)) < floor(col("graft_rate") * Buckets))
+      .drop("graft_rate")
+  }
+
+  /** Downsample every stratum to the size of the smallest — a uniform
+    * mixture over strata (language balancing, source balancing).
+    * rate_s = min_count / count_s. The count aggregate is one row per
+    * stratum (map-side partials over the corpus, tiny shuffle); the
+    * global min joins back to it broadcast, and the corpus itself is
+    * filtered in place — the big side is scanned twice (count +
+    * filter) but never shuffled.
+    */
+  def uniformMixture(df: DataFrame, idCol: String, strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("graft_n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("graft_n")).as("graft_min"))))
+      .select(col(strataCol),
+        (col("graft_min").cast("double") / col("graft_n")).as("graft_rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(hashBucket(col(idCol)) < floor(col("graft_rate") * Buckets))
+      .drop("graft_rate")
+  }
+}

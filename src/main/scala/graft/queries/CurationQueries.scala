@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Sampling}
+import graft.sources.Tables
+
+/** Corpus-curation queries (sampling, mixtures, decontamination,
+  * keep-latest, global token stats, quantile filtering) — the
+  * dataset-shaping half of the LLM-pipeline extensions, each with a
+  * hard DuckDB oracle.
+  *
+  * Oracle portability notes baked into the designs:
+  *  - sampling buckets come from md5 (identical in every engine);
+  *    thresholds use floor over binary-exact rates, never ROUND;
+  *  - n-gram overlap counts compare FNV-hash-side (Spark) against
+  *    string-side (DuckDB) set algebra, the q23 argument;
+  *  - quantiles use DuckDB's QUANTILE_DISC element-selection rule.
+  */
+object CurationQueries {
+
+  /** Planted-contamination id offset (next after ExtensionQueries'
+    * 1M/2M exact/near offsets).
+    */
+  private val ContamOffset = 3000000L
+
+  // ---- deterministic sampling ---------------------------------------
+
+  /** Per-source rates, binary-exact doubles (0.5/0.25) so
+    * floor(rate*10000) is engine-independent.
+    */
+  val StratRates: Seq[(String, Double)] =
+    (0 until 20).map(i => (s"src$i", if (i % 2 == 0) 0.5 else 0.25))
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", StratRates.toMap)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String = {
+    val values = StratRates.map { case (s, r) => s"('$s', $r)" }.mkString(", ")
+    s"""WITH rates(source, rate) AS (VALUES $values)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE ('0x' || SUBSTR(MD5(d.doc_id::VARCHAR), 1, 8))::UBIGINT % 10000
+       |      < FLOOR(r.rate::DOUBLE * 10000)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Uniform language mixture: every lang downsampled to the rarest
+    * lang's count, deterministically.
+    */
+  def uniformMixture(spark: SparkSession, dir: String): DataFrame =
+    Sampling.uniformMixture(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle recomputes rate = min(n)::DOUBLE / n — the same IEEE
+    * double division as `Sampling.uniformMixture`, so floor(rate*1e4)
+    * is bit-identical.
+    */
+  val uniformMixtureSql: String =
+    """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |rates AS (SELECT lang, (SELECT MIN(n) FROM counts)::DOUBLE / n AS rate FROM counts)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN rates r USING (lang)
+      |WHERE ('0x' || SUBSTR(MD5(d.doc_id::VARCHAR), 1, 8))::UBIGINT % 10000
+      |      < FLOOR(r.rate * 10000)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---- decontamination ----------------------------------------------
+
+  /** Train = non-src0 docs ∪ re-id'd copies of the src0 "benchmark"
+    * (planted contamination: each copy shares all its 8-grams with
+    * the benchmark); output = per-doc shared-8-gram counts.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("source") === "src0").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
+      .unionAll(bench.select((col("doc_id") + ContamOffset).as("doc_id"), col("text")))
+    Decontaminate.overlap(train, bench, "doc_id", "text", n = 8)
+      .orderBy(col("id"))
+  }
+
+  /** String-side 8-gram set overlap (vs the engine's FNV-hash side). */
+  val decontaminateSql: String =
+    """WITH bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+      |train AS (
+      |  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text FROM bench
+      |),
+      |tg AS (
+      |  SELECT doc_id,
+      |         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 6, 1)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+      |                || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
+      |                || ' ' || toks[i+7]))) AS g
+      |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM train)
+      |),
+      |bg AS (
+      |  SELECT DISTINCT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 6, 1)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+      |                || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
+      |                || ' ' || toks[i+7])) AS g
+      |  FROM (SELECT STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM bench)
+      |)
+      |SELECT t.doc_id AS id, COUNT(*) AS n_overlap
+      |FROM tg t JOIN bg USING (g)
+      |GROUP BY t.doc_id
+      |ORDER BY id""".stripMargin
+
+  // ---- keep-latest (CDC/recrawl dedup) ------------------------------
+
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepLatest(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  val latestPerKeySql: String =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |FROM events
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      |                           ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---- corpus statistics --------------------------------------------
+
+  def tokenTopK(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.tokenTopK(Tables.documents(spark, dir), "text", k = 100)
+
+  val tokenTopKSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+')) AS token
+      |      FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC
+      |LIMIT 100""".stripMargin
+
+  /** Quality floor: docs at/above the exact 25th percentile of
+    * BPE-ish token count.
+    */
+  def quantileFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(col("doc_id"),
+      TextFunctions.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+    CorpusStats.filterAboveQuantile(scored, "bpeish_tokens", 0.25)
+      .orderBy(col("doc_id"))
+  }
+
+  val quantileFilterSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(LEN(REGEXP_EXTRACT_ALL(text, '${TextFunctions.BpeishPattern}')) AS INTEGER) AS bpeish_tokens
+       |  FROM documents
+       |)
+       |SELECT doc_id, bpeish_tokens FROM t
+       |WHERE bpeish_tokens >= (SELECT QUANTILE_DISC(bpeish_tokens, 0.25) FROM t)
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.queries.CurationQueries
+
+/** Behavior tests for the curation operators: sampling determinism
+  * and statistical shape, mixture balancing, decontamination recall,
+  * keep-latest equivalence to the window formulation, exact-quantile
+  * selection. (Value-level correctness is driver-checked against
+  * DuckDB oracles — q37..q42; these specs pin the properties oracles
+  * can't see, like determinism across reruns and plan equivalences.)
+  */
+class CurationOpsSpec extends SparkSpecBase {
+
+  private def docs = table("documents")
+  private def events = table("events")
+
+  test("deterministic sample: same rows on rerun, fraction within tolerance") {
+    val a = Sampling.sample(docs, "doc_id", 0.5).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.sample(docs, "doc_id", 0.5).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    val n = docs.count().toDouble
+    assert(math.abs(a.length / n - 0.5) < 0.15, s"kept ${a.length} of $n")
+    // monotone: a smaller fraction selects a subset of a larger one
+    val small = Sampling.sample(docs, "doc_id", 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a.toSet))
+  }
+
+  test("stratified sample respects per-stratum rates") {
+    val sampled = CurationQueries.stratifiedSample(spark, sfDir)
+    val perSrc = sampled.groupBy("source").agg(count(lit(1)).as("kept"))
+      .join(docs.groupBy("source").agg(count(lit(1)).as("total")), "source")
+      .collect()
+    perSrc.foreach { r =>
+      val rate = CurationQueries.StratRates.toMap.apply(r.getString(0))
+      val got = r.getLong(1).toDouble / r.getLong(2)
+      // small strata (~25 docs) → generous tolerance; the oracle pins exact rows
+      assert(math.abs(got - rate) < 0.3, s"${r.getString(0)}: got $got want ~$rate")
+    }
+  }
+
+  test("uniform mixture balances every stratum to ~the rarest stratum's count") {
+    val minCount = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)
+    val mixed = Sampling.uniformMixture(docs.select(col("doc_id"), col("lang")), "doc_id", "lang")
+    val sizes = mixed.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash sampling hits the target in expectation, not exactly —
+    // every stratum must land in a band around the rarest's count
+    sizes.foreach { case (lang, n) =>
+      assert(n >= minCount * 0.5 && n <= minCount * 1.5,
+        s"$lang kept $n, want ~$minCount")
+    }
+    // the rarest stratum has rate 1.0 → kept in full
+    val rarest = docs.groupBy("lang").count().orderBy(col("count"), col("lang"))
+      .head().getString(0)
+    assert(sizes(rarest) == minCount, s"rarest '$rarest' kept ${sizes(rarest)} of $minCount")
+  }
+
+  test("decontamination flags every planted benchmark copy with full overlap") {
+    val bench = docs.filter(col("source") === "src0").select(col("doc_id"), col("text"))
+    val planted = bench.select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val train = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
+      .unionAll(planted)
+    val flagged = Decontaminate.overlap(train, bench, "doc_id", "text", n = 8)
+    val flaggedIds = flagged.select("id").collect().map(_.getLong(0)).toSet
+    val plantedIds = planted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plantedIds.subsetOf(flaggedIds), "a planted copy escaped decontamination")
+    // a planted copy shares ALL its 8-grams with the benchmark
+    val full = flagged.filter(col("id") >= 3000000L)
+      .join(planted.select(col("doc_id").as("id"),
+        size(graft.functions.expressions.TextHashFunctions.shingle_hashes(col("text"), 8)).as("own")), "id")
+      .filter(col("n_overlap") =!= col("own"))
+    assert(full.count() == 0, "planted copy with partial overlap")
+    // and clean() removes exactly the flagged rows
+    val cleaned = Decontaminate.clean(train, bench, "doc_id", "text", n = 8)
+    assert(cleaned.count() == train.count() - flaggedIds.size)
+    assert(cleaned.filter(col("doc_id").isin(flaggedIds.toSeq: _*)).count() == 0)
+  }
+
+  test("keepLatest equals the row_number window formulation") {
+    val viaAgg = Dedup.keepLatest(events, Seq("user_id"), Seq("ts", "event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assertSameRows(viaAgg, viaWindow)
+  }
+
+  test("quantileDisc matches the sorted-element definition") {
+    val scored = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.bpeishTokenCount(col("text")).as("x"))
+    val values = scored.select("x").collect().map(_.getInt(0)).sorted
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val want = values(math.floor((values.length - 1) * q).toInt).toLong
+      val got = CorpusStats.quantileDisc(scored, "x", q).head().getLong(0)
+      assert(got == want, s"q=$q: got $got want $want")
+    }
+  }
+
+  test("filterAboveQuantile keeps exactly the at-or-above-threshold rows") {
+    val scored = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.bpeishTokenCount(col("text")).as("x"))
+    val thr = CorpusStats.quantileDisc(scored, "x", 0.25).head().getLong(0)
+    val kept = CorpusStats.filterAboveQuantile(scored, "x", 0.25)
+    assertSameRows(kept, scored.filter(col("x") >= thr))
+  }
+
+  test("tokenTopK equals naive global ordering") {
+    val got = CorpusStats.tokenTopK(docs, "text", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val naive = docs
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(got.toSeq == naive.toSeq)
+  }
+}

@@ -409,6 +409,16 @@ final class TargetTable(
     }
   }
 
+  /** Overwrite exactly the day-partitions present in `df`, leaving all
+    * other partitions untouched (dynamic partition overwrite). This is
+    * the IDEMPOTENT micro-batch write: replaying the same batch
+    * rewrites the same partitions to the same state, which is what
+    * turns an at-least-once streaming `foreachBatch` into exactly-once
+    * table contents (see `streaming.StreamingIngest`).
+    */
+  def overwritePartitions(df: DataFrame): Long =
+    writeDynamicOverwrite(withPartitionCol(alignToTarget(df)))._1
+
   // -------------------------------------------------------------------
 
   private def deletePartition(d: LocalDate): Unit = {

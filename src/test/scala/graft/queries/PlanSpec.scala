@@ -84,6 +84,45 @@ class PlanSpec extends SparkSpecBase {
       s"argmin must get partial aggregation:\n$p")
   }
 
+  test("deterministic sampling is a scan-side filter — no shuffle, no RNG") {
+    val df = graft.operators.Sampling.sample(table("documents"), "doc_id", 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(!p.contains("rand"), s"sampling must not depend on RNG:\n$p")
+  }
+
+  test("stratified sampling broadcasts the rates side") {
+    val df = graft.queries.CurationQueries.stratifiedSample(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("decontamination broadcasts the benchmark n-gram set and partially aggregates") {
+    val df = graft.queries.CurationQueries.decontaminate(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial"), s"overlap counts need map-side partials:\n$p")
+  }
+
+  test("keepLatest aggregates with map-side partials — no Window sort of history") {
+    val df = graft.operators.Dedup.keepLatest(
+      table("events"), Seq("user_id"), Seq("ts", "event_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"keepLatest must not plan as Window:\n$p")
+    assert(p.contains("partial"), s"keepLatest needs partial aggregation:\n$p")
+  }
+
+  test("token top-k plans as TakeOrdered over the aggregated frequencies") {
+    val df = graft.queries.CurationQueries.tokenTopK(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial"), s"counts need map-side partials:\n$p")
+  }
+
   test("eventsRange pushes the period predicate into the parquet scan") {
     import java.time.LocalDate
     val df = graft.sources.Tables.eventsRange(spark, sfDir,

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.ibtp.TargetTable
+
+/** Streaming catch-up ingestion into the IBTP target: files arriving
+  * in two stages, two `catchUp` runs sharing one checkpoint — the
+  * second processes only the new file and the final table matches the
+  * batch aggregation for every watermark-closed day.
+  */
+class StreamingIngestSpec extends SparkSpecBase {
+
+  test("catchUp ingests incrementally and matches the batch daily agg") {
+    val src = Files.createTempDirectory("ingest_src").toString
+    val tgt = Files.createTempDirectory("ingest_tgt").toString + "/tbl"
+    val ckp = Files.createTempDirectory("ingest_ckp").toString
+
+    // stage the fixture as two arriving files, split mid-history
+    // (raw read keeps ts as long nanos — the shape readEvents expects)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutNanos = java.time.LocalDate.of(2024, 1, 16)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
+    raw.filter(col("ts") < cutNanos).coalesce(1)
+      .write.parquet(s"$src/batch0")
+    raw.filter(col("ts") >= cutNanos).coalesce(1)
+      .write.parquet(s"$src/batch1")
+    val f0 = new java.io.File(s"$src/batch0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val f1 = new java.io.File(s"$src/batch1").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(f0.toPath, java.nio.file.Paths.get(s"$src/events0.parquet"))
+
+    val target = new TargetTable(spark, tgt, "day")
+    def run(): Unit = StreamingIngest.catchUp(
+      EventStream.dailyAgg(EventStream.readEvents(spark, src)), target, ckp)
+
+    // run 1: only the first half is visible
+    run()
+    val afterFirst = target.read().count()
+    assert(afterFirst > 0, "first catch-up wrote nothing")
+
+    // second file arrives; run 2 resumes from the checkpoint
+    Files.move(f1.toPath, java.nio.file.Paths.get(s"$src/events1.parquet"))
+    run()
+    val got = target.read()
+      .select(col("day"), col("event_type"), col("n_events"), col("total_value"))
+    assert(got.count() > afterFirst, "second catch-up added nothing")
+
+    val batch = table("events")
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+
+    // append mode: every day the watermark closed must match batch
+    // exactly; at most the trailing open day(s) may be missing
+    val gotDays = got.select(col("day")).distinct().collect().map(_.getDate(0)).toSet
+    val allDays = batch.select(col("day")).distinct().collect().map(_.getDate(0)).toSet
+    assert((allDays -- gotDays).size <= 2, s"missing ${allDays -- gotDays}")
+    assertSameRows(got,
+      batch.join(got.select(col("day")).distinct(), Seq("day"), "left_semi"))
+  }
+}

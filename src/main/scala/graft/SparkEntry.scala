@@ -68,6 +68,8 @@ object SparkEntry {
     "q40_latest_per_key" -> (CurationQueries.latestPerKey _),
     "q41_token_topk" -> (CurationQueries.tokenTopK _),
     "q42_quantile_filter" -> (CurationQueries.quantileFilter _),
+    "q43_chunk_documents" -> (CurationQueries.chunkDocuments _),
+    "q44_best_per_source" -> (CurationQueries.bestPerSource _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -105,5 +107,7 @@ object SparkEntry {
     "q40_latest_per_key" -> CurationQueries.latestPerKeySql,
     "q41_token_topk" -> CurationQueries.tokenTopKSql,
     "q42_quantile_filter" -> CurationQueries.quantileFilterSql,
+    "q43_chunk_documents" -> CurationQueries.chunkDocumentsSql,
+    "q44_best_per_source" -> CurationQueries.bestPerSourceSql,
   )
 }

@@ -63,4 +63,25 @@ object CorpusStats {
     df.crossJoin(broadcast(quantileDisc(df, valueCol, q)))
       .filter(col(valueCol) >= col("threshold"))
       .drop("threshold")
+
+  /** Best k rows per group by (score DESC, id ASC) — "keep the top-5
+    * highest-quality documents per source". Reuses the bounded-heap
+    * `TopKAggregator`: map-side partial aggregation caps the shuffle
+    * at k rows per (group, map partition), where the textbook
+    * Window(row_number) plan shuffles every scored row into one
+    * partition per group. Output: (groupCol, idCol, score, rank).
+    */
+  def topKPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    df.groupBy(col(groupCol))
+      .agg(topk(col(idCol), col(scoreCol).cast("double")).as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")))
+      .select(col(groupCol), col("col._1").as(idCol),
+        col("col._2").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

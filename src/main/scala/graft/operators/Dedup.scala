@@ -58,16 +58,22 @@ object Dedup extends Logging {
       .filter(col("bucket_width") > maxBucket)
 
   /** One representative (min id) per distinct content — identical texts
-    * collapse before LSH so exact copies can't form hot buckets. The
-    * group key is the 64-bit digest + length, not the text (16-byte
-    * shuffle rows, same as [[exactGroups]]).
+    * collapse before LSH so exact copies can't form hot buckets.
+    *
+    * Shape: aggregate (digest, len) → min id (16-byte shuffle rows
+    * with map-side partials, same as [[exactGroups]]), then semi-join
+    * the keep-ids back. The text payload never shuffles: AQE
+    * broadcasts the id set when it fits, and even the SMJ fallback
+    * moves 8-byte ids against the docs' existing layout — vs the
+    * previous Window-over-content-key formulation, which repartitioned
+    * AND sorted every text by digest just to tag the min id.
     */
   private def contentRepresentatives(
       docs: DataFrame, idCol: String, contentKey: Column): DataFrame = {
-    val w = Window.partitionBy(contentKey)
-    docs.withColumn("__rep", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__rep"))
-      .drop("__rep")
+    val keep = docs.groupBy(contentKey.as("__ck"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__ck")
+    docs.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Exact duplicate groups by content digest. Groups on xxhash64(text)

@@ -66,10 +66,14 @@ final class SignatureIndex(
   def dedupAndAppend(
       newDocs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucket: Int = 256): DataFrame = {
-    // collapse identical batch texts to one representative (min id)
-    val w = Window.partitionBy(struct(xxhash64(col(textCol)), length(col(textCol))))
-    val reps = newDocs.withColumn("__rep", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__rep")).drop("__rep")
+    // collapse identical batch texts to one representative (min id):
+    // 16-byte digest aggregate + keep-id semi-join — the text payload
+    // never shuffles (see Dedup.contentRepresentatives)
+    val keep = newDocs
+      .groupBy(struct(xxhash64(col(textCol)), length(col(textCol))).as("__ck"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__ck")
+    val reps = newDocs.join(keep, Seq(idCol), "left_semi")
     val newSigs = reps
       .transform(signatures(_, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

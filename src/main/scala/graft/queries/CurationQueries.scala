@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Decontaminate, Dedup, Sampling}
+import graft.operators.{Chunking, CorpusStats, Decontaminate, Dedup, Sampling}
 import graft.sources.Tables
 
 /** Corpus-curation queries (sampling, mixtures, decontamination,
@@ -157,6 +157,54 @@ object CurationQueries {
     CorpusStats.filterAboveQuantile(scored, "bpeish_tokens", 0.25)
       .orderBy(col("doc_id"))
   }
+
+  /** Sequence packing: 64-token chunks with 8 tokens of overlap. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Chunking.chunkByTokens(Tables.documents(spark, dir), "doc_id", "text",
+      chunkTokens = 64, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Oracle mirrors the chunk arithmetic: stride 56, 1-based
+    * inclusive LIST_SLICE ≡ Spark's slice(start, length) clamped at
+    * the token-array end.
+    */
+  val chunkDocumentsSql: String =
+    """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+      |           FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |             CASE WHEN LEN(toks) <= 64 THEN 1
+      |                  ELSE 1 + CAST(CEIL((LEN(toks) - 64)::DOUBLE / 56) AS INTEGER)
+      |             END AS nc
+      |      FROM t),
+      |idx AS (SELECT doc_id, toks, UNNEST(RANGE(0, nc)) AS i FROM c)
+      |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+      |       CAST(LEN(LIST_SLICE(toks, i*56 + 1, i*56 + 64)) AS INTEGER) AS n_tokens,
+      |       ARRAY_TO_STRING(LIST_SLICE(toks, i*56 + 1, i*56 + 64), ' ') AS chunk_text
+      |FROM idx
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Quality top-k per stratum: the 5 highest-BPE-ish-token-count
+    * docs per source (score DESC, doc_id ASC).
+    */
+  def bestPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+      TextFunctions.bpeishTokenCount(col("text")).as("score"))
+    CorpusStats.topKPerGroup(scored, "source", "doc_id", "score", k = 5)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val bestPerSourceSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         LEN(REGEXP_EXTRACT_ALL(text, '${TextFunctions.BpeishPattern}'))::DOUBLE AS score
+       |  FROM documents
+       |)
+       |SELECT source, doc_id, score,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |                               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+       |FROM t
+       |QUALIFY rank <= 5
+       |ORDER BY source, rank""".stripMargin
 
   val quantileFilterSql: String =
     s"""WITH t AS (

@@ -106,6 +106,46 @@ class CurationOpsSpec extends SparkSpecBase {
     assertSameRows(kept, scored.filter(col("x") >= thr))
   }
 
+  test("chunking covers every token with the configured overlap and reconstructs") {
+    val chunks = Chunking.chunkByTokens(docs, "doc_id", "text", chunkTokens = 64, overlap = 8)
+      .collect().groupBy(_.getLong(0))
+    val originals = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    originals.foreach { case (id, toks) =>
+      val cs = chunks(id).sortBy(_.getInt(1))
+      // every chunk except the last is full; stride drops 8 tokens of
+      // each previous chunk, so de-overlapped concatenation == original
+    val rebuilt = cs.zipWithIndex.flatMap { case (r, i) =>
+        val t = r.getString(3).split(" ", -1).toSeq.filter(_.nonEmpty)
+        if (i == 0) t else t.drop(8)
+      }
+      val want = toks.filter(_.nonEmpty)
+      assert(rebuilt.toSeq == want.toSeq, s"doc $id: ${rebuilt.length} vs ${want.length} tokens")
+      cs.init.foreach(r => assert(r.getInt(2) == 64, s"doc $id: short non-final chunk"))
+      // consecutive chunks share exactly the 8-token overlap
+      cs.sliding(2).foreach {
+        case Array(a, b) =>
+          val ta = a.getString(3).split(" ", -1).filter(_.nonEmpty)
+          val tb = b.getString(3).split(" ", -1).filter(_.nonEmpty)
+          assert(ta.takeRight(8).sameElements(tb.take(8)) || ta.length < 64,
+            s"doc $id: overlap mismatch")
+        case _ => ()
+      }
+    }
+  }
+
+  test("topKPerGroup equals the row_number window formulation") {
+    val scored = docs.select(col("source"), col("doc_id"),
+      graft.functions.TextFunctions.bpeishTokenCount(col("text")).cast("double").as("score"))
+    val viaAgg = CorpusStats.topKPerGroup(scored, "source", "doc_id", "score", 5)
+    val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id").asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("doc_id"), col("score"), col("rank").cast("int"))
+    assertSameRows(viaAgg, viaWindow)
+  }
+
   test("tokenTopK equals naive global ordering") {
     val got = CorpusStats.tokenTopK(docs, "text", 10).collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -7,9 +7,15 @@ object Bench {
     // force FULL evaluation with the noop sink: count() lets Catalyst
     // prune projection-only work (a fingerprint query would "finish"
     // without ever computing a fingerprint)
-    def exec(name: String): Unit =
+    def exec(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // queries are independent: drop the persist()ed intermediates the
+      // dedup/ANN pipelines leave behind, so later queries aren't taxed
+      // by earlier queries' cache (eviction + disk spill showed up as
+      // multi-second per-query swings in back-to-back suite runs)
+      spark.sharedState.cacheManager.clearCache()
+    }
     // untimed warmup: JIT + parquet footer caches, so the first timed
     // query isn't charged for JVM warm-up
     try exec("q01_scan_filter_project") catch { case _: Throwable => () }

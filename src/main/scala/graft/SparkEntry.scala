@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -70,6 +70,9 @@ object SparkEntry {
     "q42_quantile_filter" -> (CurationQueries.quantileFilter _),
     "q43_chunk_documents" -> (CurationQueries.chunkDocuments _),
     "q44_best_per_source" -> (CurationQueries.bestPerSource _),
+    // temporal joins (as-of, point-in-interval)
+    "q45_asof_join" -> (TemporalQueries.asofJoin _),
+    "q46_range_join" -> (TemporalQueries.rangeJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -109,5 +112,7 @@ object SparkEntry {
     "q42_quantile_filter" -> CurationQueries.quantileFilterSql,
     "q43_chunk_documents" -> CurationQueries.chunkDocumentsSql,
     "q44_best_per_source" -> CurationQueries.bestPerSourceSql,
+    "q45_asof_join" -> TemporalQueries.asofJoinSql,
+    "q46_range_join" -> TemporalQueries.rangeJoinSql,
   )
 }

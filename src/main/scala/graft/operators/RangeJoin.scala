@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join without an equi-key — "which events
+  * fall inside which incident windows". Spark plans a pure inequality
+  * join as BroadcastNestedLoopJoin (every point × every interval),
+  * which is quadratic and only survives when one side broadcasts.
+  *
+  * The scale path is bin replication: quantize time into fixed-width
+  * bins, explode each interval to the bins it touches, map each point
+  * to its single bin, and equi-join on the bin key — Spark then plans
+  * a plain shuffled hash/sort-merge join on an 8-byte key. The exact
+  * containment predicate re-filters the per-bin candidates, and each
+  * qualifying (point, interval) pair matches in EXACTLY one bin (the
+  * point's), so no dedup pass is needed. Cost scales with
+  * points + Σ interval-bins + per-bin pair counts instead of
+  * |points| × |intervals|; binWidth trades replication (long
+  * intervals → many bins) against bin fan-in (wide bins → more
+  * non-matching candidates).
+  */
+object RangeJoin {
+
+  /** `points` with `ptCol` (numeric, e.g. epoch micros) joined to
+    * `intervals` with [`loCol`, `hiCol`) half-open bounds; inner join,
+    * output = point columns ++ interval columns.
+    */
+  def pointInInterval(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c.cast("long") / binWidth).cast("long")
+
+    val binnedIntervals = intervals
+      .filter(col(loCol) < col(hiCol)) // empty interval matches nothing
+      .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol) - 1))))
+    val binnedPoints = points.withColumn("__bin", bin(col(ptCol)))
+    binnedPoints.join(binnedIntervals, "__bin")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** As-of and range joins checked against their naive (quadratic)
+  * formulations — the oracle queries (q45/q46) pin values against
+  * DuckDB; these specs pin the operator semantics against the
+  * definitionally-correct plan on arbitrary parameters.
+  */
+class TemporalOpsSpec extends SparkSpecBase {
+
+  private def events = table("events")
+
+  test("asof equals the naive join+argmax formulation, including no-match lefts") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+
+    val got = AsofJoin.asof(clicks, purchases, Seq("user_id"),
+      "click_ts", "purchase_ts", Seq("purchase_ts", "purchase_value"),
+      rightOrder = Some("event_id"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+
+    // naive: every (click, earlier purchase) pair, keep the latest
+    val paired = clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") <= col("click_ts"))
+    val w = Window.partitionBy(col("click_id"))
+      .orderBy(col("purchase_ts").desc, col("event_id").desc)
+    val best = paired.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+    // lefts with no prior purchase carry nulls
+    val naive = clicks.join(best.select(col("click_id")), Seq("click_id"), "left_anti")
+      .withColumn("purchase_ts", lit(null).cast("timestamp"))
+      .withColumn("purchase_value", lit(null).cast("double"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+      .unionAll(best)
+
+    assertSameRows(got, naive)
+    assert(got.filter(col("purchase_ts").isNull).count() > 0,
+      "fixture should include clicks before any purchase")
+  }
+
+  test("range join equals the naive inequality join at any bin width") {
+    val windows = events.filter(col("event_type") === "error")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(min(unix_micros(col("ts"))).as("lo_us"),
+        max(unix_micros(col("ts"))).as("hi_us"))
+    val points = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+
+    val naive = points.crossJoin(windows)
+      .filter(col("ts_us") >= col("lo_us") && col("ts_us") < col("hi_us"))
+      .select(col("event_id"), col("day"))
+
+    for (width <- Seq(60L * 1000000, 3600L * 1000000, 86400L * 1000000)) {
+      val got = RangeJoin.pointInInterval(points, "ts_us", windows,
+        "lo_us", "hi_us", binWidth = width)
+        .select(col("event_id"), col("day"))
+      assertSameRows(got, naive)
+    }
+  }
+
+  test("range join plans an equi-join on the bin key, not a nested loop") {
+    val windows = events.filter(col("event_type") === "error")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(min(unix_micros(col("ts"))).as("lo_us"),
+        max(unix_micros(col("ts"))).as("hi_us"))
+    val points = events.select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val p = RangeJoin.pointInInterval(points, "ts_us", windows,
+      "lo_us", "hi_us", binWidth = 3600L * 1000000)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

@@ -73,6 +73,7 @@ object SparkEntry {
     // temporal joins (as-of, point-in-interval)
     "q45_asof_join" -> (TemporalQueries.asofJoin _),
     "q46_range_join" -> (TemporalQueries.rangeJoin _),
+    "q47_bloom_pruned_join" -> (ExtensionQueries.bloomPrunedJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,5 +115,6 @@ object SparkEntry {
     "q44_best_per_source" -> CurationQueries.bestPerSourceSql,
     "q45_asof_join" -> TemporalQueries.asofJoinSql,
     "q46_range_join" -> TemporalQueries.rangeJoinSql,
+    "q47_bloom_pruned_join" -> ExtensionQueries.bloomPrunedJoinSql,
   )
 }

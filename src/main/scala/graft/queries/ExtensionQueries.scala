@@ -405,6 +405,32 @@ object ExtensionQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Bloom-pruned selective join: lineitem probe-filtered by a bloom
+    * of urgent orders' keys before the exact join — result-identical
+    * to the plain join (the oracle IS the plain join), shuffle bounded
+    * by probable matches.
+    */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.BloomPrune.prunedJoin(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice")),
+      urgent, "l_orderkey", expectedItems = 200000L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(CoreQueries.moneySum(col("l_extendedprice")), 4).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bloomPrunedJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---- multimodal ----------------------------------------------------
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =

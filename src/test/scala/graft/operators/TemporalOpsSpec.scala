@@ -69,6 +69,25 @@ class TemporalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom pruning: no false negatives, real pruning, join unchanged") {
+    val lineitem = table("lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+    val urgent = table("orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+
+    val filtered = BloomPrune.probeFilter(lineitem, urgent, "l_orderkey", 10000L)
+    // no false negatives: every truly-matching probe row survives
+    val trueMatches = lineitem.join(urgent.select("l_orderkey"), Seq("l_orderkey"), "left_semi")
+    assert(filtered.join(trueMatches, Seq("l_orderkey"), "left_semi").count()
+      == trueMatches.count())
+    // the bloom actually prunes (urgent is ~1/5 of orders)
+    assert(filtered.count() < lineitem.count() * 0.6,
+      s"bloom pruned nothing: ${filtered.count()} of ${lineitem.count()}")
+    // exact join after pruning is identical to the plain join
+    assertSameRows(
+      BloomPrune.prunedJoin(lineitem, urgent, "l_orderkey", 10000L),
+      lineitem.join(urgent, Seq("l_orderkey")))
+  }
+
   test("range join plans an equi-join on the bin key, not a nested loop") {
     val windows = events.filter(col("event_type") === "error")
       .groupBy(col("ts").cast("date").as("day"))

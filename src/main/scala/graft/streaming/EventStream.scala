@@ -111,6 +111,18 @@ object EventStream {
       .toDF()
   }
 
+  /** Exactly-once event stream from an at-least-once source:
+    * watermark-bounded streaming dedup on the event id. State holds
+    * only ids within the watermark horizon (Spark drops older dedup
+    * state), so re-delivered events — a replayed log segment, a
+    * re-listed file — are suppressed as long as the re-delivery lag
+    * stays under `horizon`. The batch twin is `dropDuplicates(id)`.
+    */
+  def dedupedEvents(events: DataFrame, horizon: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Sliding-window per-type rates (5-day window, 1-day slide). */
   def slidingTypeRates(events: DataFrame): DataFrame =
     events

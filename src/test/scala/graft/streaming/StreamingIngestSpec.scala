@@ -63,4 +63,25 @@ class StreamingIngestSpec extends SparkSpecBase {
     assertSameRows(got,
       batch.join(got.select(col("day")).distinct(), Seq("day"), "left_semi"))
   }
+
+  test("streaming dedup suppresses re-delivered events within the watermark") {
+    val src = Files.createTempDirectory("dedup_src").toString
+    // the same rows delivered twice (two files) = an at-least-once source
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.coalesce(1).write.parquet(s"$src/stage")
+    val staged = new java.io.File(s"$src/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(staged.toPath, java.nio.file.Paths.get(s"$src/events0.parquet"))
+    Files.copy(staged.toPath, java.nio.file.Paths.get(s"$src/events1.parquet"))
+
+    val q = EventStream.dedupedEvents(EventStream.readEvents(spark, src))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("deduped_out")
+    assert(got.count() == raw.count(),
+      s"expected ${raw.count()} unique events, got ${got.count()}")
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
 }

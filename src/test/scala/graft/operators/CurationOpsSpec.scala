@@ -135,6 +135,32 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("chunking property sweep: reconstruction holds for varied chunk/overlap") {
+    val sample = docs.limit(40)
+    for ((chunk, overlap) <- Seq((16, 0), (16, 4), (32, 16), (7, 3), (200, 50))) {
+      val stride = chunk - overlap
+      val chunks = Chunking.chunkByTokens(sample, "doc_id", "text", chunk, overlap)
+        .collect().groupBy(_.getLong(0))
+      val originals = sample.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty)).toMap
+      originals.foreach { case (id, want) =>
+        val cs = chunks(id).sortBy(_.getInt(1))
+        val rebuilt = cs.zipWithIndex.flatMap { case (r, i) =>
+          val t = r.getString(3).split(" ", -1).toSeq.filter(_.nonEmpty)
+          if (i == 0) t else t.drop(overlap)
+        }
+        assert(rebuilt.toSeq == want.toSeq,
+          s"chunk=$chunk overlap=$overlap doc=$id: ${rebuilt.length} vs ${want.length}")
+        cs.init.foreach(r => assert(r.getInt(2) == chunk,
+          s"chunk=$chunk overlap=$overlap doc=$id: short non-final chunk"))
+        // chunk starts advance by exactly stride tokens
+        assert(cs.length == (if (want.length <= chunk) 1
+          else 1 + math.ceil((want.length - chunk).toDouble / stride).toInt))
+      }
+    }
+  }
+
   test("topKPerGroup equals the row_number window formulation") {
     val scored = docs.select(col("source"), col("doc_id"),
       graft.functions.TextFunctions.bpeishTokenCount(col("text")).cast("double").as("score"))

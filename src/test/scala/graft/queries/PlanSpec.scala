@@ -123,6 +123,21 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial"), s"counts need map-side partials:\n$p")
   }
 
+  test("asof join shuffles once on the key — no join node, no per-key re-sort") {
+    val df = graft.queries.TemporalQueries.asofJoin(spark, sfDir)
+    df.collect()
+    // AQE's toString repeats the plan under "== Initial Plan ==" —
+    // count operators in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the union-window formulation has no Join operator at all
+    assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
+    // exactly one data exchange for the window (plus the final orderBy's
+    // range exchange from the query wrapper)
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
   test("eventsRange pushes the period predicate into the parquet scan") {
     import java.time.LocalDate
     val df = graft.sources.Tables.eventsRange(spark, sfDir,

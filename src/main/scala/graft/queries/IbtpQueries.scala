@@ -44,7 +44,7 @@ object IbtpQueries {
     val targetDir = Files.createTempDirectory(s"ibtp_q_${period.name}").toString
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     IbtpRunner.run(spark, dailyModel(dir), target,
-      IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 4))
+      IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8))
     target.read().orderBy(col("day"), col("event_type"))
   }
 

@@ -17,6 +17,8 @@ import graft.sources.{GraftSession, Tables}
   *   [--full-refresh] [--backfill] [--sf-dir /root/testdata/sf0.001]
   *   [--on-schema-change ignore|fail|append_new_columns|sync_all_columns]
   *   [--guard-period-filter] [--max-concurrent-periods N]
+  *   [--pre-hook "SQL;SQL"] [--post-hook "SQL;SQL"]
+  *   [--sample-schema-sql file.sql] [--compact-after]
   * }}}
   *
   * The model SQL may reference any test table by name (registered as
@@ -45,20 +47,31 @@ object IbtpCli {
         dateSourceModels = opts.get("date-source-models")
           .map(_.split(",").toSeq).getOrElse(Nil),
         onSchemaChange = OnSchemaChange.fromString(
-          opts.getOrElse("on-schema-change", "ignore")))
+          opts.getOrElse("on-schema-change", "ignore")),
+        sampleSelectForSchema = opts.get("sample-schema-sql").map(p =>
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), "UTF-8")))
       val mode = RunMode.resolve(
         fullRefresh = opts.contains("full-refresh"),
         backfill = opts.contains("backfill"),
         cliStart = opts.get("start-date").map(LocalDate.parse),
         cliStop = opts.get("stop-date").map(LocalDate.parse))
 
+      def hooks(k: String): Seq[String] =
+        opts.get(k).toSeq.flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+
       val target = new TargetTable(spark, req("target"), cfg.timestampField)
       val res = IbtpRunner.run(spark, IbtpModel.SqlModel(sqlText), target,
         IbtpRunner.RunParams(cfg, mode, log = println,
+          preHooks = hooks("pre-hook"), postHooks = hooks("post-hook"),
           guardPeriodFilter = opts.contains("guard-period-filter"),
           maxConcurrentPeriods = opts.getOrElse("max-concurrent-periods", "1").toInt))
       println(s"[ibtp] done: mode=${res.mode} periods=${res.periodsRun.size} " +
         s"rows=${res.rowsInserted}")
+      // post-load maintenance: rewrite small-file day-partitions
+      if (opts.contains("compact-after"))
+        target.compact().foreach(st => println(
+          s"[ibtp] compacted ${st.date}: ${st.filesBefore} -> ${st.filesAfter} files"))
     } finally spark.stop()
   }
 

@@ -42,6 +42,8 @@ object SparkEntry {
     // the materialization loop itself (loop ≡ one-shot)
     "q16_ibtp_loop_daily" -> (IbtpQueries.loopDaily _),
     "q17_ibtp_loop_weekly" -> (IbtpQueries.loopWeekly _),
+    "q48_ibtp_loop_monthly" -> (IbtpQueries.loopMonthly _),
+    "q49_ibtp_backfill" -> (IbtpQueries.loopBackfill _),
     // extension operators (north star)
     "q18_sessionize" -> (ExtensionQueries.sessionize _),
     "q20_dedup_exact" -> (ExtensionQueries.dedupExact _),
@@ -94,6 +96,8 @@ object SparkEntry {
     "q15_events_daily_agg" -> CoreQueries.eventsDailyAggSql,
     "q16_ibtp_loop_daily" -> IbtpQueries.loopOracleSql,
     "q17_ibtp_loop_weekly" -> IbtpQueries.loopOracleSql,
+    "q48_ibtp_loop_monthly" -> IbtpQueries.loopOracleSql,
+    "q49_ibtp_backfill" -> IbtpQueries.loopOracleSql,
     "q18_sessionize" -> ExtensionQueries.sessionizeSql,
     "q20_dedup_exact" -> ExtensionQueries.dedupExactSql,
     "q23_ngram_jaccard" -> ExtensionQueries.ngramJaccardPlantedSql,

@@ -56,6 +56,38 @@ object IbtpQueries {
   def loopWeekly(spark: SparkSession, dir: String): DataFrame =
     runLoop(spark, dir, PeriodUnit.Week)
 
+  /** Month-period loop (1–2 jobs over the fixtures' range) — same
+    * oracle, coarsest tiling.
+    */
+  def loopMonthly(spark: SparkSession, dir: String): DataFrame =
+    runLoop(spark, dir, PeriodUnit.Month)
+
+  /** Full build, then an idempotent backfill of a mid-history window
+    * with the same model — the final table must STILL equal the
+    * one-shot oracle. Puts the delete-then-insert replacement path
+    * under the driver's hash gate, not just ScalaTest.
+    */
+  def loopBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val cfg0 = IbtpConfig(timestampField = "day", dateSourceModels = Seq("__events"))
+    val (minD, maxD) = Boundaries.resolveStartStop(
+      spark, cfg0.copy(timestampField = "ts"),
+      Map("__events" -> Tables.events(spark, dir)))
+    val stop = maxD.get.plusDays(1)
+    val cfg = IbtpConfig(timestampField = "day",
+      startDate = Some(minD), stopDate = Some(stop))
+    val targetDir = Files.createTempDirectory("ibtp_q_backfill").toString
+    val target = new TargetTable(spark, targetDir, "day", countRows = false)
+    val model = dailyModel(dir)
+    IbtpRunner.run(spark, model, target,
+      IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8))
+    // replace a 10-day window in the middle of the built history
+    val bStart = minD.plusDays(8)
+    val bStop = minD.plusDays(18)
+    IbtpRunner.run(spark, model, target,
+      IbtpRunner.RunParams(cfg, RunMode.Backfill(bStart, bStop)))
+    target.read().orderBy(col("day"), col("event_type"))
+  }
+
   /** Both loop queries share this one-shot full-range oracle. */
   val loopOracleSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,

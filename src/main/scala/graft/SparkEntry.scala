@@ -44,6 +44,7 @@ object SparkEntry {
     "q17_ibtp_loop_weekly" -> (IbtpQueries.loopWeekly _),
     "q48_ibtp_loop_monthly" -> (IbtpQueries.loopMonthly _),
     "q49_ibtp_backfill" -> (IbtpQueries.loopBackfill _),
+    "q50_ibtp_upsert" -> (IbtpQueries.loopUpsert _),
     // extension operators (north star)
     "q18_sessionize" -> (ExtensionQueries.sessionize _),
     "q20_dedup_exact" -> (ExtensionQueries.dedupExact _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q17_ibtp_loop_weekly" -> IbtpQueries.loopOracleSql,
     "q48_ibtp_loop_monthly" -> IbtpQueries.loopOracleSql,
     "q49_ibtp_backfill" -> IbtpQueries.loopOracleSql,
+    "q50_ibtp_upsert" -> IbtpQueries.loopOracleSql,
     "q18_sessionize" -> ExtensionQueries.sessionizeSql,
     "q20_dedup_exact" -> ExtensionQueries.dedupExactSql,
     "q23_ngram_jaccard" -> ExtensionQueries.ngramJaccardPlantedSql,

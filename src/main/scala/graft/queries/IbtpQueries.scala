@@ -88,6 +88,31 @@ object IbtpQueries {
     target.read().orderBy(col("day"), col("event_type"))
   }
 
+  /** Full unique-key build, then a re-delivery of the last 10 days
+    * upserted over it — the key-delete-then-insert path (reference
+    * `loop.sql:100-107`) under the driver's hash gate: re-delivered
+    * (day, event_type) keys must replace, not duplicate, so the final
+    * table still equals the one-shot oracle.
+    */
+  def loopUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cfg0 = IbtpConfig(timestampField = "day", dateSourceModels = Seq("__events"))
+    val (minD, maxD) = Boundaries.resolveStartStop(
+      spark, cfg0.copy(timestampField = "ts"),
+      Map("__events" -> Tables.events(spark, dir)))
+    val stop = maxD.get.plusDays(1)
+    val cfg = IbtpConfig(timestampField = "day",
+      startDate = Some(minD), stopDate = Some(stop),
+      uniqueKey = Seq("day", "event_type"))
+    val targetDir = Files.createTempDirectory("ibtp_q_upsert").toString
+    val target = new TargetTable(spark, targetDir, "day", countRows = false)
+    val model = dailyModel(dir)
+    IbtpRunner.run(spark, model, target, IbtpRunner.RunParams(cfg))
+    // re-deliver the last 10 days in one chunk: upsert must dedup
+    val redo = model.query(spark, PeriodBounds(stop.minusDays(10), stop))
+    target.upsert(redo, cfg.uniqueKey)
+    target.read().orderBy(col("day"), col("event_type"))
+  }
+
   /** Both loop queries share this one-shot full-range oracle. */
   val loopOracleSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,

@@ -100,16 +100,20 @@ object IbtpQueries {
       spark, cfg0.copy(timestampField = "ts"),
       Map("__events" -> Tables.events(spark, dir)))
     val stop = maxD.get.plusDays(1)
+    // build phase appends (no overlap → append ≡ upsert, at 1 job per
+    // period instead of the upsert path's discovery+rewrite per period
+    // — the reference's own "prefer no unique_key" guidance,
+    // README.md:100-103); the operator under test is the re-delivery
     val cfg = IbtpConfig(timestampField = "day",
-      startDate = Some(minD), stopDate = Some(stop),
-      uniqueKey = Seq("day", "event_type"))
+      startDate = Some(minD), stopDate = Some(stop))
     val targetDir = Files.createTempDirectory("ibtp_q_upsert").toString
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     val model = dailyModel(dir)
-    IbtpRunner.run(spark, model, target, IbtpRunner.RunParams(cfg))
+    IbtpRunner.run(spark, model, target,
+      IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8))
     // re-deliver the last 10 days in one chunk: upsert must dedup
     val redo = model.query(spark, PeriodBounds(stop.minusDays(10), stop))
-    target.upsert(redo, cfg.uniqueKey)
+    target.upsert(redo, Seq("day", "event_type"))
     target.read().orderBy(col("day"), col("event_type"))
   }
 

@@ -77,6 +77,8 @@ object SparkEntry {
     "q45_asof_join" -> (TemporalQueries.asofJoin _),
     "q46_range_join" -> (TemporalQueries.rangeJoin _),
     "q47_bloom_pruned_join" -> (ExtensionQueries.bloomPrunedJoin _),
+    "q51_pack_batches" -> (CurationQueries.packBatches _),
+    "q52_tfidf_top_terms" -> (CurationQueries.tfidfTopTerms _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -122,5 +124,7 @@ object SparkEntry {
     "q45_asof_join" -> TemporalQueries.asofJoinSql,
     "q46_range_join" -> TemporalQueries.rangeJoinSql,
     "q47_bloom_pruned_join" -> ExtensionQueries.bloomPrunedJoinSql,
+    "q51_pack_batches" -> CurationQueries.packBatchesSql,
+    "q52_tfidf_top_terms" -> CurationQueries.tfidfTopTermsSql,
   )
 }

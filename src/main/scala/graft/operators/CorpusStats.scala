@@ -64,6 +64,57 @@ object CorpusStats {
       .filter(col(valueCol) >= col("threshold"))
       .drop("threshold")
 
+  /** Assign rows to token-budget batches — micro-batch assembly for
+    * training: within each `partCol` shard, rows in `orderCols` order
+    * are packed greedily into batches of ~`capacity` tokens (batch i
+    * = rows whose PRECEDING cumulative token count falls in
+    * [i·capacity, (i+1)·capacity) — a batch may overflow by one row,
+    * the standard streaming-packing semantics).
+    *
+    * One shuffle on the shard key; the window runs per shard. Shard
+    * by a high-cardinality column (hash bucket, source) so no single
+    * partition holds the corpus.
+    */
+  def packBatches(df: DataFrame, partCol: String, orderCols: Seq[String],
+      tokenCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("batch_idx",
+      floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / capacity).cast("long"))
+  }
+
+  /** Per-document top-k terms by smoothed TF-IDF. The idf factor is
+    * the RATIONAL (N+1)/(df+1) — deliberately no logarithm: libm `ln`
+    * differs in the last ulp across engines, while integer-valued
+    * double division is bit-exact, so the DuckDB oracle reproduces
+    * scores and ranking identically. Monotone in 1/df like log-idf,
+    * which is all ranking needs.
+    *
+    * Plan shape: doc-term counts (map-side partials), document
+    * frequencies from the same aggregate (token-key shuffle), one
+    * join token→df, then a per-doc window over that doc's terms only.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = terms.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(countDistinct(col(idCol)).as("graft_n"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("score",
+        col("tf") * (col("graft_n") + 1).cast("double") / (col("df") + 1))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("token"), round(col("score"), 6).as("score"), col("rank"))
+  }
+
   /** Best k rows per group by (score DESC, id ASC) — "keep the top-5
     * highest-quality documents per source". Reuses the bounded-heap
     * `TopKAggregator`: map-side partial aggregation caps the shuffle

@@ -206,6 +206,55 @@ object CurationQueries {
        |QUALIFY rank <= 5
        |ORDER BY source, rank""".stripMargin
 
+  /** Token-budget batch packing: per source in doc_id order, docs
+    * pack into ~2048-BPE-ish-token batches.
+    */
+  def packBatches(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+      TextFunctions.bpeishTokenCount(col("text")).as("n_tokens"))
+    CorpusStats.packBatches(scored, "source", Seq("doc_id"), "n_tokens", capacity = 2048)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("batch_idx"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packBatchesSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         CAST(LEN(REGEXP_EXTRACT_ALL(text, '${TextFunctions.BpeishPattern}')) AS INTEGER) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, n_tokens,
+       |       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                   - n_tokens) / 2048) AS BIGINT) AS batch_idx
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-document top-3 TF-IDF terms (rational smoothed idf — see
+    * [[graft.operators.CorpusStats.tfidfTopTerms]] for why no ln).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("rank"))
+
+  val tfidfTopTermsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+')) AS token
+      |  FROM documents
+      |),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+      |       FROM terms WHERE token <> '' GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+      |SELECT doc_id, token,
+      |       ROUND(tf * (n.n + 1)::DOUBLE / (df + 1), 6) AS score,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |              ORDER BY tf * (n.n + 1)::DOUBLE / (df + 1) DESC, token ASC) AS INTEGER) AS rank
+      |FROM tf JOIN dfreq USING (token), n
+      |QUALIFY rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val quantileFilterSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,

@@ -172,6 +172,42 @@ class CurationOpsSpec extends SparkSpecBase {
     assertSameRows(viaAgg, viaWindow)
   }
 
+  test("packBatches: batches respect capacity with at most one-row overflow") {
+    val scored = docs.select(col("source"), col("doc_id"),
+      graft.functions.TextFunctions.bpeishTokenCount(col("text")).as("n_tokens"))
+    val packed = CorpusStats.packBatches(scored, "source", Seq("doc_id"), "n_tokens", 512)
+      .collect().groupBy(r => (r.getString(0), r.getLong(3)))
+    packed.foreach { case ((src, batch), rows) =>
+      val total = rows.map(_.getInt(2)).sum
+      val maxRow = rows.map(_.getInt(2)).max
+      // a batch only exceeds capacity by (at most) its final row
+      assert(total - maxRow < 512, s"$src batch $batch over-packed: $total")
+    }
+    // batch ids are contiguous from 0 within each source
+    packed.keys.groupBy(_._1).foreach { case (src, keys) =>
+      val ids = keys.map(_._2).toSeq.sorted
+      assert(ids == (0L until ids.length).toSeq, s"$src batches not contiguous: $ids")
+    }
+  }
+
+  test("tfidf: rarer terms outscore common terms at equal tf") {
+    val scored = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", k = 3).collect()
+    assert(scored.nonEmpty)
+    // every doc has at most 3 ranked terms, ranks 1..k contiguous
+    scored.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length), s"doc $id")
+    }
+    // score sanity: a term appearing in every doc has idf ~ 1; its score ≈ tf
+    val n = docs.count()
+    val dfs = docs.select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("t"),
+      col("doc_id")).distinct()
+      .groupBy("t").count().filter(col("count") === n)
+    // such ubiquitous terms should rarely win rank 1 over rarer terms
+    val ubiquitous = dfs.collect().map(_.getString(0)).toSet
+    val rank1 = scored.filter(_.getInt(3) == 1).map(_.getString(1))
+    assert(rank1.count(ubiquitous.contains) < rank1.length / 2)
+  }
+
   test("tokenTopK equals naive global ordering") {
     val got = CorpusStats.tokenTopK(docs, "text", 10).collect()
       .map(r => (r.getString(0), r.getLong(1)))

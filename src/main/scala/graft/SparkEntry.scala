@@ -79,6 +79,8 @@ object SparkEntry {
     "q47_bloom_pruned_join" -> (ExtensionQueries.bloomPrunedJoin _),
     "q51_pack_batches" -> (CurationQueries.packBatches _),
     "q52_tfidf_top_terms" -> (CurationQueries.tfidfTopTerms _),
+    "q53_exact_k_sample" -> (CurationQueries.exactKSample _),
+    "q54_source_data_card" -> (CurationQueries.sourceDataCard _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -126,5 +128,7 @@ object SparkEntry {
     "q47_bloom_pruned_join" -> ExtensionQueries.bloomPrunedJoinSql,
     "q51_pack_batches" -> CurationQueries.packBatchesSql,
     "q52_tfidf_top_terms" -> CurationQueries.tfidfTopTermsSql,
+    "q53_exact_k_sample" -> CurationQueries.exactKSampleSql,
+    "q54_source_data_card" -> CurationQueries.sourceDataCardSql,
   )
 }

@@ -58,6 +58,20 @@ object Sampling {
       .drop("graft_rate")
   }
 
+  /** Exactly min(k, |stratum|) rows per stratum, deterministically:
+    * the k rows with the smallest hash buckets (id tiebreak) — fixed
+    * eval-set construction, where `uniformMixture`'s rate-based sample
+    * only hits k in expectation. Rides the bounded-heap TopKAggregator
+    * (k rows per stratum per partition shuffle, no window sort).
+    */
+  def exactKPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame =
+    CorpusStats.topKPerGroup(
+      df.select(col(strataCol), col(idCol))
+        .withColumn("__score", -hashBucket(col(idCol)).cast("double")),
+      strataCol, idCol, "__score", k)
+      .drop("score")
+
   /** Downsample every stratum to the size of the smallest — a uniform
     * mixture over strata (language balancing, source balancing).
     * rate_s = min_count / count_s. The count aggregate is one row per

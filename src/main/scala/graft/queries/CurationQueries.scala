@@ -74,6 +74,62 @@ object CurationQueries {
       |      < FLOOR(r.rate * 10000)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Exactly 10 deterministic docs per source (hash-ordered). */
+  def exactKSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.exactKPerStratum(
+      Tables.documents(spark, dir), "doc_id", "source", k = 10)
+      .select(col("source"), col("doc_id"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+
+  val exactKSampleSql: String =
+    """SELECT source, doc_id,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |              ORDER BY ('0x' || SUBSTR(MD5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10000 ASC,
+      |                       doc_id ASC) AS INTEGER) AS rank
+      |FROM documents
+      |QUALIFY rank <= 10
+      |ORDER BY source, rank""".stripMargin
+
+  /** Per-source data card: corpus composition stats a curation run
+    * reports — doc/token/char volumes, language spread, dominant
+    * language (count DESC, lang ASC tiebreak via min_by on a
+    * (-count, lang) struct).
+    */
+  def sourceDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_ws_tokens"),
+      round(avg(col("n_chars")), 4).as("mean_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val topLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("lc"))
+      .groupBy(col("source"))
+      .agg(min_by(struct(col("lang").as("l"), col("lc").as("c")),
+        struct((-col("lc")).as("nc"), col("lang").as("l"))).as("t"))
+      .select(col("source"), col("t.l").as("top_lang"), col("t.c").as("top_lang_docs"))
+    base.join(topLang, "source").orderBy(col("source"))
+  }
+
+  val sourceDataCardSql: String =
+    """WITH base AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+      |         ROUND(AVG(n_chars), 4) AS mean_chars,
+      |         COUNT(DISTINCT lang) AS n_langs
+      |  FROM documents GROUP BY source
+      |),
+      |tl AS (
+      |  SELECT source, lang AS top_lang, COUNT(*) AS top_lang_docs
+      |  FROM documents
+      |  GROUP BY source, lang
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+      |            ORDER BY COUNT(*) DESC, lang ASC) = 1
+      |)
+      |SELECT base.*, tl.top_lang, tl.top_lang_docs
+      |FROM base JOIN tl USING (source)
+      |ORDER BY source""".stripMargin
+
   // ---- decontamination ----------------------------------------------
 
   /** Train = non-src0 docs ∪ re-id'd copies of the src0 "benchmark"

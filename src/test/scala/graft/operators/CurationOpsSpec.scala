@@ -42,6 +42,19 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("exactKPerStratum: exactly min(k, n) rows per stratum, stable across runs") {
+    val a = Sampling.exactKPerStratum(docs, "doc_id", "source", 10)
+    val sizes = a.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (s, n) =>
+      assert(sizes(s) == math.min(10L, n), s"$s: ${sizes(s)} of $n")
+    }
+    val b = Sampling.exactKPerStratum(docs, "doc_id", "source", 10)
+    assertSameRows(a, b)
+  }
+
   test("uniform mixture balances every stratum to ~the rarest stratum's count") {
     val minCount = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)
     val mixed = Sampling.uniformMixture(docs.select(col("doc_id"), col("lang")), "doc_id", "lang")

@@ -1,9 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.ibtp.TargetTable
+import graft.operators.SignatureIndex
 
 /** Streaming ingestion into the materialization target — the bridge
   * between Structured Streaming and the IBTP table layout. Where the
@@ -45,6 +47,41 @@ object StreamingIngest {
         if (!batch.isEmpty) {
           if (!target.exists) target.init(batch)
           else target.overwritePartitions(batch)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming incremental near-dup dedup: each micro-batch of
+    * documents is checked against everything indexed so far (a
+    * [[SignatureIndex]] band-key join — batch-vs-corpus, never
+    * corpus²), its near-dup pairs land in `pairsPath` tagged with the
+    * batch id, and its signatures join the index. The streaming form
+    * of per-period corpus dedup: historical TEXT is never re-read,
+    * only signature rows.
+    *
+    * Delivery note: `foreachBatch` is at-least-once — a replayed
+    * batch re-appends its signatures and re-emits its pairs (tagged
+    * with the same batch_id, so downstream consumers can drop
+    * duplicates by (batch_id, id_a, id_b)). Self-pairs within the
+    * replayed batch are suppressed by the index's exact-content
+    * collapse, but exactly-once index contents would need a
+    * batch-id-keyed write — acceptable for an idempotent consumer,
+    * called out for one that isn't.
+    */
+  def dedupCatchUp(docs: DataFrame, idCol: String, textCol: String,
+      index: SignatureIndex, pairsPath: String, checkpoint: String,
+      threshold: Double = 0.5): Unit = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val pairs = index.dedupAndAppend(batch, idCol, textCol, threshold)
+          pairs.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(pairsPath)
         }
         ()
       }

@@ -64,6 +64,51 @@ class StreamingIngestSpec extends SparkSpecBase {
       batch.join(got.select(col("day")).distinct(), Seq("day"), "left_semi"))
   }
 
+  test("streaming near-dup dedup finds cross-batch pairs via the signature index") {
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("sidx_src").toString
+    val idxP = Files.createTempDirectory("sidx_idx").toString + "/idx"
+    val ckp = Files.createTempDirectory("sidx_ckp").toString
+    val pairsP = Files.createTempDirectory("sidx_pairs").toString + "/pairs"
+
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    val near = docs.select((col("doc_id") + 5000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
+
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$src/stage_$name")
+      val f = new java.io.File(s"$src/stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, java.nio.file.Paths.get(s"$src/docs_$name.parquet"))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream = spark.readStream.schema(schema).parquet(s"$src/docs_*.parquet")
+    val idx = new graft.operators.SignatureIndex(spark, idxP)
+
+    // batch 1: originals only — no pairs expected
+    stage(docs, "a")
+    StreamingIngest.dedupCatchUp(stream, "doc_id", "text", idx, pairsP, ckp)
+    // batch 2: near-copies — every pair must be cross-batch, against
+    // batch 1's INDEX (its text is gone from the stream)
+    stage(near, "b")
+    StreamingIngest.dedupCatchUp(stream, "doc_id", "text", idx, pairsP, ckp)
+
+    val pairs = spark.read.parquet(pairsP)
+    val found = pairs.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 5000000L)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.95, s"cross-batch recall $recall")
+    // cross-batch pairs dominate: batch 2 matched against batch 1's
+    // index (batch-internal near-dup pairs among the mutated copies
+    // are legitimate too — the index dedups within batches as well)
+    val crossBatch = found.count { case (a, b) => a < 5000000L && b >= 5000000L }
+    assert(crossBatch >= planted.size, s"only $crossBatch cross-batch pairs")
+  }
+
   test("streaming dedup suppresses re-delivered events within the watermark") {
     val src = Files.createTempDirectory("dedup_src").toString
     // the same rows delivered twice (two files) = an at-least-once source

@@ -81,6 +81,7 @@ object SparkEntry {
     "q52_tfidf_top_terms" -> (CurationQueries.tfidfTopTerms _),
     "q53_exact_k_sample" -> (CurationQueries.exactKSample _),
     "q54_source_data_card" -> (CurationQueries.sourceDataCard _),
+    "q55_value_histogram" -> (CurationQueries.valueHistogram _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,5 +131,6 @@ object SparkEntry {
     "q52_tfidf_top_terms" -> CurationQueries.tfidfTopTermsSql,
     "q53_exact_k_sample" -> CurationQueries.exactKSampleSql,
     "q54_source_data_card" -> CurationQueries.sourceDataCardSql,
+    "q55_value_histogram" -> CurationQueries.valueHistogramSql,
   )
 }

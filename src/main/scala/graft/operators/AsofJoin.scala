@@ -36,6 +36,9 @@ object AsofJoin {
       rightPayloadCols: Seq[String],
       rightOrder: Option[String] = None): DataFrame = {
     val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
+    val collisions = leftPayload.intersect(rightPayloadCols)
+    require(collisions.isEmpty,
+      s"rename right payload columns colliding with left: ${collisions.mkString(", ")}")
 
     def nullOf(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType).as(c)

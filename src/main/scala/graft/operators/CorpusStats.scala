@@ -64,6 +64,21 @@ object CorpusStats {
       .filter(col(valueCol) >= col("threshold"))
       .drop("threshold")
 
+  /** Fixed-width histogram of a numeric column, optionally per group:
+    * one aggregate with map-side partials — the corpus collapses to
+    * (group, bin) rows, the scale-right distribution profile
+    * (vs. sorting for exact quantiles, vs. sketches when exact bin
+    * counts are wanted). Bin i covers [i·width, (i+1)·width).
+    */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val bin = floor(col(valueCol) / binWidth).cast("long").as("bin")
+    df.groupBy(groupCols.map(col) :+ bin: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(col("bin") * binWidth, 6))
+  }
+
   /** Assign rows to token-budget batches — micro-batch assembly for
     * training: within each `partCol` shard, rows in `orderCols` order
     * are packed greedily into batches of ~`capacity` tokens (batch i

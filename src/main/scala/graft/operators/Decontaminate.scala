@@ -46,6 +46,9 @@ object Decontaminate {
     val bad = overlap(train, bench, idCol, textCol, n)
       .filter(col("n_overlap") >= minOverlap)
       .select(col("id").as(idCol))
-    train.join(broadcast(bad), Seq(idCol), "left_anti")
+    // no broadcast hint: the contaminated-id set is usually tiny and
+    // AQE will broadcast it from runtime sizes, but heavy contamination
+    // at corpus scale must be allowed to fall back to a shuffled join
+    train.join(bad, Seq(idCol), "left_anti")
   }
 }

@@ -130,6 +130,22 @@ object CurationQueries {
       |FROM base JOIN tl USING (source)
       |ORDER BY source""".stripMargin
 
+  /** Per-event-type value distribution in width-10 bins. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.histogram(Tables.events(spark, dir), "value", binWidth = 10.0,
+      groupCols = Seq("event_type"))
+      .select(col("event_type"), col("bin"), col("bin_lo"), col("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  val valueHistogramSql: String =
+    """SELECT event_type,
+      |       CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+      |       ROUND(CAST(FLOOR(value / 10.0) AS BIGINT) * 10.0::DOUBLE, 6) AS bin_lo,
+      |       COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bin""".stripMargin
+
   // ---- decontamination ----------------------------------------------
 
   /** Train = non-src0 docs ∪ re-id'd copies of the src0 "benchmark"

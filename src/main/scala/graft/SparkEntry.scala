@@ -82,6 +82,8 @@ object SparkEntry {
     "q53_exact_k_sample" -> (CurationQueries.exactKSample _),
     "q54_source_data_card" -> (CurationQueries.sourceDataCard _),
     "q55_value_histogram" -> (CurationQueries.valueHistogram _),
+    "q56_repetition_metrics" -> (ExtensionQueries.repetitionMetrics _),
+    "q57_quality_flags" -> (ExtensionQueries.qualityFlags _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,5 +134,7 @@ object SparkEntry {
     "q53_exact_k_sample" -> CurationQueries.exactKSampleSql,
     "q54_source_data_card" -> CurationQueries.sourceDataCardSql,
     "q55_value_histogram" -> CurationQueries.valueHistogramSql,
+    "q56_repetition_metrics" -> ExtensionQueries.repetitionMetricsSql,
+    "q57_quality_flags" -> ExtensionQueries.qualityFlagsSql,
   )
 }

@@ -55,6 +55,60 @@ object TextAnalysis {
       round(best.getField("s"), 4).as("lang_score"))
   }
 
+  /** Repetition metrics — the "repetitive text" quality rules: a doc
+    * whose n-grams repeat heavily (boilerplate, keyword stuffing,
+    * generation loops) shows a high duplicate-n-gram fraction.
+    * Ratios over lowercased whitespace tokens; zero-shingle docs
+    * (< n tokens) report 0 duplication. Pure map pass, no shuffle.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val grams = shingles(lower(col(textCol)), n)
+    docs.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("distinct_tokens"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("type_token_ratio"),
+      size(grams).as("n_grams"),
+      round(when(size(grams) === 0, 0.0)
+        .otherwise((size(grams) - size(array_distinct(grams))).cast("double")
+          / size(grams)), 4)
+        .as("dup_gram_ratio"))
+  }
+
+  /** Composite quality-rule flags (the classic corpus-filter rulebook:
+    * per-signal pass/fail plus the conjunction) — mean token length in
+    * a sane band, document long enough, some stopword signal, symbols
+    * not dominating, text not mostly repeated n-grams. Thresholds are
+    * parameters so pipelines tune them per corpus; defaults follow the
+    * published heuristic ranges. One map pass, no shuffle.
+    */
+  def qualityFlags(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 8, minMeanTokLen: Double = 3.0,
+      maxMeanTokLen: Double = 12.0, minStopRatio: Double = 0.0,
+      maxPunctRatio: Double = 0.3, maxDupGramRatio: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val grams = shingles(lower(t), 3)
+    val meanLen = length(t).cast("double") / size(toks)
+    val stopR = stopwordCount(t, EnStop).cast("double") / size(toks)
+    val punctR = punctCount(t).cast("double") / length(t)
+    val dupR = when(size(grams) === 0, 0.0)
+      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+    val flags = Seq(
+      (size(toks) >= minTokens).as("len_ok"),
+      (meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen).as("tok_len_ok"),
+      (stopR >= minStopRatio).as("stopword_ok"),
+      (punctR <= maxPunctRatio).as("punct_ok"),
+      (dupR <= maxDupGramRatio).as("repetition_ok"))
+    docs.select(col(idCol) +: flags: _*)
+      .withColumn("passes",
+        col("len_ok") && col("tok_len_ok") && col("stopword_ok") &&
+          col("punct_ok") && col("repetition_ok"))
+  }
+
   /** Token counts: whitespace tokens + BPE-ish subword-approximation. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -308,6 +308,61 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val repetitionMetricsSql: String =
+    """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, toks,
+      |             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      |      FROM t)
+      |SELECT doc_id,
+      |       CAST(LEN(toks) AS INTEGER) AS n_tokens,
+      |       CAST(LEN(LIST_DISTINCT(toks)) AS INTEGER) AS distinct_tokens,
+      |       ROUND(LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks), 4) AS type_token_ratio,
+      |       CAST(LEN(grams) AS INTEGER) AS n_grams,
+      |       ROUND(CASE WHEN LEN(grams) = 0 THEN 0.0::DOUBLE
+      |                  ELSE (LEN(grams) - LEN(LIST_DISTINCT(grams)))::DOUBLE / LEN(grams)
+      |             END, 4) AS dup_gram_ratio
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
+  def qualityFlags(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFlags(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val qualityFlagsSql: String = {
+    val stop = TextAnalysis.EnStop.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks,
+       |         LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) - 1, 1)),
+       |           i -> STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')[i] || ' '
+       |             || STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')[i+1] || ' '
+       |             || STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')[i+2]) AS grams
+       |  FROM documents
+       |),
+       |f AS (
+       |  SELECT doc_id,
+       |         LEN(toks) >= 8 AS len_ok,
+       |         LENGTH(text)::DOUBLE / LEN(toks) >= 3.0
+       |           AND LENGTH(text)::DOUBLE / LEN(toks) <= 12.0 AS tok_len_ok,
+       |         LEN(LIST_FILTER(toks, x -> x IN ($stop)))::DOUBLE / LEN(toks) >= 0.0 AS stopword_ok,
+       |         LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g'))::DOUBLE / LENGTH(text) <= 0.3 AS punct_ok,
+       |         CASE WHEN LEN(grams) = 0 THEN 0.0::DOUBLE
+       |              ELSE (LEN(grams) - LEN(LIST_DISTINCT(grams)))::DOUBLE / LEN(grams)
+       |         END <= 0.3 AS repetition_ok
+       |  FROM t
+       |)
+       |SELECT doc_id, len_ok, tok_len_ok, stopword_ok, punct_ok, repetition_ok,
+       |       len_ok AND tok_len_ok AND stopword_ok AND punct_ok AND repetition_ok AS passes
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))

@@ -257,6 +257,22 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(idx.read().count() == 3 * n)
   }
 
+  test("repetition rules flag a looping doc and pass natural text") {
+    val spark2 = spark
+    import spark2.implicits._
+    val looping = ("the cat sat " * 50).trim
+    val natural = table("documents").select(col("text")).head().getString(0)
+    val df = Seq((1L, looping), (2L, natural)).toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(rep(1L) > 0.9, s"looping doc dup ratio ${rep(1L)}")
+    assert(rep(2L) < 0.3, s"natural doc dup ratio ${rep(2L)}")
+    val flags = TextAnalysis.qualityFlags(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(!flags(1L)._1 && !flags(1L)._2, "looping doc must fail repetition_ok")
+    assert(flags(2L)._2, "natural fixture doc must pass all rules")
+  }
+
   test("language id is deterministic and covers all docs") {
     val l = ExtensionQueries.langId(spark, sfDir)
     assert(l.count() == table("documents").count())

@@ -64,19 +64,33 @@ object TextAnalysis {
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val toks = tokens(lower(col(textCol)))
-    val grams = shingles(lower(col(textCol)), n)
     docs.select(
       col(idCol),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("distinct_tokens"),
       round(size(array_distinct(toks)).cast("double") / size(toks), 4)
         .as("type_token_ratio"),
-      size(grams).as("n_grams"),
-      round(when(size(grams) === 0, 0.0)
-        .otherwise((size(grams) - size(array_distinct(grams))).cast("double")
-          / size(grams)), 4)
+      // total gram count is pure arithmetic (max(tokens-(n-1), 0));
+      // distinct grams come from the native ShingleHashes expression
+      // (already distinct, one hash pass) — materializing gram STRINGS
+      // via transform+concat_ws evaluated as interpreted lambdas and
+      // cost ~5 ms/doc, the round-1 HOF anti-pattern all over again
+      nGrams(toks, n).as("n_grams"),
+      round(when(nGrams(toks, n) === 0, 0.0)
+        .otherwise((nGrams(toks, n) - distinctGrams(col(textCol), n)).cast("double")
+          / nGrams(toks, n)), 4)
         .as("dup_gram_ratio"))
   }
+
+  private def nGrams(toks: Column, n: Int): Column =
+    greatest(size(toks) - (n - 1), lit(0))
+
+  /** Distinct n-gram count via 64-bit FNV hashes (collision odds
+    * ~2^-64 per doc — the q23 oracle argument).
+    */
+  private def distinctGrams(text: Column, n: Int): Column =
+    size(graft.functions.expressions.TextHashFunctions
+      .shingle_hashes(lower(text), n))
 
   /** Composite quality-rule flags (the classic corpus-filter rulebook:
     * per-signal pass/fail plus the conjunction) — mean token length in
@@ -91,12 +105,12 @@ object TextAnalysis {
       maxPunctRatio: Double = 0.3, maxDupGramRatio: Double = 0.3): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
-    val grams = shingles(lower(t), 3)
     val meanLen = length(t).cast("double") / size(toks)
     val stopR = stopwordCount(t, EnStop).cast("double") / size(toks)
     val punctR = punctCount(t).cast("double") / length(t)
-    val dupR = when(size(grams) === 0, 0.0)
-      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+    val g = nGrams(tokens(lower(t)), 3)
+    val dupR = when(g === 0, 0.0)
+      .otherwise((g - distinctGrams(t, 3)).cast("double") / g)
     val flags = Seq(
       (size(toks) >= minTokens).as("len_ok"),
       (meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen).as("tok_len_ok"),

@@ -45,6 +45,8 @@ object SparkEntry {
     "q48_ibtp_loop_monthly" -> (IbtpQueries.loopMonthly _),
     "q49_ibtp_backfill" -> (IbtpQueries.loopBackfill _),
     "q50_ibtp_upsert" -> (IbtpQueries.loopUpsert _),
+    "q58_ibtp_full_refresh" -> (IbtpQueries.loopFullRefresh _),
+    "q59_schema_widen" -> (IbtpQueries.loopSchemaWiden _),
     // extension operators (north star)
     "q18_sessionize" -> (ExtensionQueries.sessionize _),
     "q20_dedup_exact" -> (ExtensionQueries.dedupExact _),
@@ -107,6 +109,8 @@ object SparkEntry {
     "q48_ibtp_loop_monthly" -> IbtpQueries.loopOracleSql,
     "q49_ibtp_backfill" -> IbtpQueries.loopOracleSql,
     "q50_ibtp_upsert" -> IbtpQueries.loopOracleSql,
+    "q58_ibtp_full_refresh" -> IbtpQueries.loopOracleSql,
+    "q59_schema_widen" -> IbtpQueries.loopOracleSql,
     "q18_sessionize" -> ExtensionQueries.sessionizeSql,
     "q20_dedup_exact" -> ExtensionQueries.dedupExactSql,
     "q23_ngram_jaccard" -> ExtensionQueries.ngramJaccardPlantedSql,

@@ -117,6 +117,82 @@ object IbtpQueries {
     target.read().orderBy(col("day"), col("event_type"))
   }
 
+  /** Full build, then poison rows appended (wrong values inside the
+    * window AND rows past the true max date), then `RunMode.FullRefresh`
+    * — the backup-swap rebuild (`/root/reference/macros/
+    * insert_by_timeperiod_init.sql:21-44`: rename target→backup,
+    * period-0 CTAS, loop resumes after the init chunk, drop backup).
+    * The rebuilt table must equal the one-shot oracle, proving the swap
+    * destroyed the poison rather than merging around it. This puts the
+    * most destructive reference path under the driver's hash gate.
+    */
+  def loopFullRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cfg0 = IbtpConfig(timestampField = "day", dateSourceModels = Seq("__events"))
+    val (minD, maxD) = Boundaries.resolveStartStop(
+      spark, cfg0.copy(timestampField = "ts"),
+      Map("__events" -> Tables.events(spark, dir)))
+    val stop = maxD.get.plusDays(1)
+    // Week period: the rebuild's cost is the operator under test, not
+    // the tiling — ~5 jobs instead of Day's ~30
+    val cfg = IbtpConfig(timestampField = "day",
+      startDate = Some(minD), stopDate = Some(stop), period = PeriodUnit.Week)
+    val targetDir = Files.createTempDirectory("ibtp_q_fullrefresh").toString
+    val target = new TargetTable(spark, targetDir, "day", countRows = false)
+    val model = dailyModel(dir)
+    IbtpRunner.run(spark, model, target,
+      IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8))
+    // poison: a wrong aggregate inside the window and a row beyond the
+    // true max (would poison a naive resume — only a real swap removes it)
+    val poison = Seq(
+      (java.sql.Date.valueOf(minD.plusDays(3)), "poison_type", 999999L, 9.9e9, 999999L),
+      (java.sql.Date.valueOf(stop.plusDays(30)), "poison_beyond_max", 1L, 1.0, 1L))
+      .toDF("day", "event_type", "n_events", "total_value", "n_users")
+    target.append(poison)
+    IbtpRunner.run(spark, model, target,
+      IbtpRunner.RunParams(cfg, RunMode.FullRefresh, maxConcurrentPeriods = 8))
+    target.read().orderBy(col("day"), col("event_type"))
+  }
+
+  /** Build the first half of history with `n_events` as INT, then
+    * resume over the rest with the model now emitting LONG, under the
+    * default `on_schema_change=Ignore`. The reference widens target
+    * column types UNCONDITIONALLY each iteration
+    * (`insert_by_timeperiod_loop.sql:78-79`), independent of
+    * on_schema_change — so the run must widen the target and complete,
+    * and the final table must equal the one-shot oracle at the widened
+    * BIGINT type (historic int32 parquet files read through the widened
+    * schema via parquet type promotion).
+    */
+  def loopSchemaWiden(spark: SparkSession, dir: String): DataFrame = {
+    val cfg0 = IbtpConfig(timestampField = "day", dateSourceModels = Seq("__events"))
+    val (minD, maxD) = Boundaries.resolveStartStop(
+      spark, cfg0.copy(timestampField = "ts"),
+      Map("__events" -> Tables.events(spark, dir)))
+    val stop = maxD.get.plusDays(1)
+    val mid = minD.plusDays(15)
+    def model(wide: Boolean): IbtpModel = new IbtpModel {
+      def query(s: SparkSession, b: PeriodBounds): DataFrame =
+        Tables.eventsRange(s, dir, b.from, b.to)
+          .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+          .agg(
+            (if (wide) count(lit(1)) else count(lit(1)).cast("int")).as("n_events"),
+            round(CoreQueries.moneySum(col("value")), 4).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+    }
+    val cfg = IbtpConfig(timestampField = "day",
+      startDate = Some(minD), stopDate = Some(stop), period = PeriodUnit.Week)
+    val targetDir = Files.createTempDirectory("ibtp_q_widen").toString
+    val target = new TargetTable(spark, targetDir, "day", countRows = false)
+    // first half lands as INT
+    IbtpRunner.run(spark, model(wide = false), target,
+      IbtpRunner.RunParams(cfg.copy(stopDate = Some(mid)), maxConcurrentPeriods = 8))
+    // resume with the column now LONG: expandTargetColumnTypes widens
+    IbtpRunner.run(spark, model(wide = true), target,
+      IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8))
+    target.read().orderBy(col("day"), col("event_type"))
+  }
+
   /** Both loop queries share this one-shot full-range oracle. */
   val loopOracleSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,

@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   *
   * Left-join semantics: left rows before any right row get nulls.
   * Right rows with identical (key, ts) are tie-broken by `rightOrder`
-  * (last wins) — pass a unique column to make results deterministic.
+  * (last wins, ordered by the column's NATIVE type — string ids order
+  * lexicographically, no silent numeric cast) — pass a unique column
+  * to make results deterministic.
   */
 object AsofJoin {
 
@@ -43,18 +45,26 @@ object AsofJoin {
     def nullOf(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType).as(c)
 
+    // tie-break in the column's own type; only right rows carry a
+    // value (left rows' __ord never orders against a right row at the
+    // same (ts, side) because __side differs)
+    val ordType = rightOrder.map(c => right.schema(c).dataType)
+    ordType.foreach(t => require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(t),
+      s"rightOrder column must be an orderable type, got $t"))
+    val rOrd = rightOrder.map(col).getOrElse(lit(0L))
+    val lOrd = ordType.map(t => lit(null).cast(t)).getOrElse(lit(0L))
+
     val rStruct = struct(rightPayloadCols.map(col): _*)
     // shared shape: keys ++ __ts ++ __side ++ __ord ++ left payload
     // (null on right rows) ++ __r struct (null on left rows)
     val l = left.select(
       keyCols.map(col) ++
-        Seq(col(leftTsCol).as("__ts"), lit(1).as("__side"), lit(0L).as("__ord")) ++
+        Seq(col(leftTsCol).as("__ts"), lit(1).as("__side"), lOrd.as("__ord")) ++
         leftPayload.map(col) :+
         lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r"): _*)
     val r = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"),
-          rightOrder.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__ord")) ++
+        Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"), rOrd.as("__ord")) ++
         leftPayload.map(c => nullOf(left, c)) :+
         rStruct.as("__r"): _*)
 

@@ -31,12 +31,38 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def bin(c: Column): Column = floor(c.cast("long") / binWidth).cast("long")
+    import org.apache.spark.sql.types._
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // exact floor division for integral inputs (pmod keeps negatives
+    // flooring instead of truncating toward zero, and long arithmetic
+    // never loses precision on epoch-scale values); fractional inputs
+    // floor in double space
+    def bin(c: Column, dt: DataType): Column =
+      if (isIntegral(dt))
+        ((c.cast("long") - pmod(c.cast("long"), lit(binWidth))) / binWidth).cast("long")
+      else floor(c.cast("double") / binWidth).cast("long")
+
+    val loT = intervals.schema(loCol).dataType
+    val hiT = intervals.schema(hiCol).dataType
+    val ptT = points.schema(ptCol).dataType
+    // last covered bin of half-open [lo, hi): for integral bounds the
+    // last covered unit is hi-1; for fractional bounds the interval
+    // reaches up to (but not including) hi, so hi exactly on a bin
+    // boundary backs off one bin
+    val endBin =
+      if (isIntegral(hiT)) bin(col(hiCol) - 1, hiT)
+      else {
+        val hb = bin(col(hiCol), hiT)
+        when(col(hiCol).cast("double") === hb.cast("double") * binWidth, hb - 1).otherwise(hb)
+      }
 
     val binnedIntervals = intervals
       .filter(col(loCol) < col(hiCol)) // empty interval matches nothing
-      .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol) - 1))))
-    val binnedPoints = points.withColumn("__bin", bin(col(ptCol)))
+      .withColumn("__bin", explode(sequence(bin(col(loCol), loT), endBin)))
+    val binnedPoints = points.withColumn("__bin", bin(col(ptCol), ptT))
     binnedPoints.join(binnedIntervals, "__bin")
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bin")

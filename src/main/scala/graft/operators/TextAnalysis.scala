@@ -101,7 +101,10 @@ object TextAnalysis {
     */
   def qualityFlags(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 8, minMeanTokLen: Double = 3.0,
-      maxMeanTokLen: Double = 12.0, minStopRatio: Double = 0.0,
+      maxMeanTokLen: Double = 12.0,
+      // published corpus-filter heuristics use ~0.05–0.1; 0.0 would make
+      // the stopword rule vacuously true for every non-empty doc
+      minStopRatio: Double = 0.05,
       maxPunctRatio: Double = 0.3, maxDupGramRatio: Double = 0.3): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)

@@ -350,7 +350,7 @@ object ExtensionQueries {
        |         LEN(toks) >= 8 AS len_ok,
        |         LENGTH(text)::DOUBLE / LEN(toks) >= 3.0
        |           AND LENGTH(text)::DOUBLE / LEN(toks) <= 12.0 AS tok_len_ok,
-       |         LEN(LIST_FILTER(toks, x -> x IN ($stop)))::DOUBLE / LEN(toks) >= 0.0 AS stopword_ok,
+       |         LEN(LIST_FILTER(toks, x -> x IN ($stop)))::DOUBLE / LEN(toks) >= 0.05 AS stopword_ok,
        |         LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g'))::DOUBLE / LENGTH(text) <= 0.3 AS punct_ok,
        |         CASE WHEN LEN(grams) = 0 THEN 0.0::DOUBLE
        |              ELSE (LEN(grams) - LEN(LIST_DISTINCT(grams)))::DOUBLE / LEN(grams)

@@ -17,7 +17,7 @@ import graft.sources.{GraftSession, Tables}
   *   [--full-refresh] [--backfill] [--sf-dir /root/testdata/sf0.001]
   *   [--on-schema-change ignore|fail|append_new_columns|sync_all_columns]
   *   [--guard-period-filter] [--max-concurrent-periods N]
-  *   [--pre-hook "SQL;SQL"] [--post-hook "SQL;SQL"]
+  *   [--pre-hook SQL]... [--post-hook SQL]...   (repeat the flag per statement)
   *   [--sample-schema-sql file.sql] [--compact-after]
   * }}}
   *
@@ -27,7 +27,9 @@ import graft.sources.{GraftSession, Tables}
   */
 object IbtpCli {
   def main(args: Array[String]): Unit = {
-    val opts = parse(args.toList, Map.empty)
+    val multi = parse(args.toList, Map.empty)
+    // scalar view: last occurrence wins for single-valued flags
+    val opts = multi.view.mapValues(_.last).toMap
     def req(k: String): String = opts.getOrElse(k,
       sys.error(s"missing required --$k"))
 
@@ -57,8 +59,10 @@ object IbtpCli {
         cliStart = opts.get("start-date").map(LocalDate.parse),
         cliStop = opts.get("stop-date").map(LocalDate.parse))
 
+      // one statement per flag occurrence — no semicolon splitting, so
+      // hook SQL containing ';' inside a string literal stays intact
       def hooks(k: String): Seq[String] =
-        opts.get(k).toSeq.flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+        multi.getOrElse(k, Vector.empty).map(_.trim).filter(_.nonEmpty)
 
       val target = new TargetTable(spark, req("target"), cfg.timestampField)
       val res = IbtpRunner.run(spark, IbtpModel.SqlModel(sqlText), target,
@@ -76,14 +80,16 @@ object IbtpCli {
   }
 
   @annotation.tailrec
-  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+  private def parse(args: List[String],
+      acc: Map[String, Vector[String]]): Map[String, Vector[String]] =
     args match {
       case Nil => acc
       case flag :: rest if flag.startsWith("--") =>
         val k = flag.drop(2)
+        def add(v: String) = acc + (k -> (acc.getOrElse(k, Vector.empty) :+ v))
         rest match {
-          case v :: tail if !v.startsWith("--") => parse(tail, acc + (k -> v))
-          case _                                => parse(rest, acc + (k -> ""))
+          case v :: tail if !v.startsWith("--") => parse(tail, add(v))
+          case _                                => parse(rest, add(""))
         }
       case other :: _ => sys.error(s"unexpected argument '$other'")
     }

@@ -261,7 +261,11 @@ class ExtensionOpsSpec extends SparkSpecBase {
     val spark2 = spark
     import spark2.implicits._
     val looping = ("the cat sat " * 50).trim
-    val natural = table("documents").select(col("text")).head().getString(0)
+    // genuinely natural prose (the fixture docs are stopword-poor word
+    // soup — several sit below the 0.05 stopword-ratio rule by design)
+    val natural = "the quick brown fox jumps over a lazy dog and then " +
+      "runs to the river where an otter is waiting in the reeds with " +
+      "a fish that it caught this morning near the old stone bridge"
     val df = Seq((1L, looping), (2L, natural)).toDF("doc_id", "text")
     val rep = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
@@ -270,7 +274,12 @@ class ExtensionOpsSpec extends SparkSpecBase {
     val flags = TextAnalysis.qualityFlags(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getBoolean(5), r.getBoolean(6))).toMap
     assert(!flags(1L)._1 && !flags(1L)._2, "looping doc must fail repetition_ok")
-    assert(flags(2L)._2, "natural fixture doc must pass all rules")
+    assert(flags(2L)._2, "natural prose must pass all rules")
+    // the stopword rule carries signal: a stopword-free doc fails it
+    val noStop = Seq((3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val f3 = TextAnalysis.qualityFlags(noStop, "doc_id", "text").collect().head
+    assert(!f3.getBoolean(3), "zero-stopword doc must fail stopword_ok")
   }
 
   test("language id is deterministic and covers all docs") {

@@ -49,6 +49,28 @@ class TemporalOpsSpec extends SparkSpecBase {
       "fixture should include clicks before any purchase")
   }
 
+  test("asof tie-break orders a STRING column natively (no silent numeric cast)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val left = Seq(("k", ts)).toDF("k", "lts")
+    // two right rows at the IDENTICAL (key, ts): the lexicographically
+    // larger string id must win; a silent cast("long") would null both
+    // and pick nondeterministically
+    val right = Seq(("k", ts, "id_a", 1.0), ("k", ts, "id_b", 2.0))
+      .toDF("k", "rts", "rid", "v")
+    val got = AsofJoin.asof(left, right, Seq("k"), "lts", "rts",
+      Seq("rid", "v"), rightOrder = Some("rid")).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("rid") == "id_b")
+    assert(got.head.getAs[Double]("v") == 2.0)
+    // a non-orderable tiebreak type fails loudly, not silently
+    val badRight = Seq(("k", ts, Map("a" -> 1), 1.0)).toDF("k", "rts", "m", "v")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, badRight, Seq("k"), "lts", "rts", Seq("v"),
+        rightOrder = Some("m"))
+    }
+  }
+
   test("range join equals the naive inequality join at any bin width") {
     val windows = events.filter(col("event_type") === "error")
       .groupBy(col("ts").cast("date").as("day"))
@@ -66,6 +88,35 @@ class TemporalOpsSpec extends SparkSpecBase {
         "lo_us", "hi_us", binWidth = width)
         .select(col("event_id"), col("day"))
       assertSameRows(got, naive)
+    }
+  }
+
+  test("range join handles fractional and negative bounds exactly") {
+    import spark.implicits._
+    // hi=10.5 with binWidth=10: old integral binning computed the end
+    // bin from cast-to-long truncation and dropped the partial bin
+    val intervals = Seq((0.0, 10.5, "a"), (-25.3, -4.9, "b"), (20.0, 30.0, "c"))
+      .toDF("lo", "hi", "tag")
+    val points = Seq(10.2, 10.6, -5.0, -25.3, -4.9, 20.0, 29.999, 30.0)
+      .toDF("p")
+    val naive = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select(col("p"), col("tag"))
+    for (width <- Seq(1L, 3L, 10L, 100L)) {
+      val got = RangeJoin.pointInInterval(points, "p", intervals,
+        "lo", "hi", binWidth = width).select(col("p"), col("tag"))
+      assertSameRows(got, naive)
+    }
+    // negative integral bounds: cast-truncation toward zero would misbin
+    val iIntervals = Seq((-25L, -4L, "x"), (-3L, 7L, "y")).toDF("lo", "hi", "tag")
+    val iPoints = Seq(-25L, -5L, -4L, -3L, 0L, 6L, 7L).toDF("p")
+    val iNaive = iPoints.crossJoin(iIntervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select(col("p"), col("tag"))
+    for (width <- Seq(1L, 7L, 100L)) {
+      val got = RangeJoin.pointInInterval(iPoints, "p", iIntervals,
+        "lo", "hi", binWidth = width).select(col("p"), col("tag"))
+      assertSameRows(got, iNaive)
     }
   }
 

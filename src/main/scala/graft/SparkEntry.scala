@@ -9,10 +9,16 @@ import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQuerie
   * `queries` covers SURVEY §2's operator inventory (B1–B17) plus the
   * north-star extension operators (dedup / similarity / text analysis /
   * multimodal). Every oracle-expressible query has a matching
-  * `oracleSql` entry with identical column names; hash-unstable ops
-  * (MinHash/SimHash/LSH/fingerprint/multimodal — engine-specific hash
-  * functions) get the driver's weaker rows-only check and are instead
-  * recall-tested in ScalaTest against planted duplicates.
+  * `oracleSql` entry with identical column names. The near-dup
+  * pipelines (q21/q22/q33) are oracled for SOUNDNESS: q21/q33 emit
+  * their LSH pairs unioned with the exact all-pairs set (≡ exact set
+  * iff no false positives and the engine metric matches DuckDB's
+  * string/double-side recomputation); q22 runs uncapped, where the
+  * pigeonhole scheme is exact, against a full DuckDB reimplementation
+  * of the simhash. Recall stays spec-side (planted-duplicate recall in
+  * ScalaTest). Remaining rows-only queries (q25/q30/q31/q34 —
+  * engine-specific hash/sketch outputs) are spec-verified via
+  * recall/error-bound/determinism properties.
   */
 object SparkEntry {
 
@@ -113,6 +119,9 @@ object SparkEntry {
     "q59_schema_widen" -> IbtpQueries.loopOracleSql,
     "q18_sessionize" -> ExtensionQueries.sessionizeSql,
     "q20_dedup_exact" -> ExtensionQueries.dedupExactSql,
+    "q21_dedup_minhash" -> ExtensionQueries.dedupMinhashSql,
+    "q22_dedup_simhash" -> ExtensionQueries.dedupSimhashSql,
+    "q33_dedup_embedding" -> ExtensionQueries.dedupEmbeddingSql,
     "q23_ngram_jaccard" -> ExtensionQueries.ngramJaccardPlantedSql,
     "q24_similarity_bruteforce" -> ExtensionQueries.similarityBruteForceSql,
     "q26_ivf_assignments" -> ExtensionQueries.ivfAssignmentsSql,

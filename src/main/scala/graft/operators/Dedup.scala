@@ -40,6 +40,7 @@ object Dedup extends Logging {
     * self-join's, so this adds no extra exchange.
     */
   private def capBuckets(bucketed: DataFrame, maxBucket: Int, keys: Seq[String]): DataFrame = {
+    if (maxBucket == Int.MaxValue) return bucketed // cap disabled: skip the width pass
     logInfo(s"LSH hot-bucket cap active: dropping buckets wider than $maxBucket " +
       s"on (${keys.mkString(", ")}); audit dropped buckets via Dedup.hotBuckets")
     val w = Window.partitionBy(keys.map(col): _*)
@@ -239,6 +240,63 @@ object Dedup extends Logging {
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** EXACT all-pairs n-gram-Jaccard similarity join at `threshold`,
+    * via a shingle inverted index: explode distinct shingle hashes,
+    * equi-join on the 8-byte shingle value, count shared shingles per
+    * pair, derive Jaccard from the shared count and the two set sizes.
+    * No LSH, no recall loss — every above-threshold pair is found,
+    * because such a pair must share at least one shingle.
+    *
+    * Scale shape: cost is Σ over shingles of df² (df = docs containing
+    * that shingle), NOT |docs|² — the standard exact-similarity-join
+    * bound. A stop-shingle cap (drop shingles with huge df, which
+    * cannot discriminate) would bound the worst case at web scale;
+    * here it is the ground-truth oracle for the LSH pipelines, so it
+    * stays uncapped and exact.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    * to 4 (matching [[ngramJaccard]]).
+    */
+  def allPairsJaccard(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.expressions.TextHashFunctions._
+    val sh = docs
+      .select(col(idCol).as("id"), shingle_hashes(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val shared = ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** EXACT all-pairs cosine similarity at `threshold` — the brute-force
+    * ground truth for [[embeddingNearDupPairs]]. Quadratic by
+    * construction (the verification oracle, not the scale path: at
+    * scale, LSH bucketing + this on candidates only).
+    * Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
+    */
+  def allPairsCosine(
+      vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   /** N-gram Jaccard similarity for an explicit pair list (exact, no

@@ -56,15 +56,123 @@ object ExtensionQueries {
       |GROUP BY text
       |ORDER BY keep_id""".stripMargin
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDupPairs(corpusWithNearDups(spark, dir), "doc_id", "text",
+  /** MinHash LSH soundness under the DuckDB gate: emitted LSH pairs
+    * unioned with the EXACT inverted-index all-pairs set at the same
+    * threshold, each pair's Jaccard recomputed from text. If the
+    * pipeline is sound (no false positives, engine shingle-Jaccard ≡
+    * string-side Jaccard) the union IS the exact set, which DuckDB
+    * independently recomputes from the raw strings; any below-threshold
+    * emission or metric drift breaks the hash match. Recall stays
+    * spec-side (planted-duplicate recall ≥ 0.98 in ScalaTest) — a
+    * missed pair is hidden by the union, a wrong pair is not.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDups(spark, dir)
+    val lsh = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
       shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    val exact = Dedup.allPairsJaccard(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    val ids = lsh.select(col("id_a"), col("id_b"))
+      .unionAll(exact.select(col("id_a"), col("id_b"))).distinct()
+    Dedup.ngramJaccard(corpus, "doc_id", "text", ids, n = 3)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
+  val dedupMinhashSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1,
+      |           GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) - 3, 1)), ' ')
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM corpus)
+      |),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh)
+      |SELECT s.id_a, s.id_b,
+      |       ROUND(s.inter::DOUBLE / (la.n + lb.n - s.inter), 4) AS jaccard
+      |FROM shared s
+      |JOIN sizes la ON la.doc_id = s.id_a
+      |JOIN sizes lb ON lb.doc_id = s.id_b
+      |WHERE s.inter::DOUBLE / (la.n + lb.n - s.inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash exactness under the DuckDB gate: with the hot-bucket cap
+    * disabled, the 16-bit-block pigeonhole scheme finds EXACTLY the
+    * pairs at Hamming distance <= 3 — and the oracle reimplements the
+    * entire simhash (FNV-1a + splitmix64 per token, bit votes over the
+    * token multiset) in DuckDB SQL with exact 64-bit modular
+    * arithmetic, then brute-forces all pairs. Verifies the hash
+    * function, the blocking scheme's completeness, AND the Hamming
+    * verification in one equality. (The capped production variant is
+    * spec-tested; ASCII corpus assumed — the SQL hashes code points.)
+    */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(corpusWithNearDups(spark, dir), "doc_id", "text",
-      maxDistance = 3)
+      maxDistance = 3, maxBucket = Int.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
+
+  val dedupSimhashSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1,
+      |           GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) - 3, 1)), ' ')
+      |  FROM documents
+      |),
+      |tok AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS t FROM corpus
+      |),
+      |th AS (
+      |  SELECT doc_id,
+      |    (WITH f AS (
+      |       SELECT list_reduce(
+      |         list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |           list_transform(range(1, length(t)+1),
+      |             i -> CAST(ord(substr(t, CAST(i AS INTEGER), 1)) AS UBIGINT))),
+      |         (h, b) -> CAST(
+      |            ( (CAST(xor(h, b) AS HUGEINT) % 4294967296) * 1099511628211
+      |              + ((CAST(xor(h, b) AS HUGEINT) // 4294967296) * 1099511628211 % 4294967296) * 4294967296
+      |            ) % 18446744073709551616 AS UBIGINT)) AS h0),
+      |     m1 AS (SELECT CAST(
+      |            ( (CAST(xor(h0, h0 >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929
+      |              + ((CAST(xor(h0, h0 >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+      |            ) % 18446744073709551616 AS UBIGINT) AS h1 FROM f),
+      |     m2 AS (SELECT CAST(
+      |            ( (CAST(xor(h1, h1 >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931
+      |              + ((CAST(xor(h1, h1 >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+      |            ) % 18446744073709551616 AS UBIGINT) AS h2 FROM m1)
+      |     SELECT xor(h2, h2 >> 31) FROM m2) AS h
+      |  FROM tok
+      |  WHERE t <> ''
+      |),
+      |bits AS (
+      |  SELECT doc_id, b.bit,
+      |         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+      |  FROM th, (SELECT UNNEST(range(0, 64)) AS bit) b
+      |  GROUP BY doc_id, b.bit
+      |),
+      |sims AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN tally > 0 THEN CAST(1 AS UBIGINT) << bit ELSE 0 END) AS UBIGINT) AS sh
+      |  FROM bits GROUP BY doc_id
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Exact n-gram Jaccard on the planted (original, near-copy) pairs. */
   def ngramJaccardPlanted(spark: SparkSession, dir: String): DataFrame = {
@@ -384,15 +492,46 @@ object ExtensionQueries {
     * embeddings ∪ slightly-perturbed copies (first component nudged by
     * 1e-3) — cosine ≈ 1 for planted pairs, ~0 for random ones.
     */
+  /** Embedding-LSH soundness under the DuckDB gate — same union shape
+    * as [[dedupMinhash]]: emitted hyperplane-LSH pairs ∪ exact brute
+    * force at the same threshold, cosine recomputed per pair; equals
+    * the exact set iff the pipeline emits no false positive and the
+    * engine cosine is bit-stable against DuckDB's double arithmetic
+    * (the q24 property). Recall (multi-probe ≥ 0.9) stays spec-side.
+    */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val perturbed = e.select(
       (col("vec_id") + lit(ExactOffset)).as("vec_id"),
       transform(col("embedding"),
         (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
-    Dedup.embeddingNearDupPairs(e.unionAll(perturbed), planes = 8, threshold = 0.98)
+    val corpus = e.unionAll(perturbed)
+    val lsh = Dedup.embeddingNearDupPairs(corpus, planes = 8, threshold = 0.98)
+    val exact = Dedup.allPairsCosine(corpus, threshold = 0.98)
+    lsh.unionAll(exact).dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  val dedupEmbeddingSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |         LIST_TRANSFORM(embedding, (x, i) ->
+      |           CASE WHEN i = 1 THEN x + CAST(0.001 AS FLOAT) ELSE x END)
+      |  FROM embeddings
+      |),
+      |scored AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |)
+      |SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+      |FROM scored
+      |WHERE cos >= 0.98
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ---- sessionization ------------------------------------------------
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -26,27 +25,34 @@ import graft.functions.TextFunctions._
   *  1. identical content is collapsed to one representative (min id)
   *     BEFORE signatures — exact copies are `exactGroups`' business and
   *     would otherwise fill every band's bucket with the same text;
-  *  2. buckets wider than `maxBucket` are skipped (the window count
-  *     rides the same hash partitioning the self-join needs, so the
-  *     exchange is reused). Skipping a bucket drops candidates only
+  *  2. buckets wider than `maxBucket` are skipped (over-cap keys are
+  *     aggregated map-side and anti-joined back as a tiny broadcast —
+  *     the bucketed rows never shuffle for the cap). Skipping a bucket
+  *     drops candidates only
   *     from that band/rotation — MinHash pairs can still surface via
   *     the other `bands−1` bands; the audit view of what was dropped
   *     is [[hotBuckets]].
   */
 object Dedup extends Logging {
 
-  /** Keep bucket keys whose width is <= maxBucket; logs that the guard
-    * is active. Partitioning by `keys` is the same as the downstream
-    * self-join's, so this adds no extra exchange.
+  /** Drop bucket keys wider than maxBucket; logs that the guard is
+    * active. Shape: aggregate-count the OVER-cap keys (map-side partial
+    * aggregation, then a shuffle of distinct keys only) and anti-join
+    * them back. Over-cap keys are few by construction — pathological
+    * buckets — so the anti-join broadcasts even at 100 TB and the
+    * bucketed rows themselves never shuffle for the cap. (A
+    * Window-count formulation was measured to plan a full extra
+    * shuffle+sort of the band keys on EACH side of the downstream
+    * self-join — exchange reuse does not fire across a self-join's
+    * sides under AQE; PlanSpec pins the new shape.)
     */
   private def capBuckets(bucketed: DataFrame, maxBucket: Int, keys: Seq[String]): DataFrame = {
     if (maxBucket == Int.MaxValue) return bucketed // cap disabled: skip the width pass
     logInfo(s"LSH hot-bucket cap active: dropping buckets wider than $maxBucket " +
       s"on (${keys.mkString(", ")}); audit dropped buckets via Dedup.hotBuckets")
-    val w = Window.partitionBy(keys.map(col): _*)
-    bucketed.withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val overCap = hotBuckets(bucketed, maxBucket, keys)
+      .select(keys.map(col): _*)
+    bucketed.join(broadcast(overCap), keys, "left_anti")
   }
 
   /** Audit view: the over-cap bucket keys and widths a near-dup run

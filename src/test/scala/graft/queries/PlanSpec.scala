@@ -148,6 +148,64 @@ class PlanSpec extends SparkSpecBase {
       p)
   }
 
+  /** Walk the executed plan including adaptive stages, cached-relation
+    * plans, and reused exchanges — the flat toString interleaves nested
+    * AQE plans and hides self-join sides, so node assertions must
+    * traverse the tree.
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val extra: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case _                        => Nil
+    }
+    p +: (p.children ++ extra).flatMap(allNodes)
+  }
+
+  test("LSH hot-bucket cap never shuffles or sorts the bucketed rows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the Window-count formulation planned a full shuffle+sort of the
+    // band keys on EACH side of the self-join (exchange reuse does not
+    // fire across a self-join's sides under AQE); the aggregate-count +
+    // broadcast-anti-join shape must plan no Window, and any band-key
+    // shuffle may carry only the aggregated over-cap KEYS, never the
+    // bucketed rows on the cap's account
+    val df = graft.operators.Dedup.minhashNearDupPairs(
+      graft.queries.ExtensionQueries.corpusWithNearDups(spark, sfDir),
+      "doc_id", "text")
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "cap must not plan a Window over the band keys")
+    // no full-row shuffle on the band keys: every band-key exchange (if
+    // AQE materialized any before empty-relation elimination) must sit
+    // under the over-cap aggregation, whose output is keys+counts only
+    val bandShuffles = nodes.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("band_hash") => e
+    }
+    assert(bandShuffles.forall(_.child.toString.contains("HashAggregate")),
+      s"band-key shuffle of un-aggregated rows:\n${bandShuffles.mkString("\n")}")
+  }
+
+  test("TopKAggregator paths aggregate as ObjectHashAggregate with partials") {
+    for (q <- Seq("q24_similarity_bruteforce", "q53_exact_k_sample")) {
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ObjectHashAggregate"), s"$q must ObjectHashAggregate:\n$p")
+      assert(p.contains("partial_"), s"$q needs map-side partial aggregation:\n$p")
+      assert(!p.contains("SortAggregate"), s"$q fell back to SortAggregate:\n$p")
+    }
+  }
+
   test("IBTP target readRange prunes to the range's day-partitions") {
     import java.time.LocalDate
     import org.apache.spark.sql.functions._

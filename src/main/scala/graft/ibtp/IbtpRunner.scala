@@ -9,7 +9,13 @@ final case class IbtpResult(
     mode: RunMode,
     window: Option[Boundaries.Window],
     periodsRun: Seq[Boundaries.PeriodSlice],
-    rowsInserted: Long)
+    rowsInserted: Long,
+    /** The period the run actually tiled with — the configured one, or
+      * the auto-sized choice when `RunParams.autoPeriod` is set.
+      */
+    period: PeriodUnit = PeriodUnit.Day,
+    /** Auto-sizing measurement, when it ran. */
+    sizing: Option[PeriodSizing.Choice] = None)
 
 /** The materialization orchestrator — reference A1 + A11
   * (`insert_by_timeperiod_materialization.sql:2-86`,
@@ -69,7 +75,17 @@ object IbtpRunner {
         * backfill of the run window repairs. Upsert mode ignores this
         * and stays sequential (periods may touch shared partitions).
         */
-      maxConcurrentPeriods: Int = 1)
+      maxConcurrentPeriods: Int = 1,
+      /** Auto-size the period from the date-source models' measured
+        * row rate (README.md:104's 6–60 M-rows-per-chunk guidance as
+        * behavior): pick the finest period whose expected chunk reaches
+        * `minChunkRows`. Requires non-empty `sources`; falls back to
+        * the configured period otherwise. The probe is one
+        * count+min+max job over the sources.
+        */
+      autoPeriod: Boolean = false,
+      minChunkRows: Long = PeriodSizing.DefaultMinChunkRows,
+      maxChunkRows: Long = PeriodSizing.DefaultMaxChunkRows)
 
   def run(
       spark: SparkSession,
@@ -89,6 +105,30 @@ object IbtpRunner {
     val (startDate, stopDate) =
       Boundaries.resolveStartStop(spark, effectiveCfg, sources)
 
+    // auto period sizing (README.md:104 as behavior): measure rows/day
+    // over the date-source models, pick the finest period meeting the
+    // chunk band; explicit config period is used as-is otherwise
+    val sizing: Option[PeriodSizing.Choice] =
+      if (!params.autoPeriod) None
+      else {
+        // same name resolution as the boundary probe: explicit sources
+        // map first, then the session catalog (CLI-registered views)
+        val sized = effectiveCfg.dateSourceModels match {
+          case Nil   => sources.values.toSeq
+          case names => names.map(n => sources.getOrElse(n, spark.table(n)))
+        }
+        val c = PeriodSizing.choose(cfg.timestampField, sized,
+          params.minChunkRows, params.maxChunkRows)
+        c.foreach(ch => log(
+          f"[ibtp] auto period: ${ch.rowsPerDay}%.1f rows/day -> " +
+            f"${ch.period.name} (~${ch.expectedChunkRows}%d rows/chunk" +
+            (if (ch.outsideBand) ", outside the configured band)" else ")")))
+        if (c.isEmpty) log("[ibtp] auto period: no measurable sources; " +
+          s"using configured period ${cfg.period.name}")
+        c
+      }
+    val period = sizing.map(_.period).getOrElse(cfg.period)
+
     params.preHooks.foreach(spark.sql(_).collect()) // run_hooks(pre_hooks)
 
     // static period-filter guard BEFORE any model execution — init
@@ -96,8 +136,8 @@ object IbtpRunner {
     // model load the full range once before being caught
     if (params.guardPeriodFilter) {
       val b = PeriodBounds(
-        Boundaries.periodFrom(cfg.period, 0, startDate),
-        Boundaries.periodTo(cfg.period, 0, startDate, stopDate))
+        Boundaries.periodFrom(period, 0, startDate),
+        Boundaries.periodTo(period, 0, startDate, stopDate))
       graft.plans.PeriodFilterGuard.require(model.query(spark, b))
     }
 
@@ -114,8 +154,8 @@ object IbtpRunner {
           spark.sql(sampleSql).limit(0)
         case _ =>
           val b = PeriodBounds(
-            Boundaries.periodFrom(cfg.period, 0, startDate),
-            Boundaries.periodTo(cfg.period, 0, startDate, stopDate))
+            Boundaries.periodFrom(period, 0, startDate),
+            Boundaries.periodTo(period, 0, startDate, stopDate))
           model.query(spark, b)
       }
       val n = target.init(initDf)
@@ -128,19 +168,19 @@ object IbtpRunner {
     // reference must run MAX(ts) on the warehouse here, helpers.sql:119)
     val targetMax = if (target.exists) target.maxPartitionDate else None
     val window = Boundaries.runWindow(
-      cfg.period, startDate, stopDate, targetMax, mode, params.today)
+      period, startDate, stopDate, targetMax, mode, params.today)
 
     if (window.numPeriods <= 0 || !window.start.isBefore(window.stop)) {
       log(s"[ibtp] nothing to do: window ${window.start}..${window.stop}")
       params.postHooks.foreach(spark.sql(_).collect())
-      return IbtpResult(mode, Some(window), Nil, rowsInserted)
+      return IbtpResult(mode, Some(window), Nil, rowsInserted, period, sizing)
     }
 
     val loopStop = mode match {
       case RunMode.Backfill(_, e) => Some(e)
       case _                      => Some(window.stop)
     }
-    val slices = Boundaries.slices(cfg.period, window, loopStop)
+    val slices = Boundaries.slices(period, window, loopStop)
 
     // schema-change handling once per run (schemas are constant across
     // periods); full refresh forces 'ignore' (`materialization.sql:73`)
@@ -201,6 +241,6 @@ object IbtpRunner {
 
     params.postHooks.foreach(spark.sql(_).collect()) // run_hooks(post_hooks)
     log(s"[ibtp] INSERT $rowsInserted")
-    IbtpResult(mode, Some(window), slices, rowsInserted)
+    IbtpResult(mode, Some(window), slices, rowsInserted, period, sizing)
   }
 }

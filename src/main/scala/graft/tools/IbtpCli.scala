@@ -13,7 +13,8 @@ import graft.sources.{GraftSession, Tables}
   * {{{
   * runMain graft.tools.IbtpCli --sql model.sql --target /path/tbl \
   *   --timestamp-field day --start-date 2024-01-01 [--stop-date D]
-  *   [--period day|week|month|year] [--unique-key k1,k2]
+  *   [--period day|week|month|year|auto] [--unique-key k1,k2]
+  *   [--min-chunk-rows N] [--max-chunk-rows N]   (auto-period band)
   *   [--full-refresh] [--backfill] [--sf-dir /root/testdata/sf0.001]
   *   [--on-schema-change ignore|fail|append_new_columns|sync_all_columns]
   *   [--guard-period-filter] [--max-concurrent-periods N]
@@ -40,11 +41,14 @@ object IbtpCli {
 
       val sqlText = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(req("sql"))), "UTF-8")
+      // '--period auto' = measure rows/day and size per README.md:104
+      val periodArg = opts.getOrElse("period", "day")
+      val autoPeriod = periodArg.trim.equalsIgnoreCase("auto")
       val cfg = IbtpConfig(
         timestampField = req("timestamp-field"),
         startDate = opts.get("start-date").map(LocalDate.parse),
         stopDate = opts.get("stop-date").map(LocalDate.parse),
-        period = PeriodUnit.fromString(opts.getOrElse("period", "day")),
+        period = if (autoPeriod) PeriodUnit.Day else PeriodUnit.fromString(periodArg),
         uniqueKey = opts.get("unique-key").map(_.split(",").toSeq).getOrElse(Nil),
         dateSourceModels = opts.get("date-source-models")
           .map(_.split(",").toSeq).getOrElse(Nil),
@@ -69,9 +73,14 @@ object IbtpCli {
         IbtpRunner.RunParams(cfg, mode, log = println,
           preHooks = hooks("pre-hook"), postHooks = hooks("post-hook"),
           guardPeriodFilter = opts.contains("guard-period-filter"),
-          maxConcurrentPeriods = opts.getOrElse("max-concurrent-periods", "1").toInt))
-      println(s"[ibtp] done: mode=${res.mode} periods=${res.periodsRun.size} " +
-        s"rows=${res.rowsInserted}")
+          maxConcurrentPeriods = opts.getOrElse("max-concurrent-periods", "1").toInt,
+          autoPeriod = autoPeriod,
+          minChunkRows = opts.get("min-chunk-rows").map(_.toLong)
+            .getOrElse(PeriodSizing.DefaultMinChunkRows),
+          maxChunkRows = opts.get("max-chunk-rows").map(_.toLong)
+            .getOrElse(PeriodSizing.DefaultMaxChunkRows)))
+      println(s"[ibtp] done: mode=${res.mode} period=${res.period.name} " +
+        s"periods=${res.periodsRun.size} rows=${res.rowsInserted}")
       // post-load maintenance: rewrite small-file day-partitions
       if (opts.contains("compact-after"))
         target.compact().foreach(st => println(

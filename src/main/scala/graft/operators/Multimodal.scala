@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,17 +9,19 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * The actual media decoding is STUBBED (no image/audio codecs in this
-  * environment): `decodeStub` derives deterministic fake pixels from
-  * the bytes. Everything around it — the schema contract, the
+  * IMAGE rows are REAL: payloads are PNG bytes (encoded, decoded, and
+  * resized with the JDK's `javax.imageio` — see [[ImageCodec]]), and
+  * image features come from actual decoded pixels. Audio/video decode
+  * remains STUBBED (the JDK ships no such codecs): deterministic
+  * features from the raw bytes, with the schema contract, the
   * `mapPartitions` batch shape (one partition = one decoder
-  * instantiation, the Spark-side analogue of a Pandas-UDF batch), the
-  * partitioning, and the output feature schema — is real and tested,
-  * so swapping a real codec in changes one function.
+  * instantiation, the Spark-side analogue of a Pandas-UDF batch), and
+  * the partitioning identical to what a real codec would use — so
+  * swapping one in changes one function.
   *
   * Scale: decode is per-row map work; `repartition` before decode
   * controls batch size / executor memory; features are tiny relative
-  * to payloads so the shuffle after extraction carries features only.
+  * to payloads so any shuffle after extraction carries features only.
   */
 object Multimodal {
 
@@ -30,43 +32,81 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
-  /** Wrap a corpus into the multimodal contract:
-    * (id, content binary, meta struct). Payload bytes are derived
-    * deterministically from the text fixture (UTF-8), metadata from
-    * stable hashes — a stand-in for real image bytes.
-    */
-  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).as("media_id"),
-      encode(col(textCol), "UTF-8").as("content"),
-      struct(
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(xxhash64(col(idCol)), lit(3)) + 1).cast("int")).as("media_type"),
-        (pmod(xxhash64(col(idCol), lit(1)), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(col(idCol), lit(2)), lit(1080)) + 1).cast("int").as("height"),
-        (pmod(xxhash64(col(idCol), lit(3)), lit(300)) + 1).cast("int").as("n_frames"))
-        .as("meta"))
+  private val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType),
+    StructField("meta", MetaType)))
 
-  /** Output schema of the decode+feature step. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >>> 30); x *= 0xbf58476d1ce4e5b9L
+    x ^= (x >>> 27); x *= 0x94d049bb133111ebL
+    x ^= (x >>> 31)
+    x
+  }
+
+  /** Wrap a corpus into the multimodal contract:
+    * (id, content binary, meta struct). IMAGE rows carry REAL PNG
+    * payloads (deterministic pixels from the id, ImageIO-encoded);
+    * audio/video rows carry deterministic opaque bytes (UTF-8 of the
+    * text fixture) as codec-less stand-ins. Runs via mapPartitions —
+    * the same batch shape the decoder uses.
+    */
+  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
+    docs.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mediaType = (Math.floorMod(mix64(id), 3L): @unchecked) match {
+            case 0L => "image"
+            case 1L => "audio"
+            case 2L => "video"
+          }
+          if (mediaType == "image") {
+            // small real images: fixture payloads stay kilobytes
+            val w = Math.floorMod(mix64(id ^ 1L), 64L).toInt + 1
+            val h = Math.floorMod(mix64(id ^ 2L), 48L).toInt + 1
+            val png = ImageCodec.encodePng(ImageCodec.syntheticImage(id, w, h))
+            Row(id, png, Row("image", w, h, 1))
+          } else {
+            val bytes = r.getString(1).getBytes("UTF-8")
+            val w = Math.floorMod(mix64(id ^ 1L), 1920L).toInt + 1
+            val h = Math.floorMod(mix64(id ^ 2L), 1080L).toInt + 1
+            val frames = Math.floorMod(mix64(id ^ 3L), 300L).toInt + 1
+            Row(id, bytes, Row(mediaType, w, h, frames))
+          }
+        }
+      }(enc)
+  }
+
+  /** Output schema of the decode+feature step. Image rows populate the
+    * pixel-derived columns from a REAL decode; audio/video rows carry
+    * -1/0 there and byte-derived features only.
+    */
   val FeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("media_type", StringType),
     StructField("n_bytes", LongType),
     StructField("mean_byte", DoubleType),
     StructField("byte_entropy_proxy", DoubleType),
+    StructField("decoded_ok", BooleanType),
+    StructField("img_width", IntegerType),
+    StructField("img_height", IntegerType),
+    StructField("mean_luma", DoubleType),
+    StructField("distinct_color_ratio", DoubleType),
     StructField("sampled_frames", ArrayType(IntegerType))))
 
-  /** STUB decoder: stands in for image/audio decode + resize +
-    * feature extraction. Deterministic features from raw bytes; frame
-    * sampling picks `sampleEvery`-th frame index from metadata. Runs
-    * via mapPartitions so a real decoder would amortize codec init
-    * per partition (the Pandas-UDF batch pattern, in Scala).
+  /** Decode + featurize. Image rows: REAL ImageIO decode, features
+    * from pixels (dimensions, Rec.601 mean luma, distinct-color
+    * ratio). Audio/video: stub features from raw bytes. Frame sampling
+    * picks every `sampleEvery`-th frame index from metadata. Runs via
+    * mapPartitions so decoder/codec state amortizes per partition.
     */
   def decodeAndFeaturize(media: DataFrame, sampleEvery: Int = 30): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(FeatureSchema))
     media.select(col("media_id"), col("content"), col("meta"))
       .mapPartitions { rows =>
-        // per-partition decoder init would go here (codec handles, etc.)
         rows.map { r =>
           val id    = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
@@ -74,7 +114,7 @@ object Multimodal {
           val mediaType = meta.getString(0)
           val nFrames   = meta.getInt(3)
           var sum = 0L
-          var distinct = new Array[Boolean](256)
+          val distinct = new Array[Boolean](256)
           var nDistinct = 0
           bytes.foreach { b =>
             val u = b & 0xff
@@ -83,10 +123,20 @@ object Multimodal {
           }
           val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
           val frames = (0 until nFrames by sampleEvery).toArray
+          val (ok, w, h, luma, colorRatio) =
+            if (mediaType == "image")
+              ImageCodec.decode(bytes) match {
+                case Some(img) =>
+                  val (dw, dh, ml, dc) = ImageCodec.pixelFeatures(img)
+                  (true, dw, dh, math.rint(ml * 10000) / 10000,
+                    math.rint(dc * 10000) / 10000)
+                case None => (false, -1, -1, 0.0, 0.0)
+              }
+            else (false, -1, -1, 0.0, 0.0)
           Row(id, mediaType, bytes.length.toLong,
             math.rint(mean * 10000) / 10000,
             math.rint(nDistinct.toDouble / 256 * 10000) / 10000,
-            frames)
+            ok, w, h, luma, colorRatio, frames)
         }
       }(enc)
   }
@@ -95,26 +145,35 @@ object Multimodal {
   def featurePipeline(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     decodeAndFeaturize(syntheticMedia(docs, idCol, textCol))
 
-  /** STUB resize: a real implementation decodes, scales, re-encodes;
-    * the stub transforms the payload deterministically (truncation to
-    * the area-scaled length — byte count tracks pixel count) and
-    * rewrites the metadata. Schema contract and per-row shape are the
-    * real ones.
+  /** Resize. Image rows: REAL decode → bilinear scale → PNG re-encode
+    * ([[ImageCodec.resizePng]]). Audio/video rows: stub — payload
+    * truncated to the area-scaled length (byte count tracks pixel
+    * count), as a stand-in for a codec transcode. Metadata rewritten
+    * to the new dimensions either way.
     */
-  def resizeStub(media: DataFrame, newW: Int, newH: Int): DataFrame =
-    media.select(
-      col("media_id"),
-      substring(col("content"), lit(1),
-        greatest(lit(1),
-          (length(col("content")) * lit(newW * newH) /
-            greatest(col("meta.width") * col("meta.height"), lit(1)))
-            .cast("int")))
-        .as("content"),
-      struct(
-        col("meta.media_type").as("media_type"),
-        lit(newW).as("width"),
-        lit(newH).as("height"),
-        col("meta.n_frames").as("n_frames")).as("meta"))
+  def resize(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
+    media.select(col("media_id"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id    = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val meta  = r.getStruct(2)
+          val mediaType = meta.getString(0)
+          val out =
+            if (mediaType == "image")
+              ImageCodec.resizePng(bytes, newW, newH).getOrElse(bytes)
+            else {
+              val area = meta.getInt(1).toLong * meta.getInt(2)
+              val scaled = if (area <= 0) 1
+                else math.max(1,
+                  (bytes.length.toLong * newW * newH / area).toInt)
+              bytes.take(scaled)
+            }
+          Row(id, out, Row(mediaType, newW, newH, meta.getInt(3)))
+        }
+      }(enc)
+  }
 
   /** Frame sampling as a first-class relation: one row per sampled
     * frame index, (media_id, frame_idx, n_frames) — the fan-out shape

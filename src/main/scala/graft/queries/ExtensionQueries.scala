@@ -631,6 +631,8 @@ object ExtensionQueries {
     Multimodal.featurePipeline(Tables.documents(spark, dir), "doc_id", "text")
       .select(col("media_id"), col("media_type"), col("n_bytes"),
         col("mean_byte"), col("byte_entropy_proxy"),
+        col("decoded_ok"), col("img_width"), col("img_height"),
+        col("mean_luma"), col("distinct_color_ratio"),
         size(col("sampled_frames")).as("n_sampled"))
       .orderBy(col("media_id"))
 }

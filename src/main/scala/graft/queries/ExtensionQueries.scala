@@ -490,6 +490,58 @@ object ExtensionQueries {
         element_at(col("fingerprint"), 1).as("first_fp"))
       .orderBy(col("doc_id"))
 
+  /** Exact-arithmetic DuckDB reimplementation of the winnowing
+    * fingerprint (same style as the q22 simhash oracle): FNV-1a +
+    * splitmix64 over every 8-char gram with exact 64-bit wraparound
+    * (HUGEINT multiplies split into 32-bit halves, UBIGINT xor),
+    * window-of-16 minima over the SIGNED hash values (matching the
+    * engine's Long comparisons via two's-complement re-wrap), distinct
+    * count and first window minimum. Verifies the whole winnow chain —
+    * gram hashing, window minima, dedup — against an independent SQL
+    * evaluation. ASCII corpus assumed (the SQL hashes code points).
+    */
+  val fingerprintStatsSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, i, SUBSTR(text, CAST(i AS INTEGER), 8) AS gram
+      |  FROM (SELECT doc_id, text, UNNEST(RANGE(1, GREATEST(LENGTH(text) - 8 + 2, 1))) AS i
+      |        FROM documents)
+      |),
+      |gh AS (
+      |  SELECT doc_id, i,
+      |    (WITH f AS (
+      |       SELECT list_reduce(
+      |         list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |           list_transform(range(1, length(gram)+1),
+      |             j -> CAST(ord(substr(gram, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |         (h, b) -> CAST(
+      |            ( (CAST(xor(h, b) AS HUGEINT) % 4294967296) * 1099511628211
+      |              + ((CAST(xor(h, b) AS HUGEINT) // 4294967296) * 1099511628211 % 4294967296) * 4294967296
+      |            ) % 18446744073709551616 AS UBIGINT)) AS h0),
+      |     m1 AS (SELECT CAST(
+      |            ( (CAST(xor(h0, h0 >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929
+      |              + ((CAST(xor(h0, h0 >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+      |            ) % 18446744073709551616 AS UBIGINT) AS h1 FROM f),
+      |     m2 AS (SELECT CAST(
+      |            ( (CAST(xor(h1, h1 >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931
+      |              + ((CAST(xor(h1, h1 >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+      |            ) % 18446744073709551616 AS UBIGINT) AS h2 FROM m1)
+      |     SELECT CAST(CASE WHEN xor(h2, h2 >> 31) >= 9223372036854775808
+      |                      THEN CAST(xor(h2, h2 >> 31) AS HUGEINT) - 18446744073709551616
+      |                      ELSE CAST(xor(h2, h2 >> 31) AS HUGEINT) END AS BIGINT) FROM m2) AS h
+      |  FROM pos
+      |),
+      |gl AS (SELECT doc_id, LIST(h ORDER BY i) AS g FROM gh GROUP BY doc_id),
+      |wins AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(g) <= 16 THEN [LIST_MIN(g)]
+      |         ELSE LIST_TRANSFORM(RANGE(1, LEN(g) - 16 + 2),
+      |                j -> LIST_MIN(LIST_SLICE(g, CAST(j AS INTEGER), CAST(j + 15 AS INTEGER))))
+      |    END AS w
+      |  FROM gl
+      |)
+      |SELECT doc_id, CAST(LEN(LIST_DISTINCT(w)) AS INTEGER) AS fp_size, w[1] AS first_fp
+      |FROM wins ORDER BY doc_id""".stripMargin
+
   /** Embedding-cosine near-dup over a corpus with planted near-copies:
     * embeddings ∪ slightly-perturbed copies (first component nudged by
     * 1e-3) — cosine ≈ 1 for planted pairs, ~0 for random ones.

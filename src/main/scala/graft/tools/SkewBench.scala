@@ -33,6 +33,12 @@ object SkewBench {
       graft.operators.Dedup.minhashNearDupPairs(c, "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5, maxBucket = cap)
 
+    // untimed warmup: JIT + parquet footer caches (same reason Bench
+    // warms up — the first pipeline otherwise pays JVM warm-up)
+    try minhash(uniform, 256).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    spark.sharedState.cacheManager.clearCache()
+
     time("minhash_uniform")(minhash(uniform, 256))
     time("minhash_flood_capped")(minhash(uniform.unionAll(flood), 256))
     time("minhash_flood_uncapped")(minhash(uniform.unionAll(flood), Int.MaxValue))

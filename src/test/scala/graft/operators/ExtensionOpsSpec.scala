@@ -35,6 +35,24 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(j.count() == table("documents").count())
   }
 
+  test("inverted-index all-pairs join is EXACT (equals the naive cross join)") {
+    import graft.functions.expressions.TextHashFunctions.shingle_hashes
+    import graft.functions.TextFunctions.jaccard
+    val corpus = ExtensionQueries.corpusWithNearDups(spark, sfDir)
+    val sh = corpus.select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val naive = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("j", jaccard(col("a.sh"), col("b.sh")))
+        .filter(col("j") >= t)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(col("j"), 4).as("jaccard"))
+      val fast = Dedup.allPairsJaccard(corpus, "doc_id", "text",
+        shingleN = 3, threshold = t)
+      assertSameRows(fast, naive)
+    }
+  }
+
   test("simhash blocking finds EXACTLY the pairs at hamming <= 3 (pigeonhole guarantee)") {
     import graft.functions.expressions.TextHashFunctions
     val corpus = ExtensionQueries.corpusWithNearDups(spark, sfDir)

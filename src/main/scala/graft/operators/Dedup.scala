@@ -337,7 +337,7 @@ object Dedup extends Logging {
     * deterministic result.
     */
   def keepLatest(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(orderCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, ord).as("graft_latest"))

@@ -195,6 +195,19 @@ class PlanSpec extends SparkSpecBase {
       s"band-key shuffle of un-aggregated rows:\n${bandShuffles.mkString("\n")}")
   }
 
+  test("all-pairs similarity join counts intersections with map-side partials") {
+    val df = graft.operators.Dedup.allPairsJaccard(
+      graft.queries.ExtensionQueries.corpusWithNearDups(spark, sfDir),
+      "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the intersection count must partially aggregate in the same
+    // shuffle as the pair grouping — no array payload per candidate
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert(!p.contains("array_intersect"),
+      "verification must ride the count aggregate, not per-pair array ops")
+  }
+
   test("TopKAggregator paths aggregate as ObjectHashAggregate with partials") {
     for (q <- Seq("q24_similarity_bruteforce", "q53_exact_k_sample")) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)

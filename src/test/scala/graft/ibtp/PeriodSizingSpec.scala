@@ -33,6 +33,33 @@ class PeriodSizingSpec extends SparkSpecBase {
     assert(choosePeriod(33, 100, 1000).period == PeriodUnit.Week)
   }
 
+  test("choosePeriod properties over random rate profiles (seeded sweep)") {
+    import PeriodSizing._
+    val rnd = new scala.util.Random(42)
+    var prev: Option[(Double, PeriodUnit)] = None
+    for (_ <- 1 to 500) {
+      // rates spanning 10 rows/day to 1 B rows/day, log-uniform
+      val rate = math.pow(10, 1 + rnd.nextDouble() * 8)
+      val c = choosePeriod(rate)
+      // chosen period reaches the band minimum whenever ANY period can
+      if (rate * daysPer(PeriodUnit.Year) >= DefaultMinChunkRows)
+        assert(c.expectedChunkRows >= DefaultMinChunkRows, s"rate $rate -> $c")
+      // no finer period would also reach the minimum (finest-first)
+      PeriodUnit.all.takeWhile(_ != c.period).foreach { finer =>
+        assert(rate * daysPer(finer) < DefaultMinChunkRows,
+          s"rate $rate: $finer also fits but ${c.period} chosen")
+      }
+      // monotone: a higher rate never picks a coarser period
+      prev.foreach { case (r0, p0) =>
+        if (rate >= r0)
+          assert(daysPer(c.period) <= daysPer(p0),
+            s"rate $rate picked coarser ${c.period} than $p0 at $r0")
+      }
+      prev = Some((rate, c.period))
+      prev = if (rnd.nextBoolean()) prev else None // compare random adjacent pairs
+    }
+  }
+
   test("probeRowsPerDay measures count over day span from the sources") {
     val events = table("events")
     val expected = {

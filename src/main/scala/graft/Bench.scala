@@ -34,7 +34,14 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
     val errField = if (nErr > 0) s""","errors":$nErr""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}"""
+    // sidecar copy for machine consumption (sbt decorates stdout with
+    // an [info] prefix that a strict JSON parse of the output trips on)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
+    // print LAST, after shutdown: Spark logs go to stderr, so the JSON
+    // is the final stdout line for last-line parsers
+    println(line)
   }
 }

@@ -54,6 +54,7 @@ object SparkEntry {
     "q50_ibtp_upsert" -> (IbtpQueries.loopUpsert _),
     "q58_ibtp_full_refresh" -> (IbtpQueries.loopFullRefresh _),
     "q59_schema_widen" -> (IbtpQueries.loopSchemaWiden _),
+    "q60_unique_check" -> (IbtpQueries.loopUniqueCheck _),
     // extension operators (north star)
     "q18_sessionize" -> (ExtensionQueries.sessionize _),
     "q20_dedup_exact" -> (ExtensionQueries.dedupExact _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q50_ibtp_upsert" -> IbtpQueries.loopOracleSql,
     "q58_ibtp_full_refresh" -> IbtpQueries.loopOracleSql,
     "q59_schema_widen" -> IbtpQueries.loopOracleSql,
+    "q60_unique_check" -> IbtpQueries.loopUniqueCheckSql,
     "q18_sessionize" -> ExtensionQueries.sessionizeSql,
     "q20_dedup_exact" -> ExtensionQueries.dedupExactSql,
     "q21_dedup_minhash" -> ExtensionQueries.dedupMinhashSql,

@@ -193,6 +193,56 @@ object IbtpQueries {
     target.read().orderBy(col("day"), col("event_type"))
   }
 
+  /** The reference's recommended integrity workflow as a query: build
+    * WITHOUT a unique key (`/root/reference/README.md:102` — key-driven
+    * deletes are slow; "test for uniqueness only"), deliberately
+    * re-deliver the last 10 days as a plain append, and emit the
+    * uniqueness-check violations. The oracle reproduces the duplicate
+    * construction in SQL — GROUP BY HAVING count > 1.
+    */
+  def loopUniqueCheck(spark: SparkSession, dir: String): DataFrame = {
+    val cfg0 = IbtpConfig(timestampField = "day", dateSourceModels = Seq("__events"))
+    val (minD, maxD) = Boundaries.resolveStartStop(
+      spark, cfg0.copy(timestampField = "ts"),
+      Map("__events" -> Tables.events(spark, dir)))
+    val stop = maxD.get.plusDays(1)
+    val cfg = IbtpConfig(timestampField = "day",
+      startDate = Some(minD), stopDate = Some(stop), period = PeriodUnit.Week)
+    val targetDir = Files.createTempDirectory("ibtp_q_uniq").toString
+    val target = new TargetTable(spark, targetDir, "day", countRows = false)
+    val model = dailyModel(dir)
+    IbtpRunner.run(spark, model, target,
+      IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8))
+    // re-delivery WITHOUT upsert: duplicates by construction
+    target.append(model.query(spark, PeriodBounds(stop.minusDays(10), stop)))
+    TableChecks.uniqueViolations(target.read(), Seq("day", "event_type"))
+      .select(col("day"), col("event_type"), col("dup_count"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val loopUniqueCheckSql: String =
+    """WITH bounds AS (
+      |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) + 1 AS hi FROM events
+      |),
+      |agg AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type FROM events
+      |  GROUP BY 1, 2
+      |),
+      |redo AS (
+      |  SELECT CAST(e.ts AS DATE) AS day, e.event_type
+      |  FROM events e, bounds b
+      |  WHERE e.ts >= b.hi - 10 AND e.ts < b.hi
+      |  GROUP BY 1, 2
+      |),
+      |unioned AS (
+      |  SELECT day, event_type FROM agg
+      |  UNION ALL
+      |  SELECT day, event_type FROM redo
+      |)
+      |SELECT day, event_type, COUNT(*) AS dup_count
+      |FROM unioned GROUP BY 1, 2 HAVING COUNT(*) > 1
+      |ORDER BY day, event_type""".stripMargin
+
   /** Both loop queries share this one-shot full-range oracle. */
   val loopOracleSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,

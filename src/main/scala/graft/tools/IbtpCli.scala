@@ -20,6 +20,7 @@ import graft.sources.{GraftSession, Tables}
   *   [--guard-period-filter] [--max-concurrent-periods N]
   *   [--pre-hook SQL]... [--post-hook SQL]...   (repeat the flag per statement)
   *   [--sample-schema-sql file.sql] [--compact-after]
+  *   [--check-unique k1,k2]   (post-load uniqueness gate, README.md:102)
   * }}}
   *
   * The model SQL may reference any test table by name (registered as
@@ -81,6 +82,12 @@ object IbtpCli {
             .getOrElse(PeriodSizing.DefaultMaxChunkRows)))
       println(s"[ibtp] done: mode=${res.mode} period=${res.period.name} " +
         s"periods=${res.periodsRun.size} rows=${res.rowsInserted}")
+      // post-load integrity gate: the reference's "run without
+      // unique_key and test for uniqueness only" (README.md:102)
+      opts.get("check-unique").filter(_.nonEmpty).foreach { k =>
+        TableChecks.requireUnique(target.read(), k.split(",").toSeq)
+        println(s"[ibtp] uniqueness check passed on ($k)")
+      }
       // post-load maintenance: rewrite small-file day-partitions
       if (opts.contains("compact-after"))
         target.compact().foreach(st => println(

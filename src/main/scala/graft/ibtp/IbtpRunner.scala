@@ -79,9 +79,9 @@ object IbtpRunner {
       /** Auto-size the period from the date-source models' measured
         * row rate (README.md:104's 6–60 M-rows-per-chunk guidance as
         * behavior): pick the finest period whose expected chunk reaches
-        * `minChunkRows`. Requires non-empty `sources`; falls back to
-        * the configured period otherwise. The probe is one
-        * count+min+max job over the sources.
+        * `minChunkRows`. Requires `dateSourceModels` (the tables that
+        * define the time range); falls back to the configured period
+        * otherwise. The probe is one count+min+max job over them.
         */
       autoPeriod: Boolean = false,
       minChunkRows: Long = PeriodSizing.DefaultMinChunkRows,
@@ -112,11 +112,12 @@ object IbtpRunner {
       if (!params.autoPeriod) None
       else {
         // same name resolution as the boundary probe: explicit sources
-        // map first, then the session catalog (CLI-registered views)
-        val sized = effectiveCfg.dateSourceModels match {
-          case Nil   => sources.values.toSeq
-          case names => names.map(n => sources.getOrElse(n, spark.table(n)))
-        }
+        // map first, then the session catalog (CLI-registered views).
+        // No dateSourceModels -> no sizing (arbitrary bound sources may
+        // lack the timestamp column or skew the rate; the boundary
+        // probe likewise refuses to guess)
+        val sized = effectiveCfg.dateSourceModels
+          .map(n => sources.getOrElse(n, spark.table(n)))
         val c = PeriodSizing.choose(cfg.timestampField, sized,
           params.minChunkRows, params.maxChunkRows)
         c.foreach(ch => log(

@@ -39,13 +39,15 @@ object TableChecks {
     * — the CLI's gate form.
     */
   def requireUnique(df: DataFrame, keys: Seq[String], sample: Int = 5): Unit = {
-    val v = uniqueViolations(df, keys)
-    val bad = v.limit(sample).collect()
+    // one action: the aggregation is the expensive step, so the gate
+    // reports a bounded sample rather than re-scanning for a total
+    val bad = uniqueViolations(df, keys).limit(sample + 1).collect()
     if (bad.nonEmpty) {
-      val total = v.count()
+      val shown = bad.take(sample)
+      val more = if (bad.length > sample) " (and more)" else ""
       throw new IllegalStateException(
-        s"uniqueness violated on (${keys.mkString(", ")}): $total duplicate " +
-          s"key group(s); sample: ${bad.mkString("; ")} " +
+        s"uniqueness violated on (${keys.mkString(", ")}): " +
+          s"sample: ${shown.mkString("; ")}$more " +
           "(reference README.md:102: run without unique_key, test uniqueness)")
     }
   }

@@ -273,19 +273,19 @@ object Dedup extends Logging {
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     import graft.functions.expressions.TextHashFunctions._
     require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0, 1]")
-    val sh = docs
+    // set size rides each exploded row (8 extra bytes), so the final
+    // Jaccard needs no join back to the documents — one scan, one
+    // shuffle, no persist left pinned in the session
+    val ex = docs
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
     val shared = ex.as("a")
       .join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     shared
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -17,7 +17,12 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
-  @inline private def mix64(x0: Long): Long = {
+  // per-call disk-cache temp files (ImageIO's default) would mean
+  // filesystem churn per ROW in the executor hot path; payloads are
+  // kilobytes, the in-memory cache suffices
+  ImageIO.setUseCache(false)
+
+  @inline private[operators] def mix64(x0: Long): Long = {
     var x = x0
     x ^= (x >>> 30); x *= 0xbf58476d1ce4e5b9L
     x ^= (x >>> 27); x *= 0x94d049bb133111ebL

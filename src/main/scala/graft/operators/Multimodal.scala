@@ -37,13 +37,9 @@ object Multimodal {
     StructField("content", BinaryType),
     StructField("meta", MetaType)))
 
-  @inline private def mix64(x0: Long): Long = {
-    var x = x0
-    x ^= (x >>> 30); x *= 0xbf58476d1ce4e5b9L
-    x ^= (x >>> 27); x *= 0x94d049bb133111ebL
-    x ^= (x >>> 31)
-    x
-  }
+  // one mixer for fixture ids and pixels: syntheticMedia's media-type
+  // and dimension derivations must stay bit-identical to the codec's
+  @inline private def mix64(x: Long): Long = ImageCodec.mix64(x)
 
   /** Wrap a corpus into the multimodal contract:
     * (id, content binary, meta struct). IMAGE rows carry REAL PNG
@@ -160,17 +156,23 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val meta  = r.getStruct(2)
           val mediaType = meta.getString(0)
-          val out =
+          val (out, outW, outH) =
             if (mediaType == "image")
-              ImageCodec.resizePng(bytes, newW, newH).getOrElse(bytes)
+              ImageCodec.resizePng(bytes, newW, newH) match {
+                case Some(b) => (b, newW, newH)
+                // undecodable payload: keep ORIGINAL bytes and meta
+                // dims — claiming the new size would contradict the
+                // payload for downstream decoders
+                case None => (bytes, meta.getInt(1), meta.getInt(2))
+              }
             else {
               val area = meta.getInt(1).toLong * meta.getInt(2)
               val scaled = if (area <= 0) 1
                 else math.max(1,
                   (bytes.length.toLong * newW * newH / area).toInt)
-              bytes.take(scaled)
+              (bytes.take(scaled), newW, newH)
             }
-          Row(id, out, Row(mediaType, newW, newH, meta.getInt(3)))
+          Row(id, out, Row(mediaType, outW, outH, meta.getInt(3)))
         }
       }(enc)
   }

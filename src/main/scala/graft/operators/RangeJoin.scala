@@ -36,14 +36,24 @@ object RangeJoin {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    // exact floor division for integral inputs (pmod keeps negatives
-    // flooring instead of truncating toward zero, and long arithmetic
-    // never loses precision on epoch-scale values); fractional inputs
-    // floor in double space
+    // exact floor division for integral inputs: pmod keeps negatives
+    // flooring instead of truncating toward zero, and the quotient is
+    // taken with Catalyst's INTEGRAL divide (Column./ is double
+    // division, which would misbin epoch-nano-scale values whose bin
+    // index exceeds 2^53); the numerator is an exact multiple of
+    // binWidth, so truncating integral division is exact. Fractional
+    // inputs floor in double space.
     def bin(c: Column, dt: DataType): Column =
-      if (isIntegral(dt))
-        ((c.cast("long") - pmod(c.cast("long"), lit(binWidth))) / binWidth).cast("long")
-      else floor(c.cast("double") / binWidth).cast("long")
+      if (isIntegral(dt)) {
+        import org.apache.spark.sql.graft.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+        val adj = c.cast("long") - pmod(c.cast("long"), lit(binWidth))
+        ColumnBridge.column(IntegralDivide(
+          ColumnBridge.expression(adj),
+          ColumnBridge.expression(lit(binWidth)),
+          evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+          .cast("long")
+      } else floor(c.cast("double") / binWidth).cast("long")
 
     val loT = intervals.schema(loCol).dataType
     val hiT = intervals.schema(hiCol).dataType

@@ -48,13 +48,13 @@ object SkewBench {
       when(pmod(col("event_id"), lit(2)) === 0, lit(42L)).otherwise(col("user_id")))
     def dim(ev: DataFrame) = ev.select(col("user_id")).distinct()
       .withColumn("segment", pmod(col("user_id"), lit(10)))
-    def revenue(ev: DataFrame, joined: DataFrame) = joined
+    def revenue(joined: DataFrame) = joined
       .groupBy(col("segment")).agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("total"))
 
-    time("join_uniform_plain")(revenue(events, events.join(dim(events), Seq("user_id"))))
-    time("join_hotkey_plain")(revenue(skewed, skewed.join(dim(skewed), Seq("user_id"))))
-    time("join_hotkey_salted")(revenue(skewed,
+    time("join_uniform_plain")(revenue(events.join(dim(events), Seq("user_id"))))
+    time("join_hotkey_plain")(revenue(skewed.join(dim(skewed), Seq("user_id"))))
+    time("join_hotkey_salted")(revenue(
       graft.operators.Skew.saltedJoin(skewed, dim(skewed), Seq("user_id"), factor = 8)))
 
     spark.stop()

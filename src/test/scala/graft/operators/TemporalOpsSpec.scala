@@ -118,6 +118,21 @@ class TemporalOpsSpec extends SparkSpecBase {
         "lo", "hi", binWidth = width).select(col("p"), col("tag"))
       assertSameRows(got, iNaive)
     }
+    // epoch-NANOSECOND scale: bin indices exceed 2^53, where double
+    // division misbins (integral division must stay exact)
+    val base = 1700000000000000000L
+    val nIntervals = Seq((base + 3L, base + 17L, "n1"), (base - 20L, base + 2L, "n2"))
+      .toDF("lo", "hi", "tag")
+    val nPoints = Seq(base - 20L, base + 1L, base + 2L, base + 3L, base + 10L, base + 16L, base + 17L)
+      .toDF("p")
+    val nNaive = nPoints.crossJoin(nIntervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select(col("p"), col("tag"))
+    for (width <- Seq(3L, 7L, 1000L)) {
+      val got = RangeJoin.pointInInterval(nPoints, "p", nIntervals,
+        "lo", "hi", binWidth = width).select(col("p"), col("tag"))
+      assertSameRows(got, nNaive)
+    }
   }
 
   test("bloom pruning: no false negatives, real pruning, join unchanged") {

@@ -203,7 +203,7 @@ class PlanSpec extends SparkSpecBase {
     val p = df.queryExecution.executedPlan.toString
     // the intersection count must partially aggregate in the same
     // shuffle as the pair grouping — no array payload per candidate
-    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert(p.contains("partial_count"), p)
     assert(!p.contains("array_intersect"),
       "verification must ride the count aggregate, not per-pair array ops")
   }

@@ -94,6 +94,7 @@ object SparkEntry {
     "q55_value_histogram" -> (CurationQueries.valueHistogram _),
     "q56_repetition_metrics" -> (ExtensionQueries.repetitionMetrics _),
     "q57_quality_flags" -> (ExtensionQueries.qualityFlags _),
+    "q61_redact_pii" -> (ExtensionQueries.redactPii _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -153,5 +154,6 @@ object SparkEntry {
     "q55_value_histogram" -> CurationQueries.valueHistogramSql,
     "q56_repetition_metrics" -> ExtensionQueries.repetitionMetricsSql,
     "q57_quality_flags" -> ExtensionQueries.qualityFlagsSql,
+    "q61_redact_pii" -> ExtensionQueries.redactPiiSql,
   )
 }

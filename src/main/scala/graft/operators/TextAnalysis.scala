@@ -126,6 +126,35 @@ object TextAnalysis {
           col("punct_ok") && col("repetition_ok"))
   }
 
+  /** PII patterns — the C4/RefinedWeb-style scrub stage. Restricted to
+    * the regex subset where Java regex (Spark codegen) and RE2
+    * (DuckDB/Go scrubbers) agree: no backreferences, no lookaround, so
+    * the redaction is reproducible across engines (q61's oracle).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails, phone numbers, and IPv4 addresses with typed
+    * placeholder tokens, reporting per-category match counts (counted
+    * BEFORE redaction). Order matters and is fixed — email, phone, IP —
+    * so nested matches resolve deterministically. Pure map pass, no
+    * shuffle, codegen'd regex.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("int").as("n_phones"),
+      regexp_count(t, lit(Ipv4Re)).cast("int").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        Ipv4Re, "[IP]").as("redacted"))
+  }
+
   /** Token counts: whitespace tokens + BPE-ish subword-approximation. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

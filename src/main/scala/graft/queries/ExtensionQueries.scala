@@ -679,6 +679,49 @@ object ExtensionQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** PII scrub over a corpus with deterministically planted PII (the
+    * fixtures are clean word salad): every 5th doc gains an email,
+    * every 7th a phone number, every 11th an IPv4 — the oracle
+    * replants and re-redacts in DuckDB with the same RE2-compatible
+    * patterns, comparing the full redacted strings.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = d.withColumn("text",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" call 555-123-4567 today"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(" from 192.168.1.42 host"))
+          .otherwise(lit(""))))
+    TextAnalysis.redactPii(planted, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  val redactPiiSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |         text
+      |         || CASE WHEN doc_id % 5 = 0
+      |                 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+      |         || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 today' ELSE '' END
+      |         || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.42 host' ELSE '' END
+      |         AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+      |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS n_phones,
+      |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+      |       REGEXP_REPLACE(
+      |         REGEXP_REPLACE(
+      |           REGEXP_REPLACE(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |           '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'),
+      |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+      |FROM planted
+      |ORDER BY doc_id""".stripMargin
+
   // ---- multimodal ----------------------------------------------------
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =

@@ -300,6 +300,21 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(!f3.getBoolean(3), "zero-stopword doc must fail stopword_ok")
   }
 
+  test("PII redaction replaces every match and counts per category") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, call 555-123-4567 or 555-000-1111, ip 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "edge: 999-999-9999 at 255.255.255.255")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4))).toMap
+    assert(r(1L)._1 == 2 && r(1L)._2 == 2 && r(1L)._3 == 1)
+    assert(r(1L)._4 == "mail [EMAIL] and [EMAIL], call [PHONE] or [PHONE], ip [IP]")
+    assert(r(2L) == ((0, 0, 0, "no pii here at all")))
+    assert(r(3L)._4 == "edge: [PHONE] at [IP]")
+  }
+
   test("language id is deterministic and covers all docs") {
     val l = ExtensionQueries.langId(spark, sfDir)
     assert(l.count() == table("documents").count())

@@ -95,6 +95,7 @@ object SparkEntry {
     "q56_repetition_metrics" -> (ExtensionQueries.repetitionMetrics _),
     "q57_quality_flags" -> (ExtensionQueries.qualityFlags _),
     "q61_redact_pii" -> (ExtensionQueries.redactPii _),
+    "q62_cluster_assign" -> (ExtensionQueries.clusterAssign _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -155,5 +156,6 @@ object SparkEntry {
     "q56_repetition_metrics" -> ExtensionQueries.repetitionMetricsSql,
     "q57_quality_flags" -> ExtensionQueries.qualityFlagsSql,
     "q61_redact_pii" -> ExtensionQueries.redactPiiSql,
+    "q62_cluster_assign" -> ExtensionQueries.clusterAssignSql,
   )
 }

@@ -218,6 +218,72 @@ object ExtensionQueries {
       |JOIN sh b ON b.doc_id = p.id_b
       |ORDER BY id_a""".stripMargin
 
+  /** Near-dup CLUSTER assignment: exact all-pairs Jaccard (≥ 0.5)
+    * pairs over the planted-near-dup corpus become edges, connected
+    * components assign every document the min id of its duplicate
+    * cluster. This is the step that turns pairwise near-dup output
+    * into a keepable representative set (a~b, b~c ⇒ one cluster, not
+    * two independent pairs).
+    */
+  def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDups(spark, dir)
+    val edges = Dedup.allPairsJaccard(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    graft.operators.Components
+      .clusterAssign(corpus, "doc_id", edges, "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: same string-side exact-Jaccard edges (the q21/q23
+    * formulation), components via a recursive transitive-closure CTE
+    * (UNION-deduped, so it terminates on cycles), cluster = min
+    * reachable id.
+    */
+  val clusterAssignSql: String =
+    """WITH RECURSIVE toksed AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         LIST_SLICE(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1,
+      |                    GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) - 3, 1))
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM toksed
+      |),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS g FROM sh WHERE LEN(sh) > 0),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh),
+      |pairs AS (
+      |  SELECT s.id_a, s.id_b FROM shared s
+      |  JOIN sizes la ON la.doc_id = s.id_a
+      |  JOIN sizes lb ON lb.doc_id = s.id_b
+      |  WHERE s.inter::DOUBLE / (la.n + lb.n - s.inter) >= 0.5
+      |),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION
+      |  SELECT id_b, id_a FROM pairs
+      |),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM toksed
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+      |),
+      |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+      |FROM cc
+      |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1) sz
+      |  USING (cluster_id)
+      |ORDER BY cc.doc_id""".stripMargin
+
   // ---- similarity search --------------------------------------------
 
   /** Query set: the first 5 embeddings (vec_id < 5). */

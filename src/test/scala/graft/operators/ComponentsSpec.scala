@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class ComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(
+      nodes.toDF("id"), "id",
+      edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to one component labeled by its min id") {
+    // worst case for plain hash-min (diameter = n); pointer jumping
+    // must still converge inside the default round budget
+    val n = 40L
+    val got = cc(0L until n, (0L until n - 1).map(i => (i, i + 1)))
+    assert(got.size == n)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("cycle, disjoint blob, and singletons") {
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 10L), // cycle
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle
+    val got = cc(Seq(10L, 11L, 12L, 20L, 21L, 22L, 30L, 31L), edges)
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 31L))
+  }
+
+  test("edge direction does not matter") {
+    val a = cc(Seq(1L, 2L, 3L), Seq((3L, 1L), (2L, 3L)))
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("clusterAssign reports cluster sizes") {
+    val out = Components.clusterAssign(
+      Seq(1L, 2L, 3L, 9L).toDF("id"), "id",
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (9L, 9L, 1L)))
+  }
+
+  test("near-dup cluster query: planted copies cluster with originals") {
+    val out = graft.queries.ExtensionQueries.clusterAssign(spark, sfDir)
+    val byDoc = out.select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    // every planted near-copy (id + 2,000,000) must land in its
+    // original's cluster — the pair is above the 0.5 threshold by
+    // construction (only 3 trailing tokens dropped)
+    val originals = byDoc.keys.filter(_ < 2000000L)
+    originals.foreach { id =>
+      assert(byDoc(id + 2000000L) == byDoc(id),
+        s"near copy of $id in different cluster")
+    }
+  }
+}

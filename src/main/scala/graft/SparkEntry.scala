@@ -96,6 +96,7 @@ object SparkEntry {
     "q57_quality_flags" -> (ExtensionQueries.qualityFlags _),
     "q61_redact_pii" -> (ExtensionQueries.redactPii _),
     "q62_cluster_assign" -> (ExtensionQueries.clusterAssign _),
+    "q63_interval_overlap" -> (TemporalQueries.intervalOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -157,5 +158,6 @@ object SparkEntry {
     "q57_quality_flags" -> ExtensionQueries.qualityFlagsSql,
     "q61_redact_pii" -> ExtensionQueries.redactPiiSql,
     "q62_cluster_assign" -> ExtensionQueries.clusterAssignSql,
+    "q63_interval_overlap" -> TemporalQueries.intervalOverlapSql,
   )
 }

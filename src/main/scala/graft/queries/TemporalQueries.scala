@@ -79,4 +79,50 @@ object TemporalQueries {
       |      FROM events WHERE event_type = 'purchase') p
       |JOIN w ON p.ts_us >= w.lo_us AND p.ts_us < w.hi_us
       |ORDER BY p.event_id, w.day""".stripMargin
+
+  /** Interval-OVERLAP join: daily error-burst windows (padded ±2 h so
+    * they can cross midnight) against per-(user, day) activity spans —
+    * "which users were active during which incident windows, and for
+    * how long". Bin-replicated equi-join with the emit-once guard; no
+    * BroadcastNestedLoopJoin, no dedup pass.
+    */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val pad = 2L * 3600 * 1000000
+    val bursts = ev.filter(col("event_type") === "error")
+      .groupBy(col("ts").cast("date").as("burst_day"))
+      .agg((min(unix_micros(col("ts"))) - pad).as("b_lo"),
+        (max(unix_micros(col("ts"))) + pad).as("b_hi"))
+    val spans = ev
+      .groupBy(col("user_id"), col("ts").cast("date").as("active_day"))
+      .agg(min(unix_micros(col("ts"))).as("s_lo"),
+        (max(unix_micros(col("ts"))) + 1).as("s_hi")) // half-open: +1 us keeps the last event inside
+    RangeJoin.intervalOverlap(spans, "s_lo", "s_hi", bursts, "b_lo", "b_hi",
+      binWidth = 3600L * 1000000) // 1-hour bins
+      .select(col("user_id"), col("active_day"), col("burst_day"),
+        (least(col("s_hi"), col("b_hi")) - greatest(col("s_lo"), col("b_lo")))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("active_day"), col("burst_day"))
+  }
+
+  val intervalOverlapSql: String =
+    """WITH bursts AS (
+      |  SELECT CAST(ts AS DATE) AS burst_day,
+      |         MIN(epoch_us(CAST(ts AS TIMESTAMP))) - 7200000000 AS b_lo,
+      |         MAX(epoch_us(CAST(ts AS TIMESTAMP))) + 7200000000 AS b_hi
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY 1
+      |),
+      |spans AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS active_day,
+      |         MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS s_lo,
+      |         MAX(epoch_us(CAST(ts AS TIMESTAMP))) + 1 AS s_hi
+      |  FROM events
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s.user_id, s.active_day, b.burst_day,
+      |       LEAST(s.s_hi, b.b_hi) - GREATEST(s.s_lo, b.b_lo) AS overlap_us
+      |FROM spans s
+      |JOIN bursts b ON s.s_lo < b.b_hi AND b.b_lo < s.s_hi
+      |ORDER BY s.user_id, s.active_day, b.burst_day""".stripMargin
 }

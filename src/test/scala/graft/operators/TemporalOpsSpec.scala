@@ -154,6 +154,38 @@ class TemporalOpsSpec extends SparkSpecBase {
       lineitem.join(urgent, Seq("l_orderkey")))
   }
 
+  test("interval overlap equals the naive inequality join at any bin width") {
+    import spark.implicits._
+    // hand-picked edges: touching half-open intervals ([0,10) vs
+    // [10,20)) must NOT match; negative bounds; containment; spans
+    // crossing many bins; an empty interval
+    val a = Seq((1L, -25L, -3L), (2L, 0L, 10L), (3L, 5L, 6L), (4L, 100L, 400L),
+      (5L, 7L, 7L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, -10L, 1L), (20L, 10L, 20L), (30L, 4L, 90L),
+      (40L, 399L, 1000L), (50L, -1000L, 500L)).toDF("b_id", "b_lo", "b_hi")
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") < col("a_hi") && col("b_lo") < col("b_hi") &&
+        col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select(col("a_id"), col("b_id"))
+    for (width <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", width)
+        .select(col("a_id"), col("b_id"))
+      assertSameRows(got, naive) // same multiset ⇒ emit-once guard held
+    }
+  }
+
+  test("interval overlap rejects fractional bounds and clashing names") {
+    import spark.implicits._
+    val ints = Seq((1L, 2L)).toDF("lo", "hi")
+    val frac = Seq((0.5, 2.5)).toDF("flo", "fhi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(ints, "lo", "hi", frac, "flo", "fhi", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(ints, "lo", "hi", ints, "lo", "hi", 10L)
+    }
+  }
+
   test("range join plans an equi-join on the bin key, not a nested loop") {
     val windows = events.filter(col("event_type") === "error")
       .groupBy(col("ts").cast("date").as("day"))

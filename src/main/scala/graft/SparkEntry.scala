@@ -97,6 +97,7 @@ object SparkEntry {
     "q61_redact_pii" -> (ExtensionQueries.redactPii _),
     "q62_cluster_assign" -> (ExtensionQueries.clusterAssign _),
     "q63_interval_overlap" -> (TemporalQueries.intervalOverlap _),
+    "q64_span_dedup" -> (CurationQueries.spanDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -159,5 +160,6 @@ object SparkEntry {
     "q61_redact_pii" -> ExtensionQueries.redactPiiSql,
     "q62_cluster_assign" -> ExtensionQueries.clusterAssignSql,
     "q63_interval_overlap" -> TemporalQueries.intervalOverlapSql,
+    "q64_span_dedup" -> CurationQueries.spanDedupSql,
   )
 }

@@ -325,6 +325,64 @@ object Dedup extends Logging {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Span-level (sub-document) dedup, the C4-style pass: documents are
+    * cut into fixed `spanWords`-token spans, every span that appears
+    * anywhere else in the corpus keeps only its GLOBAL first occurrence
+    * (minimum (doc id, span position)), and documents are rebuilt from
+    * their surviving spans. Removes boilerplate shared across pages
+    * (headers, license blocks, navigation) that document-level dedup
+    * cannot touch because the surrounding text differs.
+    *
+    * Scale shape: one explode to (doc, span) rows, one aggregation on
+    * the span text with map-side partials (identical spans collapse
+    * per-partition before the exchange — exactly the boilerplate case),
+    * and one doc-keyed aggregation to reassemble. The winner set IS the
+    * aggregation output, so no join back against the exploded spans.
+    * Deterministic: first occurrence is a total order, no RNG.
+    *
+    * Returns (doc_id, clean_text, kept_spans, total_spans); fully
+    * deduplicated documents survive with empty clean_text so the caller
+    * decides the drop policy.
+    */
+  def spanDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 3): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    // empty/blank docs tokenize to zero tokens (split would yield [""])
+    val toks = when(length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+      .withColumn("total_spans",
+        ceil(size(col("w")) / lit(spanWords.toDouble)).cast("long"))
+    val spans = base
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int(total_spans) - 1), " +
+          s"i -> array_join(slice(w, i * $spanWords + 1, $spanWords), ' '))")))
+      .withColumnRenamed("pos", "span_idx")
+      .withColumnRenamed("col", "span_text")
+    // global first occurrence per distinct span text — the aggregation
+    // output is already the kept set (one row per surviving span)
+    val kept = spans
+      .groupBy(col("span_text"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.span_idx").as("span_idx"), col("span_text"))
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(span_idx, span_text))), s -> s.span_text)"), " ")
+          .as("clean_text"),
+        count(lit(1)).as("kept_spans"))
+    base.select(col("doc_id"), col("total_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
+        col("total_spans"))
+  }
+
   /** Keep-latest dedup: one row per key, the maximum by `orderCols`
     * (lexicographic) — the standard CDC/recrawl policy where the
     * newest snapshot of a URL/document wins.

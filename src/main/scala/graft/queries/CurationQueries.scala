@@ -336,4 +336,49 @@ object CurationQueries {
        |SELECT doc_id, bpeish_tokens FROM t
        |WHERE bpeish_tokens >= (SELECT QUANTILE_DISC(bpeish_tokens, 0.25) FROM t)
        |ORDER BY doc_id""".stripMargin
+
+  /** Span-level (C4-style) dedup: 3-word spans deduped globally to
+    * their first occurrence, documents rebuilt from surviving spans.
+    * The small-vocabulary fixture makes cross-document span collisions
+    * common, so the pass removes real content here (kept < total).
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(Tables.documents(spark, dir), "doc_id", "text", spanWords = 3)
+      .orderBy(col("doc_id"))
+
+  /** DuckDB oracle: same spans via list slicing, first occurrence via
+    * a window, reassembly via ordered STRING_AGG.
+    */
+  val spanDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w FROM documents
+      |),
+      |idx AS (
+      |  SELECT doc_id, w,
+      |         UNNEST(RANGE(0, CAST(CEIL(LEN(w) / 3.0) AS BIGINT))) AS span_idx
+      |  FROM toks WHERE LEN(w) > 0
+      |),
+      |sp AS (
+      |  SELECT doc_id, span_idx,
+      |         ARRAY_TO_STRING(LIST_SLICE(w, span_idx * 3 + 1, span_idx * 3 + 3), ' ') AS span_text
+      |  FROM idx
+      |),
+      |kept AS (
+      |  SELECT doc_id, span_idx, span_text,
+      |         ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+      |  FROM sp
+      |),
+      |rebuilt AS (
+      |  SELECT doc_id,
+      |         STRING_AGG(span_text, ' ' ORDER BY span_idx) AS clean_text,
+      |         COUNT(*) AS kept_spans
+      |  FROM kept WHERE rn = 1 GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |       COALESCE(r.clean_text, '') AS clean_text,
+      |       COALESCE(r.kept_spans, 0) AS kept_spans,
+      |       CAST(CEIL(LEN(t.w) / 3.0) AS BIGINT) AS total_spans
+      |FROM toks t
+      |LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 }

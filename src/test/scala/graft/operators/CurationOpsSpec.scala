@@ -174,6 +174,33 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("spanDedup: first occurrence wins globally, docs rebuild in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),   // both spans unique at first sight
+      (2L, "a b c x y z"),   // "a b c" already seen in doc 1
+      (3L, "x y z q"),       // "x y z" seen in doc 2; tail span "q" kept
+      (4L, "a b c"),         // fully deduplicated
+      (5L, "")               // empty doc: 0 spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", spanWords = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a b c d e f", 2L, 2L),
+      (2L, "x y z", 1L, 2L),
+      (3L, "q", 1L, 2L),
+      (4L, "", 0L, 1L),
+      (5L, "", 0L, 0L)))
+  }
+
+  test("spanDedup with a span wider than every doc is the identity on distinct docs") {
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanWords = 100000)
+    assert(out.filter(col("kept_spans") =!= 1 || col("total_spans") =!= 1).isEmpty)
+    assert(out.join(docs, "doc_id")
+      .filter(col("clean_text") =!= trim(col("text"))).isEmpty)
+  }
+
   test("topKPerGroup equals the row_number window formulation") {
     val scored = docs.select(col("source"), col("doc_id"),
       graft.functions.TextFunctions.bpeishTokenCount(col("text")).cast("double").as("score"))

@@ -98,6 +98,7 @@ object SparkEntry {
     "q62_cluster_assign" -> (ExtensionQueries.clusterAssign _),
     "q63_interval_overlap" -> (TemporalQueries.intervalOverlap _),
     "q64_span_dedup" -> (CurationQueries.spanDedup _),
+    "q65_normalize_text" -> (ExtensionQueries.normalizeText _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,5 +162,6 @@ object SparkEntry {
     "q62_cluster_assign" -> ExtensionQueries.clusterAssignSql,
     "q63_interval_overlap" -> TemporalQueries.intervalOverlapSql,
     "q64_span_dedup" -> CurationQueries.spanDedupSql,
+    "q65_normalize_text" -> ExtensionQueries.normalizeTextSql,
   )
 }

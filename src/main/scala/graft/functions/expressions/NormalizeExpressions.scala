@@ -1,0 +1,66 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Accent folding for text normalization: decompose to NFD and drop
+  * combining marks (Unicode category Mn), so "café" → "cafe",
+  * "Mühle" → "Muhle". This is the same definition DuckDB's
+  * `strip_accents` (utf8proc) implements, which is what the q65 oracle
+  * compares against.
+  *
+  * Spark has no built-in for this (`translate` needs an explicit char
+  * map); a native expression keeps the normalization pipeline inside
+  * whole-stage codegen instead of paying a Scala UDF's
+  * serialize/deserialize per row. All-ASCII strings (the overwhelming
+  * majority of a web corpus after language filtering) short-circuit on
+  * a byte scan without allocating.
+  */
+object NormalizeUtil {
+
+  def foldAccents(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) {
+        return foldSlow(s)
+      }
+      i += 1
+    }
+    s // pure ASCII: nothing to fold
+  }
+
+  private def foldSlow(s: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `fold_accents(text)` — NFD-decompose and strip combining marks. */
+case class FoldAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NormalizeUtil.foldAccents(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NormalizeUtil.foldAccents($c)")
+  override protected def withNewChildInternal(newChild: Expression): FoldAccents =
+    copy(child = newChild)
+  override def prettyName: String = "fold_accents"
+}
+
+object NormalizeFunctions {
+  def fold_accents(text: Column): Column =
+    ColumnBridge.column(FoldAccents(ColumnBridge.expression(text)))
+}

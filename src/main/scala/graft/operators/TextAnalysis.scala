@@ -155,6 +155,18 @@ object TextAnalysis {
         Ipv4Re, "[IP]").as("redacted"))
   }
 
+  /** Canonical text normalization for dedup keys and training text:
+    * fold accents (native NFD expression), lowercase, collapse runs of
+    * whitespace to one space, trim. Pure map pass — stays inside
+    * whole-stage codegen, no shuffle — and deterministic, so it can
+    * run BEFORE exact/near dedup to make "Café  X" and "cafe x" hash
+    * identically.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.expressions.NormalizeFunctions.fold_accents(text)),
+      "\\s+", " "))
+
   /** Token counts: whitespace tokens + BPE-ish subword-approximation. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -788,6 +788,40 @@ object ExtensionQueries {
       |FROM planted
       |ORDER BY doc_id""".stripMargin
 
+  /** Canonical normalization (accent fold → lowercase → whitespace
+    * collapse → trim) over a deterministically "messied" corpus: the
+    * ASCII fixture gets vowels swapped for accented forms, upper-cased,
+    * spaces doubled, and padding added — derived IDENTICALLY on both
+    * engines — so the normalizer's accent/case/whitespace handling is
+    * all load-bearing in the comparison (DuckDB `strip_accents` is the
+    * independent NFD implementation).
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("  "),
+      translate(upper(regexp_replace(col("text"), " ", "  ")),
+        "AEIOU", "ÀÉÎÕÜ"),
+      lit(" \t "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(messy).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normalizeTextSql: String =
+    """WITH messy AS (
+      |  SELECT doc_id,
+      |         '  ' || TRANSLATE(UPPER(REPLACE(text, ' ', '  ')),
+      |                           'AEIOU', 'ÀÉÎÕÜ')
+      |         || ' ' || CHR(9) || ' ' AS m
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       TRIM(REGEXP_REPLACE(LOWER(STRIP_ACCENTS(m)), '\s+', ' ', 'g')) AS norm_text,
+      |       LENGTH(TRIM(REGEXP_REPLACE(LOWER(STRIP_ACCENTS(m)), '\s+', ' ', 'g'))) AS n_chars_norm
+      |FROM messy
+      |ORDER BY doc_id""".stripMargin
+
   // ---- multimodal ----------------------------------------------------
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =

@@ -197,4 +197,14 @@ class TemporalOpsSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("interval overlap plans an equi-join on the bin key, not a nested loop") {
+    import spark.implicits._
+    val a = (0L until 50L).map(i => (i, i * 10, i * 10 + 25)).toDF("a_id", "a_lo", "a_hi")
+    val b = (0L until 50L).map(i => (i, i * 7, i * 7 + 12)).toDF("b_id", "b_lo", "b_hi")
+    val p = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

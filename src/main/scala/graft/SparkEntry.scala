@@ -99,6 +99,8 @@ object SparkEntry {
     "q63_interval_overlap" -> (TemporalQueries.intervalOverlap _),
     "q64_span_dedup" -> (CurationQueries.spanDedup _),
     "q65_normalize_text" -> (ExtensionQueries.normalizeText _),
+    "q66_containment_pairs" -> (ExtensionQueries.containmentPairs _),
+    "q67_text_knn" -> (ExtensionQueries.textKnn _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -163,5 +165,7 @@ object SparkEntry {
     "q63_interval_overlap" -> TemporalQueries.intervalOverlapSql,
     "q64_span_dedup" -> CurationQueries.spanDedupSql,
     "q65_normalize_text" -> ExtensionQueries.normalizeTextSql,
+    "q66_containment_pairs" -> ExtensionQueries.containmentPairsSql,
+    "q67_text_knn" -> ExtensionQueries.textKnnSql,
   )
 }

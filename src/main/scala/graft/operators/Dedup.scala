@@ -271,24 +271,81 @@ object Dedup extends Logging {
   def allPairsJaccard(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import graft.functions.expressions.TextHashFunctions._
     require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0, 1]")
-    // set size rides each exploded row (8 extra bytes), so the final
-    // Jaccard needs no join back to the documents — one scan, one
-    // shuffle, no persist left pinned in the session
+    sharedShinglePairs(docs, idCol, textCol, shingleN)
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The inverted-index core shared by the exact text-similarity
+    * operators: every ordered pair (id_a < id_b) sharing >= 1 distinct
+    * `shingleN`-gram, with both set sizes and the exact intersection
+    * count. Set size rides each exploded row (8 extra bytes), so
+    * downstream metrics need no join back to the documents — one scan,
+    * one shuffle, no persist left pinned in the session.
+    */
+  private def sharedShinglePairs(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    import graft.functions.expressions.TextHashFunctions._
     val ex = docs
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
-    val shared = ex.as("a")
+    ex.as("a")
       .join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    shared
+  }
+
+  /** EXACT containment join — excerpt/quote detection. Containment
+    * C(A in B) = |S(A) ∩ S(B)| / |S(A)| is the asymmetric cousin of
+    * Jaccard: a short document lifted verbatim from a long one scores
+    * C ≈ 1 while its Jaccard is tiny (the long side's size dominates
+    * the union), so threshold-Jaccard dedup never sees it. Emits pairs
+    * where EITHER direction reaches `threshold`, with both directions'
+    * scores. Same inverted-index shape (and cost) as
+    * [[allPairsJaccard]].
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0, 1]")
+    sharedShinglePairs(docs, idCol, textCol, shingleN)
+      .withColumn("cont_a_in_b", col("inter") / col("n_a"))
+      .withColumn("cont_b_in_a", col("inter") / col("n_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+        round(col("cont_b_in_a"), 4).as("cont_b_in_a"))
+  }
+
+  /** EXACT text k-nearest-neighbors by n-gram Jaccard: for every
+    * document, its `k` most similar documents among those sharing at
+    * least one shingle, ties broken by neighbor id (total order, both
+    * sides exact — no RNG, no LSH recall loss). Built from the
+    * inverted index + the bounded-heap top-k aggregator: k rows per
+    * doc per partition shuffle, never a per-doc sort of all its
+    * candidates.
+    *
+    * Scale path: on dense corpora the candidate set is the cost (the
+    * Σ df² of [[allPairsJaccard]]); at 100 TB, generate candidates
+    * with MinHash LSH and exact-rerank only those — this operator IS
+    * that reranker when fed a candidate pair list via `minJaccard`
+    * pruning.
+    */
+  def textKnn(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val pairs = sharedShinglePairs(docs, idCol, textCol, shingleN)
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("nbr"), col("jaccard"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col("jaccard")))
+    CorpusStats.topKPerGroup(sym, "src", "nbr", "jaccard", k)
+      .select(col("src").as(idCol), col("nbr").as("neighbor_id"),
+        round(col("score"), 4).as("jaccard"), col("rank"))
   }
 
   /** EXACT all-pairs cosine similarity at `threshold` — the brute-force

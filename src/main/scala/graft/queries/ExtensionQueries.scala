@@ -18,8 +18,9 @@ import graft.sources.Tables
   */
 object ExtensionQueries {
 
-  private val ExactOffset = 1000000L
-  private val NearOffset  = 2000000L
+  private val ExactOffset   = 1000000L
+  private val NearOffset    = 2000000L
+  private val ExcerptOffset = 3000000L
 
   /** documents ∪ exact copies: every text appears exactly twice. */
   def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
@@ -35,6 +36,19 @@ object ExtensionQueries {
       (col("doc_id") + NearOffset).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
     d.unionAll(mutated)
+  }
+
+  /** documents ∪ verbatim excerpts (tokens 5..24, ids offset
+    * 3,000,000) — every excerpt's shingle set is a SUBSET of its
+    * source's, so containment(excerpt → source) = 1 by construction
+    * while the pair's Jaccard stays small.
+    */
+  def corpusWithExcerpts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    d.unionAll(d.select(
+      (col("doc_id") + ExcerptOffset).as("doc_id"),
+      concat_ws(" ", slice(toks, 5, 20)).as("text")))
   }
 
   // ---- deduplication -------------------------------------------------
@@ -787,6 +801,95 @@ object ExtensionQueries {
       |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
       |FROM planted
       |ORDER BY doc_id""".stripMargin
+
+  /** Excerpt/quote detection via asymmetric n-gram containment over
+    * the planted-excerpt corpus: threshold-Jaccard dedup can never see
+    * a 20-token excerpt inside a 150-token page (union dominated by
+    * the page), directional containment flags it at 1.0.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(corpusWithExcerpts(spark, dir), "doc_id", "text",
+      shingleN = 3, threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** DuckDB oracle: same corpus token-wise, string-side shingle sets,
+    * LIST_INTERSECT-free inverted-index counting (the q23 hash-vs-
+    * string argument), directional division.
+    */
+  val containmentPairsSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |         LIST_SLICE(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 5, 24)
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM corpus
+      |),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS g FROM sh WHERE LEN(sh) > 0),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh)
+      |SELECT s.id_a, s.id_b,
+      |       ROUND(s.inter::DOUBLE / la.n, 4) AS cont_a_in_b,
+      |       ROUND(s.inter::DOUBLE / lb.n, 4) AS cont_b_in_a
+      |FROM shared s
+      |JOIN sizes la ON la.doc_id = s.id_a
+      |JOIN sizes lb ON lb.doc_id = s.id_b
+      |WHERE GREATEST(s.inter::DOUBLE / la.n, s.inter::DOUBLE / lb.n) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact text k-NN (top-3 Jaccard neighbors per document) over the
+    * plain corpus — the exact reranker of an LSH-candidate pipeline,
+    * run un-pruned at test scale. Deterministic: exact doubles, ties
+    * by neighbor id.
+    */
+  def textKnn(spark: SparkSession, dir: String): DataFrame =
+    Dedup.textKnn(Tables.documents(spark, dir), "doc_id", "text",
+      k = 3, shingleN = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  val textKnnSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents)
+      |),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS g FROM sh WHERE LEN(sh) > 0),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh),
+      |pj AS (
+      |  SELECT s.id_a, s.id_b,
+      |         s.inter::DOUBLE / (la.n + lb.n - s.inter) AS j
+      |  FROM shared s
+      |  JOIN sizes la ON la.doc_id = s.id_a
+      |  JOIN sizes lb ON lb.doc_id = s.id_b
+      |),
+      |sym AS (
+      |  SELECT id_a AS doc_id, id_b AS neighbor_id, j FROM pj
+      |  UNION ALL
+      |  SELECT id_b, id_a, j FROM pj
+      |),
+      |rk AS (
+      |  SELECT doc_id, neighbor_id, j,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, neighbor_id) AS rnk
+      |  FROM sym
+      |)
+      |SELECT doc_id, neighbor_id, ROUND(j, 4) AS jaccard, CAST(rnk AS INTEGER) AS rank
+      |FROM rk WHERE rnk <= 3
+      |ORDER BY doc_id, rank""".stripMargin
 
   /** Canonical normalization (accent fold → lowercase → whitespace
     * collapse → trim) over a deterministically "messied" corpus: the

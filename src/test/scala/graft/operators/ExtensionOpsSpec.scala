@@ -53,6 +53,46 @@ class ExtensionOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("containment flags every planted excerpt at 1.0 where jaccard dedup is blind") {
+    val corpus = ExtensionQueries.corpusWithExcerpts(spark, sfDir)
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.9)
+    // every (source, excerpt) pair present with full directional containment
+    val planted = got
+      .filter(col("id_b") === col("id_a") + 3000000L && col("cont_b_in_a") === 1.0)
+      .count()
+    val nDocs = table("documents").count()
+    assert(planted == nDocs, s"$planted of $nDocs excerpts flagged")
+    // and symmetric-jaccard dedup misses a real fraction of them even
+    // at its own 0.5 threshold (the union is dominated by the longer
+    // side) — the blindness gap containment exists to close
+    val jac = Dedup.allPairsJaccard(corpus, "doc_id", "text", 3, 0.5)
+      .filter(col("id_b") === col("id_a") + 3000000L).count()
+    assert(jac < planted, s"jaccard caught all $jac excerpt pairs; no gap")
+  }
+
+  test("textKnn equals the naive window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.TextHashFunctions.shingle_hashes
+    import graft.functions.TextFunctions.jaccard
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val sh = docs.select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("j", jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") > 0)
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"), col("j"))
+    val naive = pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("j").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("neighbor_id"),
+        round(col("j"), 4).as("jaccard"), col("rank"))
+    val fast = Dedup.textKnn(docs, "doc_id", "text", k = 3, shingleN = 3)
+    assertSameRows(fast, naive)
+  }
+
   test("simhash blocking finds EXACTLY the pairs at hamming <= 3 (pigeonhole guarantee)") {
     import graft.functions.expressions.TextHashFunctions
     val corpus = ExtensionQueries.corpusWithNearDups(spark, sfDir)

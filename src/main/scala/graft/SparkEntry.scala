@@ -101,6 +101,7 @@ object SparkEntry {
     "q65_normalize_text" -> (ExtensionQueries.normalizeText _),
     "q66_containment_pairs" -> (ExtensionQueries.containmentPairs _),
     "q67_text_knn" -> (ExtensionQueries.textKnn _),
+    "q68_funnel" -> (ExtensionQueries.funnelConversion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -167,5 +168,6 @@ object SparkEntry {
     "q65_normalize_text" -> ExtensionQueries.normalizeTextSql,
     "q66_containment_pairs" -> ExtensionQueries.containmentPairsSql,
     "q67_text_knn" -> ExtensionQueries.textKnnSql,
+    "q68_funnel" -> ExtensionQueries.funnelConversionSql,
   )
 }

@@ -79,6 +79,12 @@ object GraftExtensions {
         case Seq(v, p)    => HyperplaneBits(v, intArg(p, "planes"), 0x5eed)
         case Seq(v, p, s) => HyperplaneBits(v, intArg(p, "planes"), intArg(s, "seed"))
         case _ => throw new IllegalArgumentException("hyperplane_bits(v, planes[, seed])")
+      }),
+    (FunctionIdentifier("fold_accents"),
+      new ExpressionInfo(classOf[FoldAccents].getName, "fold_accents"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => FoldAccents(text)
+        case _ => throw new IllegalArgumentException("fold_accents(text)")
       }))
 
   /** Install into a live session (when session construction isn't in

@@ -802,6 +802,45 @@ object ExtensionQueries {
       |FROM planted
       |ORDER BY doc_id""".stripMargin
 
+  /** Conversion funnel view → click → purchase: earliest ordered
+    * completion per user, NULL from the first missed stage.
+    */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnels.funnel(Tables.events(spark, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  /** DuckDB oracle: identical stage-by-stage construction; all
+    * comparisons at microsecond precision (CAST to TIMESTAMP before
+    * the strict >), matching the engine's nanos→micros normalization.
+    */
+  val funnelConversionSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS stage_1_ts
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |),
+      |s2 AS (
+      |  SELECT s1.user_id, s1.stage_1_ts, MIN(CAST(e.ts AS TIMESTAMP)) AS stage_2_ts
+      |  FROM s1 LEFT JOIN events e
+      |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+      |   AND CAST(e.ts AS TIMESTAMP) > s1.stage_1_ts
+      |  GROUP BY 1, 2
+      |),
+      |s3 AS (
+      |  SELECT s2.user_id, s2.stage_1_ts, s2.stage_2_ts,
+      |         MIN(CAST(e.ts AS TIMESTAMP)) AS stage_3_ts
+      |  FROM s2 LEFT JOIN events e
+      |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      |   AND CAST(e.ts AS TIMESTAMP) > s2.stage_2_ts
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, stage_1_ts, stage_2_ts, stage_3_ts,
+      |       CAST(CASE WHEN stage_1_ts IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN stage_2_ts IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN stage_3_ts IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+      |         AS stages_completed
+      |FROM s3 ORDER BY user_id""".stripMargin
+
   /** Excerpt/quote detection via asymmetric n-gram containment over
     * the planted-excerpt corpus: threshold-Jaccard dedup can never see
     * a 20-token excerpt inside a 150-token page (union dominated by

@@ -24,6 +24,7 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(row.getInt(2) > 0)
     assert(row.getInt(3) > 0)
     assert(row.getInt(4) == 5)
+    assert(spark.sql("SELECT fold_accents('Àéîõü')").head().getString(0) == "Aeiou")
   }
 
   test("SQL and Column-API forms agree") {

@@ -102,6 +102,8 @@ object SparkEntry {
     "q66_containment_pairs" -> (ExtensionQueries.containmentPairs _),
     "q67_text_knn" -> (ExtensionQueries.textKnn _),
     "q68_funnel" -> (ExtensionQueries.funnelConversion _),
+    "q69_rolling_window" -> (TemporalQueries.rollingWindow _),
+    "q70_grouped_quantiles" -> (CurationQueries.groupedQuantiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -169,5 +171,7 @@ object SparkEntry {
     "q66_containment_pairs" -> ExtensionQueries.containmentPairsSql,
     "q67_text_knn" -> ExtensionQueries.textKnnSql,
     "q68_funnel" -> ExtensionQueries.funnelConversionSql,
+    "q69_rolling_window" -> TemporalQueries.rollingWindowSql,
+    "q70_grouped_quantiles" -> CurationQueries.groupedQuantilesSql,
   )
 }

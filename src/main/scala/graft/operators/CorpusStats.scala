@@ -34,9 +34,11 @@ object CorpusStats {
     * (Continuous domains at scale → `percentile_approx`, q34.)
     *
     * Returns a 1-row (threshold) frame: the smallest value v whose
-    * cumulative count reaches floor((n-1)·q)+1 — i.e. the element at
-    * 0-based index floor((n-1)·q) of the sorted values, matching
-    * DuckDB's QUANTILE_DISC so the oracle can use the built-in.
+    * cumulative count reaches max(1, ceil(n·q)) — i.e. the element at
+    * 0-based index ceil(n·q)−1 of the sorted values, matching DuckDB's
+    * QUANTILE_DISC selection (verified empirically against n=4/5/10/25;
+    * the earlier floor((n−1)·q)+1 rule agreed only when n·q was
+    * non-integral) so the oracle can use the built-in.
     *
     * The single-partition window is over the histogram only; the
     * corpus never sorts.
@@ -50,7 +52,7 @@ object CorpusStats {
         Window.orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     cum.crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
-      .filter(col("cume") >= floor((col("n") - 1) * q) + 1)
+      .filter(col("cume") >= greatest(lit(1L), ceil(col("n") * q)))
       .agg(min(col("v")).as("threshold"))
   }
 
@@ -63,6 +65,34 @@ object CorpusStats {
     df.crossJoin(broadcast(quantileDisc(df, valueCol, q)))
       .filter(col(valueCol) >= col("threshold"))
       .drop("threshold")
+
+  /** Exact discrete quantiles PER GROUP, several q at once — per-source
+    * length percentiles for data cards without ever sorting a group's
+    * rows: the corpus collapses to a (group, value) histogram with
+    * map-side partials, a per-group window cumulates the histogram
+    * (histogram rows only — bounded by distinct values, not rows), and
+    * each requested q selects its element with the same
+    * max(1, ceil(n·q)) rule as [[quantileDisc]] (DuckDB QUANTILE_DISC
+    * semantics). Returns (group, q, value) long-form.
+    */
+  def groupedQuantileDisc(
+      df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles: $qs")
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cume", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+    qs.map { q =>
+      cum.filter(col("cume") >= greatest(lit(1L), ceil(col("n") * q)))
+        .groupBy(col(groupCol))
+        .agg(min(col("v")).as("value"))
+        .select(col(groupCol), lit(q).as("q"), col("value"))
+    }.reduce(_ unionAll _)
+  }
 
   /** Fixed-width histogram of a numeric column, optionally per group:
     * one aggregate with map-side partials — the corpus collapses to

@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * ORDER-DEPENDENT mins, which a single aggregation pass cannot
   * express.
   *
-  * Shape: one aggregation per stage, each shuffling ONE (user, min ts)
-  * row per user per partition after map-side partials — never the raw
-  * event stream — all hash-partitioned on the same user key, so AQE
-  * reuses the partitioning across the per-stage joins. Earliest-first
-  * semantics ("first qualifying event after the previous stage") is
-  * the standard greedy definition and maximizes completion counts for
+  * Shape: stage 1 is a (user, min ts) aggregation with map-side
+  * partials; each later stage equi-joins the accumulator against ONLY
+  * that stage's filtered events on the user key (the ts inequality
+  * rides the join as a non-equi condition) and re-aggregates the
+  * min — so each event is shuffled at most once, for the one stage
+  * whose type filter selects it, and every exchange hashes the same
+  * user key. Earliest-first semantics ("first qualifying event after
+  * the previous stage") is the standard greedy definition for
   * strictly-ordered funnels.
   *
   * Output: (`userCol`, stage_1_ts..stage_k_ts, stages_completed) with

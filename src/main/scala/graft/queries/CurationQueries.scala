@@ -337,6 +337,26 @@ object CurationQueries {
        |WHERE bpeish_tokens >= (SELECT QUANTILE_DISC(bpeish_tokens, 0.25) FROM t)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source length percentiles (p25/p50/p90 of n_chars) — the
+    * grouped exact-quantile data-card stat, computed histogram-side.
+    */
+  def groupedQuantiles(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.groupedQuantileDisc(Tables.documents(spark, dir),
+      "source", "n_chars", Seq(0.25, 0.5, 0.9))
+      .orderBy(col("source"), col("q"))
+
+  val groupedQuantilesSql: String =
+    """SELECT source, CAST(0.25 AS DOUBLE) AS q,
+      |       CAST(QUANTILE_DISC(n_chars, 0.25) AS BIGINT) AS value
+      |FROM documents GROUP BY source
+      |UNION ALL
+      |SELECT source, CAST(0.5 AS DOUBLE), CAST(QUANTILE_DISC(n_chars, 0.5) AS BIGINT)
+      |FROM documents GROUP BY source
+      |UNION ALL
+      |SELECT source, CAST(0.9 AS DOUBLE), CAST(QUANTILE_DISC(n_chars, 0.9) AS BIGINT)
+      |FROM documents GROUP BY source
+      |ORDER BY source, q""".stripMargin
+
   /** Span-level (C4-style) dedup: 3-word spans deduped globally to
     * their first occurrence, documents rebuilt from surviving spans.
     * The small-vocabulary fixture makes cross-document span collisions

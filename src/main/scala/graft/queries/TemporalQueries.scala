@@ -105,6 +105,42 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("active_day"), col("burst_day"))
   }
 
+  /** Event-time rolling 7-day window per user: daily partial
+    * aggregation first (events collapse to one row per (user, day)
+    * with map-side partials — the window never sees raw events), then
+    * a RANGE frame over day numbers so gaps in activity are windowed
+    * by TIME, not by row position (a ROWS frame would silently span
+    * months for sparse users). Money sums in exact decimal until the
+    * final cast (the q15 double-vs-DuckDB summation lesson).
+    */
+  def rollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_day"),
+        sum(col("value").cast("decimal(18,2)")).as("v_day"))
+    val dayNum = datediff(col("day"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("user_id")).orderBy(dayNum).rangeBetween(-6, 0)
+    daily.select(col("user_id"), col("day"),
+        sum(col("n_day")).over(w).as("n_events_7d"),
+        round(sum(col("v_day")).over(w).cast("double"), 4).as("value_7d"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val rollingWindowSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_day,
+      |         SUM(CAST(value AS DECIMAL(18,2))) AS v_day
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT user_id, day,
+      |       CAST(SUM(n_day) OVER w AS BIGINT) AS n_events_7d,
+      |       ROUND(CAST(SUM(v_day) OVER w AS DOUBLE), 4) AS value_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
   val intervalOverlapSql: String =
     """WITH bursts AS (
       |  SELECT CAST(ts AS DATE) AS burst_day,

@@ -105,7 +105,8 @@ class CurationOpsSpec extends SparkSpecBase {
       graft.functions.TextFunctions.bpeishTokenCount(col("text")).as("x"))
     val values = scored.select("x").collect().map(_.getInt(0)).sorted
     for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
-      val want = values(math.floor((values.length - 1) * q).toInt).toLong
+      // DuckDB QUANTILE_DISC: 0-based index ceil(n·q)−1, floored at 0
+      val want = values(math.max(0, math.ceil(values.length * q).toInt - 1)).toLong
       val got = CorpusStats.quantileDisc(scored, "x", q).head().getLong(0)
       assert(got == want, s"q=$q: got $got want $want")
     }
@@ -199,6 +200,22 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(out.filter(col("kept_spans") =!= 1 || col("total_spans") =!= 1).isEmpty)
     assert(out.join(docs, "doc_id")
       .filter(col("clean_text") =!= trim(col("text"))).isEmpty)
+  }
+
+  test("groupedQuantileDisc equals naive per-group sorted-element selection") {
+    val docs = table("documents")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = CorpusStats.groupedQuantileDisc(docs, "source", "n_chars", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val naive = docs.select(col("source"), col("n_chars"))
+      .collect().groupBy(_.getString(0))
+      .flatMap { case (src, rows) =>
+        val sorted = rows.map(_.getLong(1)).sorted
+        // DuckDB QUANTILE_DISC: 0-based index ceil(n·q)−1, floored at 0
+        qs.map(q => (src, q) ->
+          sorted(math.max(0, math.ceil(sorted.length * q).toInt - 1)))
+      }
+    assert(got == naive)
   }
 
   test("topKPerGroup equals the row_number window formulation") {

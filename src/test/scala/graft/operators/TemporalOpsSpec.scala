@@ -186,6 +186,26 @@ class TemporalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("rolling window is a TIME range, not a row count (activity gaps excluded)") {
+    import spark.implicits._
+    // one user, bursts on days 1-2 then a gap to day 40: the 7-day
+    // window at day 40 must NOT reach back across the gap (a ROWS
+    // frame would)
+    val ev = Seq(("2024-01-01", 3), ("2024-01-02", 2), ("2024-02-09", 4))
+      .flatMap { case (d, n) => Seq.fill(n)((7L, d)) }
+      .toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("date").as("day"),
+        col("d").cast("timestamp").as("ts"), lit(1.0).as("value"))
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_day"))
+    val dayNum = datediff(col("day"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("user_id")).orderBy(dayNum).rangeBetween(-6, 0)
+    val got = daily.select(col("day"), sum(col("n_day")).over(w).as("n7"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(got == Map("2024-01-01" -> 3L, "2024-01-02" -> 5L, "2024-02-09" -> 4L))
+  }
+
   test("range join plans an equi-join on the bin key, not a nested loop") {
     val windows = events.filter(col("event_type") === "error")
       .groupBy(col("ts").cast("date").as("day"))

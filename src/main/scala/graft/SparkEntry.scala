@@ -104,6 +104,8 @@ object SparkEntry {
     "q68_funnel" -> (ExtensionQueries.funnelConversion _),
     "q69_rolling_window" -> (TemporalQueries.rollingWindow _),
     "q70_grouped_quantiles" -> (CurationQueries.groupedQuantiles _),
+    "q71_weighted_sample" -> (CurationQueries.weightedSample _),
+    "q72_winsorize" -> (CurationQueries.winsorize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -173,5 +175,7 @@ object SparkEntry {
     "q68_funnel" -> ExtensionQueries.funnelConversionSql,
     "q69_rolling_window" -> TemporalQueries.rollingWindowSql,
     "q70_grouped_quantiles" -> CurationQueries.groupedQuantilesSql,
+    "q71_weighted_sample" -> CurationQueries.weightedSampleSql,
+    "q72_winsorize" -> CurationQueries.winsorizeSql,
   )
 }

@@ -86,6 +86,37 @@ object Components extends Logging {
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 
+  /** Cross-batch incremental components: fold a NEW batch's nodes and
+    * near-dup edges into an existing (id, cluster_id) assignment
+    * without re-reading historical pairs or text. The previous
+    * assignment is itself a spanning star of each old component
+    * (id — cluster_id edges connect exactly what the original edge set
+    * connected), so running [[connectedComponents]] over
+    * star-edges ∪ new-edges is EXACTLY the full recompute — at the
+    * cost of one edge per old non-root node plus the batch's edges.
+    * New edges that bridge two old clusters relabel both to the global
+    * min; this pairs with [[SignatureIndex]], which produces the
+    * batch-vs-corpus candidate pairs the same way.
+    */
+  def incrementalComponents(
+      prevLabels: DataFrame, // (idCol, cluster_id) from a prior run
+      newNodes: DataFrame,
+      idCol: String,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val nodes = prevLabels.select(col(idCol))
+      .unionAll(newNodes.select(col(idCol)))
+      .distinct()
+    val starEdges = prevLabels
+      .filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).as(srcCol), col("cluster_id").as(dstCol))
+    connectedComponents(nodes, idCol,
+      starEdges.unionAll(newEdges.select(col(srcCol), col(dstCol))),
+      srcCol, dstCol, maxIter)
+  }
+
   /** [[connectedComponents]] plus the size of each cluster — the usual
     * curation output (keep cluster_id == id, or audit big clusters).
     */

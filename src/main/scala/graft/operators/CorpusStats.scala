@@ -94,6 +94,27 @@ object CorpusStats {
     }.reduce(_ unionAll _)
   }
 
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [qLo, qHi] discrete quantile band — outlier taming before
+    * per-source feature normalization. The two quantiles per group
+    * come from [[groupedQuantileDisc]] (histogram-side, tiny) and
+    * broadcast onto an in-place clip; the corpus never shuffles.
+    * Adds `valueCol`_winsorized.
+    */
+  def winsorize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      qLo: Double, qHi: Double): DataFrame = {
+    require(qLo <= qHi, s"qLo $qLo > qHi $qHi")
+    val qs = groupedQuantileDisc(df, groupCol, valueCol, Seq(qLo, qHi))
+    val lo = qs.filter(col("q") === qLo).select(col(groupCol), col("value").as("__lo"))
+    val hi = qs.filter(col("q") === qHi).select(col(groupCol), col("value").as("__hi"))
+    df.join(broadcast(lo), groupCol)
+      .join(broadcast(hi), groupCol)
+      .withColumn(s"${valueCol}_winsorized",
+        least(greatest(col(valueCol).cast("long"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Fixed-width histogram of a numeric column, optionally per group:
     * one aggregate with map-side partials — the corpus collapses to
     * (group, bin) rows, the scale-right distribution profile

@@ -58,6 +58,39 @@ object Sampling {
       .drop("graft_rate")
   }
 
+  /** Importance (weight-proportional) sampling: keep each row with
+    * probability ≈ `fraction` · wᵢ/E[w], deterministically — the
+    * data-mixing primitive that over-keeps long/high-value documents
+    * at a fixed expected total. The per-row threshold is computed in
+    * EXACT integer arithmetic (floor(F·wᵢ·n / W) with
+    * F = floor(fraction·Buckets), W = Σw, one integral division — no
+    * double summation whose last-ulp drift could flip a row across
+    * engines), capped at certainty. Weights must be a non-negative
+    * integral column (token/char counts); F·w·n must fit int64 —
+    * pre-scale weights if Σw·n approaches 2^63/Buckets.
+    *
+    * One tiny (2-value) aggregate broadcasts onto a scan-side filter;
+    * the corpus never shuffles.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    import org.apache.spark.sql.types._
+    df.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"weightedSample needs an integral weight column, got $dt")
+    }
+    val f = math.floor(fraction * Buckets).toLong
+    val tot = df.agg(sum(col(weightCol).cast("long")).as("graft_w"),
+      count(lit(1)).as("graft_n"))
+    df.crossJoin(broadcast(tot))
+      .filter(hashBucket(col(idCol)) < least(lit(Buckets.toLong),
+        expr(s"($f * cast(`$weightCol` as bigint) * graft_n) div graft_w")))
+      .drop("graft_w", "graft_n")
+  }
+
   /** Exactly min(k, |stratum|) rows per stratum, deterministically:
     * the k rows with the smallest hash buckets (id tiebreak) — fixed
     * eval-set construction, where `uniformMixture`'s rate-based sample

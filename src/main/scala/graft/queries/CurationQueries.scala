@@ -357,6 +357,43 @@ object CurationQueries {
       |FROM documents GROUP BY source
       |ORDER BY source, q""".stripMargin
 
+  /** Weight-proportional (importance) sample of documents by length at
+    * expected fraction 0.3 — longer docs proportionally likelier,
+    * deterministic md5 buckets, exact-integer thresholds.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", fraction = 0.3)
+      .orderBy(col("doc_id"))
+
+  val weightedSampleSql: String =
+    """WITH s AS (SELECT SUM(n_chars) AS w, COUNT(*) AS n FROM documents)
+      |SELECT d.doc_id, d.n_chars
+      |FROM documents d, s
+      |WHERE ('0x' || SUBSTR(MD5(d.doc_id::VARCHAR), 1, 8))::UBIGINT % 10000
+      |      < LEAST(10000, (3000 * d.n_chars * s.n) // s.w)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-source winsorization of n_chars into the [p10, p90] band. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.winsorize(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", qLo = 0.1, qHi = 0.9)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_chars_winsorized"))
+      .orderBy(col("doc_id"))
+
+  val winsorizeSql: String =
+    """WITH b AS (
+      |  SELECT source, CAST(QUANTILE_DISC(n_chars, 0.1) AS BIGINT) AS lo,
+      |         CAST(QUANTILE_DISC(n_chars, 0.9) AS BIGINT) AS hi
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |       LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS n_chars_winsorized
+      |FROM documents d JOIN b USING (source)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Span-level (C4-style) dedup: 3-word spans deduped globally to
     * their first occurrence, documents rebuilt from surviving spans.
     * The small-vocabulary fixture makes cross-document span collisions

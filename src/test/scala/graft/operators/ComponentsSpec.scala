@@ -43,6 +43,26 @@ class ComponentsSpec extends SparkSpecBase {
     assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (9L, 9L, 1L)))
   }
 
+  test("incremental update equals full recompute, including cluster merges") {
+    val oldNodes = Seq(1L, 2L, 3L, 10L, 11L, 20L)
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val prev = Components.connectedComponents(
+      oldNodes.toDF("id"), "id", oldEdges.toDF("s", "d"), "s", "d")
+    // batch: new node 30 joins cluster {10,11}; edge 3-10 MERGES the
+    // two old clusters; 40 arrives as a singleton
+    val newNodes = Seq(30L, 40L)
+    val newEdges = Seq((30L, 10L), (3L, 10L))
+    val inc = Components.incrementalComponents(prev, newNodes.toDF("id"), "id",
+      newEdges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val full = Components.connectedComponents(
+      (oldNodes ++ newNodes).toDF("id"), "id",
+      (oldEdges ++ newEdges).toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    assert(inc(30L) == 1L && inc(11L) == 1L && inc(40L) == 40L && inc(20L) == 20L)
+  }
+
   test("near-dup cluster query: planted copies cluster with originals") {
     val out = graft.queries.ExtensionQueries.clusterAssign(spark, sfDir)
     val byDoc = out.select(col("doc_id"), col("cluster_id"))

@@ -202,6 +202,48 @@ class CurationOpsSpec extends SparkSpecBase {
       .filter(col("clean_text") =!= trim(col("text"))).isEmpty)
   }
 
+  test("weightedSample: deterministic, reduces to uniform sample at equal weights") {
+    import spark.implicits._
+    val d = docs.select(col("doc_id"), col("n_chars").cast("long").as("w"))
+    val a = Sampling.weightedSample(d, "doc_id", "w", 0.3).collect().map(_.getLong(0)).sorted
+    val b = Sampling.weightedSample(d, "doc_id", "w", 0.3).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "non-deterministic")
+    // equal weights: threshold is exactly F for every row => identical
+    // keep set to the plain bucket sample
+    val eq = docs.select(col("doc_id"), lit(7L).as("w"))
+    val ws = Sampling.weightedSample(eq, "doc_id", "w", 0.3).select("doc_id")
+    val us = Sampling.sample(eq, "doc_id", 0.3).select("doc_id")
+    assertSameRows(ws, us)
+    // zero-weight rows are never kept
+    val z = Sampling.weightedSample(
+      docs.select(col("doc_id"), lit(0L).as("w"))
+        .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), lit(5L).as("w"))),
+      "doc_id", "w", 0.5)
+    assert(z.filter(col("doc_id") < 1000000L).isEmpty)
+    // and longer docs are kept at a visibly higher rate
+    val kept = Sampling.weightedSample(d, "doc_id", "w", 0.3)
+    val medianW = d.stat.approxQuantile("w", Array(0.5), 0.0).head
+    val hiRate = kept.filter(col("w") > medianW).count().toDouble /
+      math.max(1, d.filter(col("w") > medianW).count())
+    val loRate = kept.filter(col("w") <= medianW).count().toDouble /
+      math.max(1, d.filter(col("w") <= medianW).count())
+    assert(hiRate > loRate, s"hi $hiRate <= lo $loRate")
+  }
+
+  test("winsorize clips exactly to the per-group quantile band") {
+    val w = CorpusStats.winsorize(
+      docs.select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", 0.1, 0.9)
+    val qs = CorpusStats.groupedQuantileDisc(docs, "source", "n_chars", Seq(0.1, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    w.collect().foreach { r =>
+      // join moves the group key first: (source, doc_id, n_chars, winsorized)
+      val (src, v, c) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val (lo, hi) = (qs((src, 0.1)), qs((src, 0.9)))
+      assert(c == math.min(math.max(v, lo), hi), s"$src $v -> $c not clip[$lo,$hi]")
+    }
+  }
+
   test("groupedQuantileDisc equals naive per-group sorted-element selection") {
     val docs = table("documents")
     val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)

@@ -8,10 +8,10 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Accent folding for text normalization: decompose to NFD and drop
-  * combining marks (Unicode category Mn), so "café" → "cafe",
-  * "Mühle" → "Muhle". This is the same definition DuckDB's
-  * `strip_accents` (utf8proc) implements, which is what the q65 oracle
-  * compares against.
+  * mark characters (Unicode categories Mn/Mc/Me), so "café" → "cafe",
+  * "Mühle" → "Muhle". This matches DuckDB's `strip_accents`
+  * (utf8proc STRIPMARK, which removes all three mark categories),
+  * which is what the q65 oracle compares against.
   *
   * Spark has no built-in for this (`translate` needs an explicit char
   * map); a native expression keeps the normalization pipeline inside
@@ -23,15 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object NormalizeUtil {
 
   def foldAccents(s: UTF8String): UTF8String = {
-    val bytes = s.getBytes
+    val n = s.numBytes
     var i = 0
-    while (i < bytes.length) {
-      if ((bytes(i) & 0x80) != 0) {
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) {
         return foldSlow(s)
       }
       i += 1
     }
-    s // pure ASCII: nothing to fold
+    s // pure ASCII: nothing to fold (no copy — getByte reads in place)
   }
 
   private def foldSlow(s: UTF8String): UTF8String = {
@@ -40,7 +40,13 @@ object NormalizeUtil {
     var i = 0
     while (i < nfd.length) {
       val c = nfd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      // utf8proc's STRIPMARK (DuckDB strip_accents) removes all three
+      // mark categories, not just non-spacing: Mn, Mc (spacing
+      // combining, e.g. Devanagari vowel signs), Me (enclosing)
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK &&
+        t != Character.COMBINING_SPACING_MARK &&
+        t != Character.ENCLOSING_MARK) sb.append(c)
       i += 1
     }
     UTF8String.fromString(sb.toString)

@@ -24,11 +24,14 @@ import org.apache.spark.storage.StorageLevel
   * bytes per node plus 16 per directed edge, never document payloads —
   * partitioned by id, so rounds reuse the same hash partitioning.
   * Near-dup graphs are dense blobs with tiny diameter (duplicate
-  * clusters), so 3–5 rounds is typical. Each round's result is
-  * materialized and its lineage truncated ([[DataFrame.localCheckpoint]]
-  * here; on a real cluster, a reliable `checkpoint` to storage), so the
-  * plan does not grow with iterations. The convergence probe is an
-  * any-change existence check (`isEmpty`), not a full count.
+  * clusters), so 3–5 rounds is typical. Each round's label set is
+  * local-checkpointed (lineage truncation is REQUIRED: every round
+  * references the prior labels three times, so the un-truncated plan
+  * grows 3^rounds) and the previous round's checkpoint blocks are
+  * freed once the new one is materialized — one live copy of the node
+  * set at any time (on a real cluster, swap for a reliable
+  * `checkpoint` to storage). The convergence probe is an any-change
+  * existence check (`isEmpty`), not a full count.
   */
 object Components extends Logging {
 
@@ -55,6 +58,11 @@ object Components extends Logging {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // localCheckpoint (not persist): each round references the prior
+    // labels THREE times, so without lineage truncation the logical
+    // plan grows 3^rounds (measured: treeString alone OOMs by round
+    // ~7). The prior round's checkpoint blocks are freed once the new
+    // one is materialized and compared — one live copy at any time.
     var labels = nodes
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
       .localCheckpoint()
@@ -75,6 +83,7 @@ object Components extends Logging {
         .join(labels.as("o"), "id")
         .filter(col("n.lbl") =!= col("o.lbl"))
         .isEmpty
+      org.apache.spark.sql.graft.ColumnBridge.freeLocalCheckpoint(labels)
       labels = next
       round += 1
     }

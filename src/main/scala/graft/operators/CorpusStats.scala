@@ -105,7 +105,9 @@ object CorpusStats {
       df: DataFrame, groupCol: String, valueCol: String,
       qLo: Double, qHi: Double): DataFrame = {
     require(qLo <= qHi, s"qLo $qLo > qHi $qHi")
-    val qs = groupedQuantileDisc(df, groupCol, valueCol, Seq(qLo, qHi))
+    // distinct: qLo == qHi would otherwise produce two identical rows
+    // per group and each broadcast join would duplicate the corpus
+    val qs = groupedQuantileDisc(df, groupCol, valueCol, Seq(qLo, qHi).distinct)
     val lo = qs.filter(col("q") === qLo).select(col(groupCol), col("value").as("__lo"))
     val hi = qs.filter(col("q") === qHi).select(col(groupCol), col("value").as("__hi"))
     df.join(broadcast(lo), groupCol)
@@ -191,6 +193,7 @@ object CorpusStats {
   def topKPerGroup(
       df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k") // k=0 would NPE in the heap's reduce
     import org.apache.spark.sql.Encoders
     val topk = udaf(new graft.functions.TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))

@@ -338,6 +338,7 @@ object Dedup extends Logging {
   def textKnn(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val pairs = sharedShinglePairs(docs, idCol, textCol, shingleN)
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

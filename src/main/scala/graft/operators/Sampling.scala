@@ -85,9 +85,15 @@ object Sampling {
     val f = math.floor(fraction * Buckets).toLong
     val tot = df.agg(sum(col(weightCol).cast("long")).as("graft_w"),
       count(lit(1)).as("graft_n"))
+    // assert_true rides the filter so a negative weight FAILS the job
+    // (a corrupt weight would silently skew every other row's
+    // threshold through Σw) — it returns NULL on pass, so isNull is
+    // the pass-through
     df.crossJoin(broadcast(tot))
-      .filter(hashBucket(col(idCol)) < least(lit(Buckets.toLong),
-        expr(s"($f * cast(`$weightCol` as bigint) * graft_n) div graft_w")))
+      .filter(assert_true(col(weightCol) >= 0,
+        lit(s"weightedSample: negative $weightCol")).isNull &&
+        hashBucket(col(idCol)) < least(lit(Buckets.toLong),
+          expr(s"($f * cast(`$weightCol` as bigint) * graft_n) div graft_w")))
       .drop("graft_w", "graft_n")
   }
 

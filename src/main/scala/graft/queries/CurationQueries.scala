@@ -408,7 +408,10 @@ object CurationQueries {
     */
   val spanDedupSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w FROM documents
+      |  SELECT doc_id,
+      |         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS w
+      |  FROM documents
       |),
       |idx AS (
       |  SELECT doc_id, w,

@@ -25,6 +25,15 @@ class NormalizeSpec extends SparkSpecBase {
     assert(NormalizeUtil.foldAccents(zh).toString == "中文文本")
   }
 
+  test("fold_accents strips spacing-combining and enclosing marks like utf8proc") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Devanagari vowel sign (Mc) and combining enclosing sign (Me) are
+    // both removed by DuckDB's strip_accents; Mn-only stripping would
+    // keep them and break the oracle on Indic text
+    assert(NormalizeUtil.foldAccents(UTF8String.fromString("कि")).toString == "क")
+    assert(NormalizeUtil.foldAccents(UTF8String.fromString("a҉b")).toString == "ab")
+  }
+
   test("fold_accents propagates null and handles empty") {
     val got = Seq[Option[String]](None, Some(""))
       .toDF("s")

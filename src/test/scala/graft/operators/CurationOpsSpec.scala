@@ -244,6 +244,27 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("winsorize with qLo == qHi clamps to the single quantile without duplicating rows") {
+    val w = CorpusStats.winsorize(
+      docs.select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", 0.5, 0.5)
+    assert(w.count() == docs.count(), "row multiplication")
+    val med = CorpusStats.groupedQuantileDisc(docs, "source", "n_chars", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    w.collect().foreach { r =>
+      assert(r.getLong(3) == med(r.getString(0)))
+    }
+  }
+
+  test("weightedSample fails loudly on a negative weight") {
+    val bad = docs.select(col("doc_id"),
+      when(col("doc_id") === 7, lit(-5L)).otherwise(lit(3L)).as("w"))
+    val e = intercept[Exception] {
+      Sampling.weightedSample(bad, "doc_id", "w", 0.5).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("groupedQuantileDisc equals naive per-group sorted-element selection") {
     val docs = table("documents")
     val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)

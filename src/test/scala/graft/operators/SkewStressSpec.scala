@@ -65,6 +65,37 @@ class SkewStressSpec extends SparkSpecBase {
       s"expected flood-scale buckets, widths: ${hot.map(_.getLong(2)).sorted.reverse.take(5).mkString(",")}")
   }
 
+  test("span dedup under boilerplate flood: exactly one survivor per distinct span") {
+    // 1000 docs sharing the same leading boilerplate: the span-text
+    // aggregation sees a mega-hot key, which map-side partials collapse
+    // per partition; the invariant (one global survivor per distinct
+    // span) must hold regardless
+    val out = Dedup.spanDedup(flood, "doc_id", "text", spanWords = 3)
+    assert(out.count() == 1000) // every doc present
+    val keptTotal = out.agg(sum(col("kept_spans"))).head().getLong(0)
+    // independent count of distinct span texts in the corpus
+    val nDistinct = flood
+      .select(posexplode(expr(
+        "transform(sequence(0, int(ceil(size(split(trim(text), '\\\\s+')) / 3.0)) - 1), " +
+          "i -> array_join(slice(split(trim(text), '\\\\s+'), i * 3 + 1, 3), ' '))")))
+      .select(col("col")).distinct().count()
+    assert(keptTotal == nDistinct, s"kept $keptTotal != distinct $nDistinct")
+    // and the flood actually floods: removal is massive
+    val total = out.agg(sum(col("total_spans"))).head().getLong(0)
+    assert(keptTotal < total / 5, s"only removed ${total - keptTotal} of $total")
+  }
+
+  test("components converge within the round budget on a 1500-node chain") {
+    import spark.implicits._
+    // worst-case diameter relative to size; pointer jumping must close
+    // it in O(log n) rounds, inside the default maxIter
+    val n = 1500L
+    val cc = Components.connectedComponents(
+      (0L until n).toDF("id"), "id",
+      (0L until n - 1).map(i => (i, i + 1)).toDF("s", "d"), "s", "d")
+    assert(cc.select(col("cluster_id")).distinct().count() == 1)
+  }
+
   test("hot-key join: salted equals plain, salt splits the hot key across reducers") {
     // one user receives half of all events — deterministic skew
     val skewed = table("events").withColumn("user_id",

@@ -106,6 +106,11 @@ object SparkEntry {
     "q70_grouped_quantiles" -> (CurationQueries.groupedQuantiles _),
     "q71_weighted_sample" -> (CurationQueries.weightedSample _),
     "q72_winsorize" -> (CurationQueries.winsorize _),
+    "q73_cohort_retention" -> (TemporalQueries.cohortRetention _),
+    "q74_semantic_dedup" -> (ExtensionQueries.semanticDedup _),
+    "q75_cube_order_stats" -> (CoreQueries.cubeOrderStats _),
+    "q76_pivot_event_counts" -> (CoreQueries.pivotEventCounts _),
+    "q77_mad_outliers" -> (CurationQueries.madOutliers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -177,5 +182,10 @@ object SparkEntry {
     "q70_grouped_quantiles" -> CurationQueries.groupedQuantilesSql,
     "q71_weighted_sample" -> CurationQueries.weightedSampleSql,
     "q72_winsorize" -> CurationQueries.winsorizeSql,
+    "q73_cohort_retention" -> TemporalQueries.cohortRetentionSql,
+    "q74_semantic_dedup" -> ExtensionQueries.semanticDedupSql,
+    "q75_cube_order_stats" -> CoreQueries.cubeOrderStatsSql,
+    "q76_pivot_event_counts" -> CoreQueries.pivotEventCountsSql,
+    "q77_mad_outliers" -> CurationQueries.madOutliersSql,
   )
 }

@@ -81,17 +81,67 @@ object CorpusStats {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles: $qs")
     val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cume", sum(col("cnt")).over(
-        Window.partitionBy(col(groupCol)).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
     qs.map { q =>
-      cum.filter(col("cume") >= greatest(lit(1L), ceil(col("n") * q)))
-        .groupBy(col(groupCol))
-        .agg(min(col("v")).as("value"))
+      quantileDiscOverHist(hist, groupCol, "v", "cnt", q)
         .select(col(groupCol), lit(q).as("q"), col("value"))
     }.reduce(_ unionAll _)
+  }
+
+  /** The grouped-quantile selection core over a PRE-AGGREGATED
+    * (group, value, count) histogram: per-group cumulative + the
+    * max(1, ceil(n·q)) element rule. Shared by [[groupedQuantileDisc]]
+    * (which builds the histogram from rows) and [[madOutliers]] (which
+    * derives a deviation histogram from a value histogram without
+    * re-reading the corpus).
+    */
+  private def quantileDiscOverHist(
+      hist: DataFrame, groupCol: String, vCol: String, cntCol: String,
+      q: Double): DataFrame = {
+    hist
+      .withColumn("__cume", sum(col(cntCol)).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(vCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col(cntCol)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__cume") >= greatest(lit(1L), ceil(col("__n") * q)))
+      .groupBy(col(groupCol))
+      .agg(min(col(vCol)).as("value"))
+  }
+
+  /** Robust per-group outlier flagging via Median Absolute Deviation:
+    * a row is an outlier iff |value − median| > k·MAD, with both the
+    * median and the MAD as EXACT discrete quantiles (QUANTILE_DISC
+    * semantics, so a DuckDB oracle replays them with the built-in).
+    * MAD-based cutoffs are the standard robust alternative to
+    * mean/stddev z-scores for corpus curation — a handful of giant
+    * documents cannot drag the cutoff the way they drag a stddev.
+    *
+    * Scale shape: ONE aggregation pass collapses the corpus to a
+    * (group, value) histogram; the median comes from that histogram,
+    * and the deviation histogram is DERIVED from the value histogram
+    * (re-keying (v, cnt) to (|v−med|, Σcnt) — histogram-side rows
+    * only, no second corpus pass). Both per-group bands are tiny and
+    * broadcast onto an in-place flag; the corpus itself never
+    * shuffles. All arithmetic is integral — no float drift between
+    * engine and oracle.
+    *
+    * Adds `med`, `mad`, `is_outlier` to `df`'s columns.
+    */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val med = quantileDiscOverHist(hist, groupCol, "__v", "__cnt", 0.5)
+      .select(col(groupCol), col("value").as("med"))
+    val devHist = hist.join(broadcast(med), groupCol)
+      .groupBy(col(groupCol), abs(col("__v") - col("med")).as("__d"))
+      .agg(sum(col("__cnt")).as("__cnt"))
+    val mad = quantileDiscOverHist(devHist, groupCol, "__d", "__cnt", 0.5)
+      .select(col(groupCol), col("value").as("mad"))
+    df.join(broadcast(med), groupCol)
+      .join(broadcast(mad), groupCol)
+      .withColumn("is_outlier",
+        abs(col(valueCol).cast("long") - col("med")) > lit(k.toLong) * col("mad"))
   }
 
   /** Per-group winsorization: clip `valueCol` into its group's

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the embedded corpus into cells, then
+  * compare pairs ONLY within a cell with exact cosine similarity and
+  * mark near-semantic-copies above a threshold. The clustering bounds
+  * the quadratic pair work — all-pairs cosine over N documents is
+  * O(N²), but within cells of expected size N/k it is O(N²/k), and k
+  * grows with the corpus (the paper uses k ≈ O(√N), making the pair
+  * stage linear-ish). Cross-cell near-duplicates are invisible by
+  * construction — that is SemDeDup's stated approximation, not a bug
+  * here.
+  *
+  * Scale shape: assignment is one broadcast-join map pass over the
+  * corpus (centroids are small by definition) with the argmin as
+  * `min(struct)` partial aggregation — the shuffle carries one row per
+  * vector. The pair stage shuffles each vector once on its cell key;
+  * within-cell self-join does the bounded quadratic work. Hot cells
+  * are observable via the assignment counts (q26's cell-size view) and
+  * can be capped or re-split exactly like [[Dedup]]'s LSH hot-bucket
+  * guard.
+  *
+  * Dedup policy: a row is a duplicate iff SOME earlier row (smaller
+  * id) in the same cell has cosine ≥ threshold — the same
+  * keep-first-in-id-order rule as the LSH near-dup pipelines, and the
+  * rule a DuckDB oracle can replay exactly (the cosine arithmetic is
+  * the bit-stable left-to-right DOUBLE fold of
+  * [[graft.functions.expressions.VectorUtil]]).
+  */
+object SemDedup {
+
+  /** Output: one row per corpus row — (`idCol`, centroid_id, is_dup). */
+  def semDedup(
+      corpus: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(centroids.select(col("centroid_id"), col(vecCol).as("__c_vec"))))
+      .withColumn("__dist2",
+        VectorFunctions.normSq(col(vecCol)) + VectorFunctions.normSq(col("__c_vec"))
+          - lit(2.0) * VectorFunctions.dot(col(vecCol), col("__c_vec")))
+    // argmin via min(struct(dist2, centroid_id)) — deterministic
+    // centroid-id tiebreak, map-side partials. The vector rides along
+    // via first(): every row in the group carries the same vector, so
+    // the value is deterministic even though first() itself is not.
+    val cells = scored.groupBy(col(idCol))
+      .agg(min(struct(col("__dist2"), col("centroid_id"))).as("__best"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col("__best.centroid_id").as("centroid_id"), col(vecCol))
+    val a = cells.select(col("centroid_id"), col(idCol).as("__a_id"),
+      col(vecCol).as("__a_vec"))
+    val b = cells.select(col("centroid_id"), col(idCol).as("__b_id"),
+      col(vecCol).as("__b_vec"))
+    val dupIds = a.join(b, "centroid_id")
+      .filter(col("__a_id") < col("__b_id"))
+      .filter(VectorFunctions.cosine(col("__a_vec"), col("__b_vec")) >= threshold)
+      .select(col("__b_id").as(idCol))
+      .distinct()
+    cells.select(col(idCol), col("centroid_id"))
+      .join(dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
+      .drop("__dup")
+  }
+}

@@ -354,4 +354,60 @@ object CoreQueries {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
+
+  /** Full CUBE over order priority × status — all four grouping sets,
+    * where ROLLUP (q12) covers only the hierarchical prefix sets.
+    * Spark lowers cube to a single Expand + hash aggregate: one scan,
+    * map-side partials for every grouping set — no per-set re-scan.
+    * Neither grouping column is nullable in the data, so COALESCE
+    * sentinels identify the subtotal rows unambiguously.
+    */
+  def cubeOrderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(moneySum(col("o_totalprice")), 4).as("total_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total_price"))
+      .orderBy(col("priority"), col("status"))
+
+  val cubeOrderStatsSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COUNT(*) AS n,
+      |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Long-to-wide pivot: per-day event counts, one column per event
+    * type. The value list is EXPLICIT, so Spark plans a single
+    * aggregate with map-side partials (an unlisted-values pivot needs
+    * a distinct-values pre-pass, a second scan a 100 TB stream cannot
+    * afford). Missing (day, type) combinations surface as 0, matching
+    * the oracle's COUNT(*) FILTER.
+    */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(spark, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    eventTypes.foldLeft(wide)((d, t) => d.withColumnRenamed(t, s"n_$t"))
+      .na.fill(0L, eventTypes.map("n_" + _))
+      .orderBy(col("day"))
+  }
+
+  val pivotEventCountsSql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
 }

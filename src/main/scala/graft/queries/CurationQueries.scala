@@ -441,4 +441,33 @@ object CurationQueries {
       |FROM toks t
       |LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** Robust per-source length outliers: |n_chars − median| > 3·MAD,
+    * both quantiles exact (integral arithmetic end to end).
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.madOutliers(Tables.documents(spark, dir), "source", "n_chars", k = 3)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med"), col("mad"), col("is_outlier"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB oracle: QUANTILE_DISC for both the median and the MAD —
+    * the same ceil(n·q) element rule the histogram-side engine path
+    * implements (verified for q70).
+    */
+  val madOutliersSql: String =
+    """WITH med AS (
+      |  SELECT source, QUANTILE_DISC(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY 1
+      |),
+      |mad AS (
+      |  SELECT d.source, QUANTILE_DISC(ABS(d.n_chars - m.med), 0.5) AS mad
+      |  FROM documents d JOIN med m USING (source) GROUP BY 1
+      |)
+      |SELECT d.doc_id, d.source, d.n_chars, m.med, a.mad,
+      |       ABS(d.n_chars - m.med) > 3 * a.mad AS is_outlier
+      |FROM documents d
+      |JOIN med m USING (source)
+      |JOIN mad a USING (source)
+      |ORDER BY d.doc_id""".stripMargin
 }

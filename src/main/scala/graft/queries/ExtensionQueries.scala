@@ -445,6 +445,39 @@ object ExtensionQueries {
        |GROUP BY centroid_id, u.pos
        |ORDER BY centroid_id, pos""".stripMargin
 
+  /** SemDeDup semantic dedup: within-cell exact-cosine duplicate
+    * marking at threshold 0.95 over the IVF cells (same fixed
+    * centroids as q26/q32/q36).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SemDedup.semDedup(
+      Tables.embeddings(spark, dir), ivfCentroids(spark, dir), threshold = 0.95)
+      .orderBy(col("vec_id"))
+
+  /** DuckDB oracle: the exact-arithmetic cell assignment CTE, then the
+    * same keep-first rule — a row is a duplicate iff some smaller-id
+    * row in its cell has cosine ≥ 0.95, with cosine in the identical
+    * bit-stable DOUBLE fold (list_dot_product ≡ the native vec_dot
+    * loop), so the threshold decisions match bit-for-bit.
+    */
+  val semanticDedupSql: String =
+    s"""$ivfAssignCtes,
+       |cells AS (
+       |  SELECT a.vec_id, a.centroid_id, e.v
+       |  FROM assigned a JOIN e USING (vec_id)
+       |),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  WHERE LIST_DOT_PRODUCT(a.v, b.v) /
+       |          (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v)))
+       |        >= 0.95
+       |)
+       |SELECT c.vec_id, c.centroid_id, (d.vec_id IS NOT NULL) AS is_dup
+       |FROM cells c LEFT JOIN dups d USING (vec_id)
+       |ORDER BY c.vec_id""".stripMargin
+
   // ---- text analysis -------------------------------------------------
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =

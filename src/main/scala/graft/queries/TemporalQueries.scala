@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, RangeJoin}
+import graft.operators.{AsofJoin, Cohorts, RangeJoin}
 import graft.sources.Tables
 
 /** Temporal join queries: as-of (latest-at-or-before) and
@@ -161,4 +161,37 @@ object TemporalQueries {
       |FROM spans s
       |JOIN bursts b ON s.s_lo < b.b_hi AND b.b_lo < s.s_hi
       |ORDER BY s.user_id, s.active_day, b.burst_day""".stripMargin
+
+  /** Weekly cohort retention matrix over the event stream. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    Cohorts.retention(Tables.events(spark, dir), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** DuckDB oracle: identical grid construction — Monday-start
+    * DATE_TRUNC weeks on both engines, offsets as exact-multiple-of-7
+    * integer division, retention counts as plain COUNT(*) over the
+    * already-distinct (user, week) grid.
+    */
+  val cohortRetentionSql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+      |  FROM events
+      |),
+      |cohorts AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1
+      |),
+      |sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+      |),
+      |ret AS (
+      |  SELECT c.cohort_week,
+      |         CAST(DATE_DIFF('day', c.cohort_week, w.week) / 7 AS INT) AS week_offset,
+      |         COUNT(*) AS active_users
+      |  FROM weeks w JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT r.cohort_week, r.week_offset, r.active_users, s.cohort_size
+      |FROM ret r JOIN sizes s USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
 }

@@ -111,6 +111,7 @@ object SparkEntry {
     "q75_cube_order_stats" -> (CoreQueries.cubeOrderStats _),
     "q76_pivot_event_counts" -> (CoreQueries.pivotEventCounts _),
     "q77_mad_outliers" -> (CurationQueries.madOutliers _),
+    "q79_rrf_fusion" -> (ExtensionQueries.rrfFusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -187,5 +188,6 @@ object SparkEntry {
     "q75_cube_order_stats" -> CoreQueries.cubeOrderStatsSql,
     "q76_pivot_event_counts" -> CoreQueries.pivotEventCountsSql,
     "q77_mad_outliers" -> CurationQueries.madOutliersSql,
+    "q79_rrf_fusion" -> ExtensionQueries.rrfFusionSql,
   )
 }

@@ -445,6 +445,76 @@ object ExtensionQueries {
        |GROUP BY centroid_id, u.pos
        |ORDER BY centroid_id, pos""".stripMargin
 
+  /** Hybrid retrieval via reciprocal-rank fusion: cosine top-20 and
+    * euclidean top-20 over the same queries, fused with k=60 into a
+    * top-10 — the standard way to merge retrieval signals without
+    * calibrating score scales. Both rankers reuse the bounded-heap
+    * top-k (broadcast queries, map-side partials); the fusion itself
+    * never touches the corpus.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, normSq}
+    val emb = Tables.embeddings(spark, dir)
+    val q = queryVectors(spark, dir)
+    val byCosine = Similarity.bruteForceTopK(emb, q, k = 20)
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q.select(col("query_id"), col("embedding").as("q_vec"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("neg_dist2",
+        -(normSq(col("embedding")) + normSq(col("q_vec"))
+          - lit(2.0) * dot(col("embedding"), col("q_vec"))))
+    val byDistance = graft.operators.CorpusStats.topKPerGroup(
+      scored, "query_id", "vec_id", "neg_dist2", k = 20)
+    graft.operators.Ranking.rrfFuse(
+      Seq(byCosine.select("query_id", "vec_id", "rank"),
+        byDistance.select("query_id", "vec_id", "rank")),
+      kRrf = 60, topN = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle: both rankings in the identical bit-stable DOUBLE
+    * arithmetic (rank positions are integers, so only the final
+    * 1/(60+rank) sums must match — IEEE addition of two terms is
+    * order-insensitive, hence hash-exact).
+    */
+  val rrfFusionSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         LIST_DOT_PRODUCT(e.v, q.qv) /
+      |           (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) * SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) AS cos,
+      |         LIST_DOT_PRODUCT(e.v, e.v) + LIST_DOT_PRODUCT(q.qv, q.qv)
+      |           - 2.0 * LIST_DOT_PRODUCT(e.v, q.qv) AS dist2
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      |),
+      |ra AS (
+      |  SELECT query_id, vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+      |  FROM scored QUALIFY rnk <= 20
+      |),
+      |rb AS (
+      |  SELECT query_id, vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS rnk
+      |  FROM scored QUALIFY rnk <= 20
+      |),
+      |u AS (
+      |  SELECT query_id, vec_id, 1.0 / (60 + rnk) AS c FROM ra
+      |  UNION ALL
+      |  SELECT query_id, vec_id, 1.0 / (60 + rnk) AS c FROM rb
+      |),
+      |f AS (
+      |  SELECT query_id, vec_id, SUM(c) AS rrf, COUNT(*) AS n_rankers
+      |  FROM u GROUP BY 1, 2
+      |)
+      |SELECT query_id, vec_id, ROUND(rrf, 6) AS rrf_score,
+      |       CAST(rn AS INT) AS rank, n_rankers
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                   ORDER BY rrf DESC, vec_id ASC) AS rn
+      |      FROM f)
+      |WHERE rn <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** SemDeDup semantic dedup: within-cell exact-cosine duplicate
     * marking at threshold 0.95 over the IVF cells (same fixed
     * centroids as q26/q32/q36).

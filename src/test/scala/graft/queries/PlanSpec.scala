@@ -235,4 +235,57 @@ class PlanSpec extends SparkSpecBase {
     // resume probe is metadata-only and equals max day
     assert(t.maxPartitionDate.contains(LocalDate.of(2024, 1, 30)))
   }
+
+  // AQE plan text repeats the tree under "== Initial Plan ==" — count
+  // physical nodes in the final plan section only
+  private def finalPlan(p: String): String =
+    p.split("== Initial Plan ==").head
+
+  test("cube plans one Expand + aggregate over a single scan (no per-set re-scan)") {
+    val df = graft.SparkEntry.queries("q75_cube_order_stats")(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"cube must scan orders exactly once:\n$p")
+  }
+
+  test("explicit-values pivot is a single aggregate over a single scan") {
+    val df = graft.SparkEntry.queries("q76_pivot_event_counts")(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"pivot with explicit values must not add a distinct-values scan:\n$p")
+    assert(p.contains("partial"), p)
+  }
+
+  test("cohort retention counts ride the distinct grid — no COUNT DISTINCT Expand") {
+    val df = graft.SparkEntry.queries("q73_cohort_retention")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"),
+      s"retention count must be count(*) over the distinct grid:\n$p")
+  }
+
+  test("madOutliers broadcasts the bands onto the corpus — no corpus shuffle join") {
+    val df = graft.SparkEntry.queries("q77_mad_outliers")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"med/mad bands must broadcast, not shuffle the corpus:\n$p")
+  }
+
+  test("semDedup pair stage is an equi-join on the cell key — never all-pairs") {
+    val df = graft.SparkEntry.queries("q74_semantic_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only nested-loop join allowed is the tiny centroid broadcast
+    // (the same deliberate 1×k expansion as ivfAssign); the corpus-side
+    // pair stage must key on centroid_id
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[centroid_id".r
+      .findFirstIn(p).isDefined,
+      s"within-cell pairs must come from a centroid_id equi-join:\n$p")
+  }
 }

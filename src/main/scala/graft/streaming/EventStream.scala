@@ -123,6 +123,46 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the event stream against a STATIC
+    * dimension (user → segment, product catalog, geo lookup). Spark
+    * re-evaluates the static side per micro-batch, so a dimension
+    * refreshed in place is picked up at the next trigger without
+    * restarting the stream. The join needs NO streaming state and no
+    * watermark (unlike stream-stream joins); with a small dimension it
+    * broadcasts, so the stream side never shuffles. Left join keeps
+    * events with no dimension row (nulls, downstream-filterable).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream join: each click paired with the same user's
+    * purchases within `attribution` after it — streaming conversion
+    * attribution. Both sides carry watermarks and the join condition
+    * time-bounds the match, which is what lets Spark EXPIRE buffered
+    * rows: a click older than watermark + attribution can never match
+    * a future purchase, so its state is dropped — without the bound,
+    * stream-stream join state grows forever. Inner joins emit each
+    * match as soon as both rows have arrived (no watermark wait), so
+    * a drained stream equals the batch join exactly.
+    */
+  def clickAttribution(
+      events: DataFrame, attribution: String = "1 day",
+      lateness: String = "2 days"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("__p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", lateness)
+    clicks.join(purchases,
+        col("user_id") === col("__p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attribution"))
+      .drop("__p_user")
+  }
+
   /** Sliding-window per-type rates (5-day window, 1-day slide). */
   def slidingTypeRates(events: DataFrame): DataFrame =
     events

@@ -81,4 +81,53 @@ class EventStreamSpec extends SparkSpecBase {
       assert(n == r.getLong(3), s"window $r")
     }
   }
+
+  test("stream-stream click attribution equals the batch time-bounded join") {
+    val stream = EventStream.clickAttribution(EventStream.readEvents(spark, sfDir))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("attrib_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attrib_out")
+    val ev = table("events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 day"))
+      .drop("pu")
+    assert(got.count() > 0)
+    assertSameRows(got, batch)
+  }
+
+  test("stream-static enrichment equals the batch join, including dim-less events") {
+    import spark.implicits._
+    // static dim covering only even user ids — odd ids must survive
+    // with a null segment (left join), not drop
+    val dim = table("events").select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("segment", concat(lit("seg"), col("user_id") % 3))
+    val stream = EventStream.enrichWithDim(
+      EventStream.readEvents(spark, sfDir), dim, "user_id")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enriched_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched_out")
+      .select(col("event_id"), col("user_id"), col("segment"))
+    val batch = table("events").join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("segment"))
+    assertSameRows(got, batch)
+    assert(got.filter(col("segment").isNull).count() > 0,
+      "expected some dim-less events to survive the left join")
+  }
 }

@@ -112,6 +112,8 @@ object SparkEntry {
     "q76_pivot_event_counts" -> (CoreQueries.pivotEventCounts _),
     "q77_mad_outliers" -> (CurationQueries.madOutliers _),
     "q79_rrf_fusion" -> (ExtensionQueries.rrfFusion _),
+    "q80_table_profile" -> (CurationQueries.tableProfile _),
+    "q81_bpe_merges" -> (ExtensionQueries.bpeMerges _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,5 +191,7 @@ object SparkEntry {
     "q76_pivot_event_counts" -> CoreQueries.pivotEventCountsSql,
     "q77_mad_outliers" -> CurationQueries.madOutliersSql,
     "q79_rrf_fusion" -> ExtensionQueries.rrfFusionSql,
+    "q80_table_profile" -> CurationQueries.tableProfileSql,
+    "q81_bpe_merges" -> ExtensionQueries.bpeMergesSql,
   )
 }

@@ -442,6 +442,27 @@ object CurationQueries {
       |LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Schema-level profile of orders: one aggregation pass, one row per
+    * column. Integer/string columns only — float min/max would compare
+    * engine FORMATTING, not values.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.tableProfile(Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy(col("column"))
+
+  val tableProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+         |       COUNT(*) - COUNT($c) AS n_nulls,
+         |       COUNT(DISTINCT $c) AS n_distinct,
+         |       CAST(MIN($c) AS VARCHAR) AS min_value,
+         |       CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   /** Robust per-source length outliers: |n_chars − median| > 3·MAD,
     * both quantiles exact (integral arithmetic end to end).
     */

@@ -515,6 +515,41 @@ object ExtensionQueries {
       |WHERE rn <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** BPE tokenizer-training merge discovery: the first 3 merges
+    * learned from the corpus word-frequency table (integer pair
+    * counts, deterministic tiebreaks — hash-exact).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(Tables.documents(spark, dir), "text", nMerges = 3)
+      .orderBy(col("step"))
+
+  /** DuckDB oracle: the identical vocabulary-table formulation,
+    * unrolled to 3 chained stages — same bracketed-symbol rewrite,
+    * same overlapping pair counts, same (count DESC, pair ASC)
+    * argmax.
+    */
+  val bpeMergesSql: String = {
+    def stage(i: Int) =
+      s"""p$i AS (SELECT z[1] AS l, z[2] AS r, SUM(cnt) AS n
+         |  FROM (SELECT cnt, UNNEST(LIST_ZIP(syms, syms[2:])) AS z
+         |        FROM (SELECT cnt, STRING_SPLIT(s[2:-2], '><') AS syms FROM v${i - 1}))
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |v$i AS (SELECT REPLACE(s, '<'||m$i.l||'><'||m$i.r||'>', '<'||m$i.l||m$i.r||'>') AS s, cnt
+         |  FROM v${i - 1}, m$i)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |v0 AS (SELECT '<' || ARRAY_TO_STRING(SPLIT(w, ''), '><') || '>' AS s, cnt FROM words),
+       |${Seq(1, 2, 3).map(stage).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 1 AS step, l AS merge_left, r AS merge_right, CAST(n AS BIGINT) AS pair_count FROM m1
+       |  UNION ALL SELECT 2, l, r, CAST(n AS BIGINT) FROM m2
+       |  UNION ALL SELECT 3, l, r, CAST(n AS BIGINT) FROM m3)
+       |ORDER BY step""".stripMargin
+  }
+
   /** SemDeDup semantic dedup: within-cell exact-cosine duplicate
     * marking at threshold 0.95 over the IVF cells (same fixed
     * centroids as q26/q32/q36).

@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Build the committed bench baseline from N sidecar runs: per-query
+medians plus per-run totals, machine-parseable. Dev tooling only.
+
+Usage: python3 tools/bench_median.py OUT.json RUN1.json RUN2.json ...
+"""
+import json
+import statistics
+import sys
+
+
+def main(out_path, run_paths):
+    runs = [json.load(open(p)) for p in run_paths]
+    queries = sorted(runs[0]["queries"])
+    medians = {
+        q: round(statistics.median(r["queries"][q] for r in runs), 3)
+        for q in queries
+    }
+    doc = {
+        "metric": f"total_median_of_{len(runs)}",
+        "value": round(statistics.median(r["value"] for r in runs), 1),
+        "unit": "sec",
+        "sf": runs[0].get("sf"),
+        "runs": [round(r["value"], 1) for r in runs],
+        "median_query_total": round(sum(medians.values()), 1),
+        "queries": medians,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(out_path, "total:", doc["value"], "runs:", doc["runs"])
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])

@@ -57,14 +57,35 @@ object SemDedup {
         first(col(vecCol)).as(vecCol))
       .select(col(idCol), col("__best.centroid_id").as("centroid_id"), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = cells.select(col("centroid_id"), col(idCol).as("__a_id"),
+    // exact-duplicate pre-collapse (the same flood guard as the LSH
+    // pipelines): bit-identical vectors — empty docs, boilerplate —
+    // collapse to their min-id representative BEFORE the pair stage,
+    // so a 10k-copy flood contributes one row to the quadratic work
+    // instead of 10k²/2 pairs. Semantics-preserving for any
+    // threshold ≤ 1: a non-representative row has an earlier identical
+    // row, and for any other row the representative (min id) is
+    // earlier than every member, so pairing against representatives
+    // alone decides the keep-first rule identically. (One ulp-level
+    // caveat: the float cosine of identical vectors can round to just
+    // under 1.0 — sqrt(d)·sqrt(d) ≠ d — so at thresholds within ~2 ulp
+    // of 1.0 the collapse flags identical copies the float pair rule
+    // would barely miss; that is the more faithful answer.)
+    val reps = cells.groupBy(col("centroid_id"), col(vecCol))
+      .agg(min(col(idCol)).as(idCol))
+    val a = reps.select(col("centroid_id"), col(idCol).as("__a_id"),
       col(vecCol).as("__a_vec"))
-    val b = cells.select(col("centroid_id"), col(idCol).as("__b_id"),
+    val b = reps.select(col("centroid_id"), col(idCol).as("__b_id"),
       col(vecCol).as("__b_vec"))
-    val dupIds = a.join(b, "centroid_id")
+    val repDups = a.join(b, "centroid_id")
       .filter(col("__a_id") < col("__b_id"))
       .filter(VectorFunctions.cosine(col("__a_vec"), col("__b_vec")) >= threshold)
       .select(col("__b_id").as(idCol))
+    // non-representatives are duplicates outright; a representative is
+    // a duplicate iff the pair stage flagged it
+    val repIds = reps.select(col(idCol)).withColumn("__rep", lit(true))
+    val dupIds = repDups
+      .unionAll(cells.select(col(idCol))
+        .join(repIds, Seq(idCol), "left_anti"))
       .distinct()
     cells.select(col(idCol), col("centroid_id"))
       .join(dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")

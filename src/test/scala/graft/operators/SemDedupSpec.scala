@@ -52,4 +52,15 @@ class SemDedupSpec extends SparkSpecBase {
     assert(out.count() == 3)
     assert(out.filter(col("is_dup")).count() == 0)
   }
+
+  test("identical-vector flood collapses before the pair stage; flags stay correct") {
+    // 500 bit-identical copies + 2 distinct rows: the pair stage sees
+    // 3 representatives, not 500+2 rows — and every copy except the
+    // earliest is flagged
+    val flood = (10L until 510L).map(i => i -> Array(0.8f, 0.6f))
+    val corpus = vecs(flood ++ Seq(1L -> Array(1f, 0f), 2L -> Array(0f, 1f)))
+    val out = SemDedup.semDedup(corpus, centroids, threshold = 0.99)
+    val dups = out.filter(col("is_dup")).select("vec_id").as[Long].collect().toSet
+    assert(dups == (11L until 510L).toSet) // all copies but id 10; 1 and 2 kept
+  }
 }

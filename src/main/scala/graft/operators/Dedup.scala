@@ -24,7 +24,15 @@ import graft.functions.TextFunctions._
   * default in the near-dup operators:
   *  1. identical content is collapsed to one representative (min id)
   *     BEFORE signatures — exact copies are `exactGroups`' business and
-  *     would otherwise fill every band's bucket with the same text;
+  *     would otherwise fill every band's bucket with the same text.
+  *     This is an OUTPUT CONTRACT, not just an optimization: the pair
+  *     operators emit pairs over content-DISTINCT documents (min-id
+  *     representatives); pairs among or through exact copies are
+  *     deliberately absent (a g-copy group would owe g²/2 trivial
+  *     pairs — quadratic output for information `exactGroups` states
+  *     in one row). Full closure = compose the pair set with
+  *     `exactGroups`' membership. The DuckDB oracles encode the same
+  *     collapse;
   *  2. buckets wider than `maxBucket` are skipped (over-cap keys are
   *     aggregated map-side and anti-joined back as a tiny broadcast —
   *     the bucketed rows never shuffle for the cap). Skipping a bucket

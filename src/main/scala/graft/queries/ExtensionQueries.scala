@@ -139,13 +139,21 @@ object ExtensionQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   val dedupSimhashSql: String =
-    """WITH corpus AS (
+    """WITH corpus0 AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000,
       |         ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1,
       |           GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) - 3, 1)), ' ')
       |  FROM documents
+      |),
+      |-- the engine's documented pair contract: identical texts collapse
+      |-- to their min-id representative BEFORE pairing (exact duplicates
+      |-- are exactGroups' output, not near-dup pairs) — at sf0.1 the
+      |-- fixture has 8 duplicate texts, so a full-corpus brute force
+      |-- would disagree with the contract
+      |corpus AS (
+      |  SELECT MIN(doc_id) AS doc_id, text FROM corpus0 GROUP BY text
       |),
       |tok AS (
       |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS t FROM corpus

@@ -57,6 +57,22 @@ object SkewBench {
     time("join_hotkey_salted")(revenue(
       graft.operators.Skew.saltedJoin(skewed, dim(skewed), Seq("user_id"), factor = 8)))
 
+    // semantic dedup under an identical-embedding flood: the exact
+    // pre-collapse should keep the flooded corpus near the uniform cost
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val embFlood = emb.limit(1)
+      .crossJoin(spark.range(3000).select((col("id") + 1000000L).as("__new_id")))
+      .select(col("__new_id").as("vec_id"), col("embedding"),
+        lit(0L).as("label"))
+    time("semdedup_uniform")(
+      graft.operators.SemDedup.semDedup(emb, centroids, threshold = 0.95))
+    time("semdedup_flood_3000_copies")(
+      graft.operators.SemDedup.semDedup(
+        emb.unionAll(embFlood.select(emb.columns.map(col): _*)),
+        centroids, threshold = 0.95))
+
     spark.stop()
   }
 }

@@ -45,7 +45,10 @@ object CorpusStats {
     */
   def quantileDisc(df: DataFrame, valueCol: String, q: Double): DataFrame = {
     require(q >= 0 && q <= 1, s"quantile out of range: $q")
-    val hist = df.groupBy(col(valueCol).cast("long").as("v"))
+    // NULL values are ignored (QUANTILE_DISC semantics) — counting
+    // them would shift the ceil(n·q) selection index
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("cume",
       sum(col("cnt")).over(
@@ -79,7 +82,8 @@ object CorpusStats {
       df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles: $qs")
-    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
     qs.map { q =>
       quantileDiscOverHist(hist, groupCol, "v", "cnt", q)
@@ -129,7 +133,11 @@ object CorpusStats {
   def madOutliers(
       df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+    // NULL values are excluded from both medians (QUANTILE_DISC
+    // semantics); a NULL-valued row's own flag is NULL, matching the
+    // SQL three-valued comparison
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
       .agg(count(lit(1)).as("__cnt"))
     val med = quantileDiscOverHist(hist, groupCol, "__v", "__cnt", 0.5)
       .select(col(groupCol), col("value").as("med"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
@@ -28,13 +29,20 @@ object Ranking {
     * starting at 1 — into the top `topN` per query by RRF score.
     * Output: (queryCol, idCol, rrf_score, rank, n_rankers), ranked by
     * score DESC with id ASC tiebreak.
+    *
+    * The top-N here is a per-query WINDOW, not the bounded-heap
+    * aggregator the corpus-scale operators use: the fused set is
+    * already bounded (≤ queries × k × rankers rows, post-retrieval),
+    * so one window pass beats re-deriving the fused aggregate for a
+    * separate heap + join-back (which would plan the union/aggregate
+    * subtree twice).
     */
   def rrfFuse(
       rankings: Seq[DataFrame], kRrf: Int, topN: Int,
       queryCol: String = "query_id", idCol: String = "vec_id",
       rankCol: String = "rank"): DataFrame = {
     require(rankings.nonEmpty, "at least one ranking")
-    require(kRrf >= 0, s"kRrf must be non-negative, got $kRrf")
+    require(kRrf >= 1, s"kRrf must be at least 1 (Cormack et al. use 60), got $kRrf")
     val fused = rankings
       .map(_.select(col(queryCol), col(idCol),
         (lit(1.0) / (lit(kRrf).cast("double") + col(rankCol).cast("double")))
@@ -42,10 +50,12 @@ object Ranking {
       .reduce(_ unionAll _)
       .groupBy(col(queryCol), col(idCol))
       .agg(sum(col("__contrib")).as("__rrf"), count(lit(1)).as("n_rankers"))
-    val top = CorpusStats.topKPerGroup(fused, queryCol, idCol, "__rrf", topN)
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("__rrf").desc, col(idCol).asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topN)
       .select(col(queryCol), col(idCol),
-        round(col("score"), 6).as("rrf_score"), col("rank"))
-    top.join(fused.select(col(queryCol), col(idCol), col("n_rankers")),
-      Seq(queryCol, idCol))
+        round(col("__rrf"), 6).as("rrf_score"), col("rank"), col("n_rankers"))
   }
 }

@@ -48,6 +48,10 @@ object SemDedup {
     // centroid-id tiebreak, map-side partials. The vector rides along
     // via first(): every row in the group carries the same vector, so
     // the value is deterministic even though first() itself is not.
+    // The persist lives for the session (same caller-owned lifetime as
+    // Dedup's signature persists; Bench clears the cache between
+    // queries) — an eager unpersist would void the reuse, since the
+    // result is consumed lazily.
     // cells feeds both pair-join sides plus the output flag join —
     // persist so the broadcast-assignment pass runs once, not three
     // times (the same two-scan pattern as Dedup's signature persist;

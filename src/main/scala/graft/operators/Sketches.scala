@@ -27,13 +27,13 @@ object Sketches {
     */
   def dailySketches(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
     events.groupBy(col(tsCol).cast("date").as("day"))
-      .agg(expr(s"hll_sketch_agg($keyCol)").as("sketch"),
+      .agg(expr(s"hll_sketch_agg(`$keyCol`)").as("sketch"),
         count(lit(1)).as("n_events"))
 
   /** Merge a set of sketches into one distinct estimate (one row). */
   def mergedDistinct(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
     sketches.agg(
-      expr(s"hll_sketch_estimate(hll_union_agg($sketchCol))").as("distinct_estimate"))
+      expr(s"hll_sketch_estimate(hll_union_agg(`$sketchCol`))").as("distinct_estimate"))
 
   /** Rolling distinct per trailing `windowDays` window, one row per
     * day present: merges only the window's sketches (bounded by
@@ -48,7 +48,7 @@ object Sketches {
         col(dayCol) <= col("__anchor") &&
           col(dayCol) > date_sub(col("__anchor"), windowDays))
       .groupBy(col("__anchor").as(dayCol))
-      .agg(expr(s"hll_sketch_estimate(hll_union_agg($sketchCol))")
+      .agg(expr(s"hll_sketch_estimate(hll_union_agg(`$sketchCol`))")
         .as("distinct_estimate"))
   }
 }

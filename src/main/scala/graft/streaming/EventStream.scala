@@ -128,12 +128,14 @@ object EventStream {
     * re-evaluates the static side per micro-batch, so a dimension
     * refreshed in place is picked up at the next trigger without
     * restarting the stream. The join needs NO streaming state and no
-    * watermark (unlike stream-stream joins); with a small dimension it
-    * broadcasts, so the stream side never shuffles. Left join keeps
-    * events with no dimension row (nulls, downstream-filterable).
+    * watermark (unlike stream-stream joins); the planner broadcasts a
+    * small dimension (no stream-side shuffle) and degrades to a
+    * shuffle join for a large one — no forced hint, so an oversized
+    * dimension cannot OOM the broadcast path. Left join keeps events
+    * with no dimension row (nulls, downstream-filterable).
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+    events.join(dim, Seq(key), "left")
 
   /** Stream-stream join: each click paired with the same user's
     * purchases within `attribution` after it — streaming conversion

@@ -32,13 +32,17 @@ class RankingSpec extends SparkSpecBase {
 
   test("topN truncates per query independently") {
     val a = ranking((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3), (2L, 21L, 1))
-    val out = Ranking.rrfFuse(Seq(a), kRrf = 0, topN = 2)
+    val out = Ranking.rrfFuse(Seq(a), kRrf = 1, topN = 2)
     assert(out.filter(col("query_id") === 1).count() == 2)
     assert(out.filter(col("query_id") === 2).count() == 1)
-    // kRrf=0: score of rank 1 is 1.0
+    // kRrf=1: score of rank 1 is 1/2
     val top = out.filter(col("query_id") === 2).select("rrf_score")
       .as[Double].head()
-    assert(top == 1.0)
+    assert(top == 0.5)
+    // degenerate kRrf rejected
+    intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(Seq(a), kRrf = 0, topN = 2)
+    }
   }
 
   test("fusing a ranking with itself doubles scores and preserves order") {

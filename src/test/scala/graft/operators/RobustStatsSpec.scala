@@ -22,6 +22,19 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(outliers == Set(100L))
   }
 
+  test("NULL values are ignored for both medians (QUANTILE_DISC semantics)") {
+    // non-null values [1,2,3]: median 2, deviations [1,0,1] → MAD 1;
+    // a counted NULL would have shifted the ceil(n*q) index to med 1
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)), ("a", None))
+      .toDF("g", "v")
+    val out = CorpusStats.madOutliers(df, "g", "v", k = 3)
+    val med = out.select("med").distinct().as[Long].collect().toSeq
+    val mad = out.select("mad").distinct().as[Long].collect().toSeq
+    assert(med == Seq(2L) && mad == Seq(1L))
+    // the NULL row itself carries a NULL flag (SQL three-valued logic)
+    assert(out.filter(col("v").isNull).select("is_outlier").collect()(0).isNullAt(0))
+  }
+
   test("constant group has MAD 0 and no outliers; deviant value flagged") {
     val df = (Seq.fill(5)(("c", 10L)) ++ Seq(("d", 10L), ("d", 10L), ("d", 11L)))
       .toDF("g", "v")

@@ -35,6 +35,43 @@ object Sketches {
     sketches.agg(
       expr(s"hll_sketch_estimate(hll_union_agg(`$sketchCol`))").as("distinct_estimate"))
 
+  /** Per-day CountMin frequency sketches — the mergeable-frequency
+    * twin of [[dailySketches]]'s HLL: kilobyte-bounded per-period
+    * state answering "how often did key X appear in range R" without
+    * re-scanning the stream. CountMin counters are sums, so merging
+    * daily sketches reproduces the whole-range sketch EXACTLY (same
+    * eps/confidence/seed required). Estimates only ever OVER-count
+    * (by at most eps·N with the configured confidence) — the safe
+    * direction for heavy-hitter screening.
+    */
+  def dailyFrequencySketches(
+      events: DataFrame, tsCol: String, keyCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame =
+    events.groupBy(col(tsCol).cast("date").as("day"))
+      .agg(expr(s"count_min_sketch(`$keyCol`, ${eps}d, ${confidence}d, $seed)")
+        .as("cms"),
+        count(lit(1)).as("n_events"))
+
+  /** Merge per-day CountMin blobs and probe the given items' estimated
+    * frequencies. The collect is control-plane-bounded — one kilobyte
+    * row per day, the same shape as KMeans' centroid collect — which
+    * is the point of sketch state: range queries never touch the raw
+    * stream.
+    */
+  def mergedFrequencies(
+      daily: DataFrame, items: Seq[Long],
+      cmsCol: String = "cms"): Map[Long, Long] = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val blobs = daily.select(col(cmsCol)).collect()
+      .map(_.getAs[Array[Byte]](0))
+    require(blobs.nonEmpty, "no sketches to merge")
+    val merged = blobs
+      .map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    items.map(i => i -> merged.estimateCount(java.lang.Long.valueOf(i))).toMap
+  }
+
   /** Rolling distinct per trailing `windowDays` window, one row per
     * day present: merges only the window's sketches (bounded by
     * windowDays rows per output row, all kilobyte payloads).

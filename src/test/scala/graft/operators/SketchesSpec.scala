@@ -38,6 +38,27 @@ class SketchesSpec extends SparkSpecBase {
     assert(once == twice)
   }
 
+  test("CountMin merge-of-daily equals the whole-range sketch; estimates over-count only") {
+    val daily = Sketches.dailyFrequencySketches(events, "ts", "user_id")
+    val probe = events.select(col("user_id")).distinct()
+      .orderBy(col("user_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val est = Sketches.mergedFrequencies(daily, probe)
+    val global = Sketches.mergedFrequencies(
+      events.agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n_events")), probe)
+    assert(est == global, "counter-sum merge must equal the one-shot sketch")
+    val exact = events.filter(col("user_id").isin(probe: _*))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = events.count()
+    probe.foreach { u =>
+      val e = exact.getOrElse(u, 0L)
+      assert(est(u) >= e, s"user $u: CMS must never under-count ($e vs ${est(u)})")
+      assert(est(u) <= e + (0.001 * n).toLong + 1, s"user $u over eps bound")
+    }
+  }
+
   test("rolling window merges only the trailing window's sketches") {
     val daily = Sketches.dailySketches(events, "ts", "user_id")
     val rolling = Sketches.rollingDistinct(daily, windowDays = 7)

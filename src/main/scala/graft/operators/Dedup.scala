@@ -399,11 +399,21 @@ object Dedup extends Logging {
     * (headers, license blocks, navigation) that document-level dedup
     * cannot touch because the surrounding text differs.
     *
-    * Scale shape: one explode to (doc, span) rows, one aggregation on
-    * the span text with map-side partials (identical spans collapse
-    * per-partition before the exchange — exactly the boilerplate case),
-    * and one doc-keyed aggregation to reassemble. The winner set IS the
-    * aggregation output, so no join back against the exploded spans.
+    * Scale shape: one explode to (doc, span) rows, hashed immediately —
+    * the first-occurrence aggregation keys on `(xxhash64(span),
+    * length(span))`, so the exchange carries ~24 bytes per span, never
+    * the span text (shuffling the corpus as 3-word strings was the
+    * largest shuffle in the suite and collapsed under memory
+    * pressure). Map-side partials still collapse identical spans
+    * per-partition — exactly the boilerplate case. The winner set IS
+    * the aggregation output ((doc_id, span_idx) pairs, 16 bytes), a
+    * second integer-only aggregation groups surviving indexes per doc,
+    * and reassembly joins those index lists back to the docs — the
+    * winning doc slices its OWN token array, so text moves through
+    * exactly one exchange (the reassembly join), not the span agg.
+    * Hash collisions: a 64-bit-hash + length collision between
+    * distinct spans would merge them (2^-64-scale; the same
+    * belt-and-braces contract as [[exactGroups]]).
     * Deterministic: first occurrence is a total order, no RNG.
     *
     * Returns (doc_id, clean_text, kept_spans, total_spans); fully
@@ -421,6 +431,8 @@ object Dedup extends Logging {
     val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
       .withColumn("total_spans",
         ceil(size(col("w")) / lit(spanWords.toDouble)).cast("long"))
+    // span strings exist only transiently inside this projection: the
+    // very next select reduces each to (hash, len) before any exchange
     val spans = base
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), posexplode(expr(
@@ -428,23 +440,28 @@ object Dedup extends Logging {
           s"i -> array_join(slice(w, i * $spanWords + 1, $spanWords), ' '))")))
       .withColumnRenamed("pos", "span_idx")
       .withColumnRenamed("col", "span_text")
-    // global first occurrence per distinct span text — the aggregation
-    // output is already the kept set (one row per surviving span)
+      .select(col("doc_id"), col("span_idx"),
+        xxhash64(col("span_text")).as("span_hash"),
+        length(col("span_text")).as("span_len"))
+    // global first occurrence per distinct span KEY — the aggregation
+    // output is already the kept set (one 16-byte row per survivor)
     val kept = spans
-      .groupBy(col("span_text"))
+      .groupBy(col("span_hash"), col("span_len"))
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
-      .select(col("first.doc_id").as("doc_id"),
-        col("first.span_idx").as("span_idx"), col("span_text"))
-    val rebuilt = kept
+      .select(col("first.doc_id").as("doc_id"), col("first.span_idx").as("span_idx"))
+    // surviving span indexes per doc — integer-only aggregation
+    val keptIdx = kept
       .groupBy(col("doc_id"))
-      .agg(
-        array_join(expr("transform(array_sort(collect_list(struct(span_idx, span_text))), s -> s.span_text)"), " ")
-          .as("clean_text"),
+      .agg(sort_array(collect_list(col("span_idx"))).as("keep_idx"),
         count(lit(1)).as("kept_spans"))
-    base.select(col("doc_id"), col("total_spans"))
-      .join(rebuilt, Seq("doc_id"), "left")
+    // reassembly: the winning doc holds its own token array locally —
+    // slice its surviving spans back out of `w` by index
+    base
+      .join(keptIdx, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(array_join(expr(
+          s"transform(keep_idx, i -> array_join(slice(w, i * $spanWords + 1, $spanWords), ' '))"),
+          " "), lit("")).as("clean_text"),
         coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
         col("total_spans"))
   }

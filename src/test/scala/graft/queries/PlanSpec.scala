@@ -276,6 +276,26 @@ class PlanSpec extends SparkSpecBase {
       s"med/mad bands must broadcast, not shuffle the corpus:\n$p")
   }
 
+  test("spanDedup shuffles span hashes, never span text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = graft.SparkEntry.queries("q64_span_dedup")(spark, sfDir)
+    df.collect()
+    val exchanges = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected at least the span-agg exchange")
+    // the first-occurrence aggregation must key on the 64-bit hash...
+    assert(!exchanges.exists(_.outputPartitioning.toString.contains("span_text")),
+      "span first-occurrence agg keyed on span text")
+    // ...and the rows moving through the span-keyed exchange must not
+    // carry any string payload (the whole point of the reshape)
+    val spanExchanges = exchanges.filter(
+      _.outputPartitioning.toString.contains("span_hash"))
+    assert(spanExchanges.nonEmpty, "span-hash exchange not found")
+    assert(spanExchanges.forall(_.child.output.forall(_.dataType != StringType)),
+      "string column rides the span exchange")
+  }
+
   test("semDedup pair stage is an equi-join on the cell key — never all-pairs") {
     val df = graft.SparkEntry.queries("q74_semantic_dedup")(spark, sfDir)
     df.collect()

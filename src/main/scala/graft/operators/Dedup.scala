@@ -108,6 +108,24 @@ object Dedup extends Logging {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Representative→member edges of the exact-duplicate groups:
+    * (id_a = min id of the content group, id_b = every other member).
+    * This is the composition half of the near-dup pair contract — the
+    * pair operators emit pairs over content-DISTINCT representatives,
+    * and full duplicate-cluster closure is those pairs PLUS these
+    * membership edges (see the class note above). Same 16-byte
+    * (digest, len) shuffle shape as [[exactGroups]]; the text never
+    * moves.
+    */
+  def exactMemberEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__l"))
+    val reps = keyed.groupBy(col("__h"), col("__l")).agg(min(col(idCol)).as("id_a"))
+    keyed.join(reps, Seq("__h", "__l"))
+      .filter(col(idCol) =!= col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b"))
+  }
+
   /** MinHash + LSH near-duplicate candidate pairs, verified by exact
     * Jaccard over word `shingleN`-gram sets.
     *
@@ -292,12 +310,41 @@ object Dedup extends Logging {
     * count. Set size rides each exploded row (8 extra bytes), so
     * downstream metrics need no join back to the documents — one scan,
     * one shuffle, no persist left pinned in the session.
+    *
+    * `maxDf` caps the candidate-generating vocabulary: shingles held
+    * by more than `maxDf` documents (stop-shingles — boilerplate
+    * n-grams at web scale) are removed from the shingle UNIVERSE
+    * before sizing and pairing, so sets, intersections, and every
+    * downstream metric are computed consistently over the
+    * discriminative (df <= maxDf) vocabulary — the shingle-space
+    * analogue of stop-word removal, and the bound that makes the join
+    * linear: Σ_{df<=c} df² <= c·Σdf = c × (corpus shingle count).
+    * Stop-shingles are few by construction, so they move as a one-row
+    * broadcast list (the [[capBuckets]] pattern) — the corpus pays one
+    * extra df aggregation of 8-byte keys, never a second text pass.
+    * `maxDf = Int.MaxValue` (the default) skips the df pass entirely;
+    * the audit view of what a cap would drop is [[stopShingles]].
     */
   private def sharedShinglePairs(
-      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     import graft.functions.expressions.TextHashFunctions._
-    val ex = docs
+    val sets = docs
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), shingleN).as("sh"))
+    val filtered =
+      if (maxDf == Int.MaxValue) sets
+      else {
+        logInfo(s"shingle df cap active: shingles with df > $maxDf excluded " +
+          "from the similarity universe; audit via Dedup.stopShingles")
+        // over-cap shingles collapse to ONE broadcast row (empty-safe):
+        // the corpus-side filter is a map pass over each doc's own array
+        val stop = stopShingles(sets, maxDf, "sh")
+          .agg(coalesce(collect_list(col("g")), array().cast("array<bigint>"))
+            .as("__stop"))
+        sets.crossJoin(broadcast(stop))
+          .select(col("id"), array_except(col("sh"), col("__stop")).as("sh"))
+      }
+    val ex = filtered
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
     ex.as("a")
@@ -307,6 +354,17 @@ object Dedup extends Logging {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** Audit view: the over-cap (stop) shingle hashes and their document
+    * frequencies — what a `maxDf` cap removes from the similarity
+    * universe. `sets` must carry an array column `shCol` of shingle
+    * hashes (one row per doc). Lazy and tiny: df aggregates map-side
+    * over 8-byte keys.
+    */
+  def stopShingles(sets: DataFrame, maxDf: Int, shCol: String = "sh"): DataFrame =
+    sets.select(explode(col(shCol)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
   /** EXACT containment join — excerpt/quote detection. Containment
     * C(A in B) = |S(A) ∩ S(B)| / |S(A)| is the asymmetric cousin of
     * Jaccard: a short document lifted verbatim from a long one scores
@@ -315,12 +373,24 @@ object Dedup extends Logging {
     * where EITHER direction reaches `threshold`, with both directions'
     * scores. Same inverted-index shape (and cost) as
     * [[allPairsJaccard]].
+    *
+    * Scale note: MinHash-LSH candidates CANNOT feed this operator —
+    * the high-containment pairs it exists to find have low Jaccard by
+    * construction (measured ~0.18 on the excerpt fixtures), so any
+    * Jaccard-LSH recall-tuned for them degenerates to emitting every
+    * shingle-sharing pair. The scale lever is `maxDf`: capping the
+    * candidate vocabulary at df <= maxDf bounds the index join at
+    * maxDf × (corpus shingle count) — linear — and a pair that shares
+    * ONLY over-cap boilerplate shingles is boilerplate containment,
+    * the non-signal the cap is meant to drop (audit via
+    * [[stopShingles]]).
     */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.9,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0, 1]")
-    sharedShinglePairs(docs, idCol, textCol, shingleN)
+    sharedShinglePairs(docs, idCol, textCol, shingleN, maxDf)
       .withColumn("cont_a_in_b", col("inter") / col("n_a"))
       .withColumn("cont_b_in_a", col("inter") / col("n_b"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
@@ -350,11 +420,31 @@ object Dedup extends Logging {
     val pairs = sharedShinglePairs(docs, idCol, textCol, shingleN)
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("nbr"), col("jaccard"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col("jaccard")))
-    CorpusStats.topKPerGroup(sym, "src", "nbr", "jaccard", k)
+      .select(col("id_a"), col("id_b"), col("jaccard")) // unrounded: exact-order ranking
+    knnFromPairs(pairs, k, idCol)
+      .select(col(idCol), col("neighbor_id"),
+        round(col("jaccard"), 4).as("jaccard"), col("rank"))
+  }
+
+  /** Top-`k` neighbors per document from an explicit VERIFIED pair
+    * list (id_a, id_b, `scoreCol`) — the production k-NN shape: LSH
+    * candidate generation ([[minhashNearDupPairs]], whose output
+    * plugs in directly) bounds the pair work, this ranks the
+    * survivors. Symmetrizes the pairs, then the bounded-heap top-k
+    * aggregator keeps k rows per (doc, partition) in the shuffle —
+    * never a per-doc sort of all candidates. Ties break by neighbor
+    * id on the score AS GIVEN (pre-round upstream scores before
+    * calling if rounded-order ranking is the contract).
+    */
+  def knnFromPairs(
+      pairs: DataFrame, k: Int, idCol: String = "doc_id",
+      scoreCol: String = "jaccard"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("nbr"), col(scoreCol))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col(scoreCol)))
+    CorpusStats.topKPerGroup(sym, "src", "nbr", scoreCol, k)
       .select(col("src").as(idCol), col("nbr").as("neighbor_id"),
-        round(col("score"), 4).as("jaccard"), col("rank"))
+        col("score").as(scoreCol), col("rank"))
   }
 
   /** EXACT all-pairs cosine similarity at `threshold` — the brute-force

@@ -475,4 +475,59 @@ class ExtensionOpsSpec extends SparkSpecBase {
       assert(r.getLong(1) == expected, s"media ${r.getLong(0)}")
     }
   }
+
+  test("df-capped containment is exact while the cap is non-binding (the q66 precondition)") {
+    import graft.functions.expressions.TextHashFunctions.shingle_hashes
+    val corpus = ExtensionQueries.corpusWithExcerpts(spark, sfDir)
+    // the precondition q66 relies on: no fixture shingle reaches df 64
+    val sets = corpus.select(shingle_hashes(col("text"), 3).as("sh"))
+    assert(Dedup.stopShingles(sets, 64).isEmpty,
+      "fixture has over-cap shingles; the q66 cap is no longer provably non-binding")
+    assertSameRows(
+      Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9, maxDf = 64),
+      Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9))
+  }
+
+  test("a binding df cap drops boilerplate-only pairs and audits the stop shingles") {
+    import spark.implicits._
+    import graft.functions.expressions.TextHashFunctions.shingle_hashes
+    // 10 docs whose ONLY shared shingle is the boilerplate prefix
+    val docs = (1 to 10)
+      .map(i => (i.toLong, s"boiler plate text w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.1)
+    assert(uncapped.count() > 0, "boilerplate must pair without the cap")
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.1, maxDf = 5)
+    assert(capped.isEmpty, "boilerplate-only pairs must drop under the cap")
+    val audit = Dedup.stopShingles(
+      docs.select(shingle_hashes(col("text"), 3).as("sh")), 5).collect()
+    assert(audit.length == 1 && audit.head.getLong(1) == 10L,
+      s"audit must report the one df-10 stop shingle: ${audit.mkString(",")}")
+  }
+
+  test("exactMemberEdges emits rep->member for every duplicate group, nothing else") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (5L, "a b c"),
+      (3L, "x y"), (4L, "z")).toDF("doc_id", "text")
+    val edges = Dedup.exactMemberEdges(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (1L, 5L)), edges.toString)
+  }
+
+  test("knnFromPairs ranks a verified pair list by score with id tiebreak, both directions") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.8), (1L, 4L, 0.8), (1L, 5L, 0.7),
+      (2L, 3L, 0.6)).toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.knnFromPairs(pairs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 0.9, 1), (1L, 3L, 0.8, 2), (1L, 4L, 0.8, 3), // ties: lower id first
+      (2L, 1L, 0.9, 1), (2L, 3L, 0.6, 2),
+      (3L, 1L, 0.8, 1), (3L, 2L, 0.6, 2),
+      (4L, 1L, 0.8, 1),
+      (5L, 1L, 0.7, 1)), got.toString)
+  }
 }

@@ -15,11 +15,13 @@ import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQuerie
   * iff no false positives and the engine metric matches DuckDB's
   * string/double-side recomputation); q22 runs uncapped, where the
   * pigeonhole scheme is exact, against a full DuckDB reimplementation
-  * of the simhash; q30's oracle reimplements the winnowing fingerprint
-  * the same way. Recall stays spec-side (planted-duplicate recall in
-  * ScalaTest). Remaining rows-only queries (q25/q31/q34 —
-  * approximate-top-k / media / sketch outputs) are spec-verified via
-  * recall/error-bound/determinism properties.
+  * of the simhash; q30's oracle reimplements the winnowing
+  * fingerprint the same way; q25's oracle reimplements the ENTIRE
+  * hyperplane-LSH pipeline (plane matrix, buckets, candidates,
+  * ranking) in exact DuckDB arithmetic. Recall stays spec-side
+  * (planted-duplicate recall in ScalaTest). Remaining rows-only
+  * queries (q31 media payloads, q34 sketch estimates) are
+  * spec-verified via error-bound/determinism properties.
   */
 object SparkEntry {
 
@@ -147,6 +149,7 @@ object SparkEntry {
     "q33_dedup_embedding" -> ExtensionQueries.dedupEmbeddingSql,
     "q23_ngram_jaccard" -> ExtensionQueries.ngramJaccardPlantedSql,
     "q24_similarity_bruteforce" -> ExtensionQueries.similarityBruteForceSql,
+    "q25_similarity_lsh" -> ExtensionQueries.similarityLshSql,
     "q26_ivf_assignments" -> ExtensionQueries.ivfAssignmentsSql,
     "q27_text_quality" -> ExtensionQueries.textQualitySql,
     "q28_lang_id" -> ExtensionQueries.langIdSql,

@@ -355,6 +355,94 @@ object ExtensionQueries {
       Tables.embeddings(spark, dir), queryVectors(spark, dir), k = 10, planes = 6)
       .orderBy(col("query_id"), col("rank"))
 
+  /** DuckDB oracle: a FULL reimplementation of the hyperplane-LSH
+    * pipeline (the q22/q30 exact-arithmetic treatment applied to
+    * ANN). The plane matrix is deterministic — splitmix64 of
+    * (seed=0x5eed, plane, component) with exact 64-bit wraparound
+    * (HUGEINT-split multiplies), Java-floorMod-scaled to [-1, 1) —
+    * so the oracle regenerates it bit-for-bit, rebuilds every
+    * vector's sign bucket with the same left-to-right DOUBLE dot
+    * product (`LIST_DOT_PRODUCT` ≡ the native `vec_dot` fold),
+    * joins same-bucket candidates, and ranks by the bit-stable
+    * cosine. Verifies the hash chain, the bucketing, candidate
+    * generation, AND the ranking in one hash equality — recall
+    * stays approximate by design, but WHICH pairs the
+    * approximation yields is exactly pinned.
+    */
+  val similarityLshSql: String = {
+    def mix(pre: String, post: String, xCol: String): String =
+      s"""$pre AS (SELECT p, j, CAST(
+         |  ( (CAST(xor($xCol, $xCol >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929
+         |    + ((CAST(xor($xCol, $xCol >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+         |  ) % 18446744073709551616 AS UBIGINT) AS x FROM $post)""".stripMargin
+    def mix2(pre: String, post: String): String =
+      s"""$pre AS (SELECT p, j, CAST(
+         |  ( (CAST(xor(x, x >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931
+         |    + ((CAST(xor(x, x >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+         |  ) % 18446744073709551616 AS UBIGINT) AS x FROM $post)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT MAX(LEN(v)) AS dim FROM e),
+       |pj AS (
+       |  SELECT pp.p, jj.j
+       |  FROM (SELECT UNNEST(RANGE(0, 6)) AS p) pp,
+       |       (SELECT UNNEST(RANGE(0, (SELECT dim FROM dims))) AS j) jj
+       |),
+       |s0 AS (
+       |  SELECT p, j,
+       |         xor(CAST(24301 AS UBIGINT),
+       |             CAST((CAST(p AS HUGEINT) * 11400714819323198485)
+       |                  % 18446744073709551616 AS UBIGINT)) AS x
+       |  FROM pj
+       |),
+       |${mix("s1", "s0", "x")},
+       |${mix2("s2", "s1")},
+       |s3 AS (SELECT p, j, xor(x, x >> 31) AS ph FROM s2),
+       |t0 AS (
+       |  SELECT p, j,
+       |         xor(ph, CAST((CAST(j AS HUGEINT) * 14029467366897019727)
+       |                      % 18446744073709551616 AS UBIGINT)) AS x
+       |  FROM s3
+       |),
+       |${mix("t1", "t0", "x")},
+       |${mix2("t2", "t1")},
+       |t3 AS (SELECT p, j, xor(x, x >> 31) AS h FROM t2),
+       |comp AS (
+       |  SELECT p, j,
+       |         ((((CASE WHEN h >= 9223372036854775808
+       |                  THEN CAST(h AS HUGEINT) - 18446744073709551616
+       |                  ELSE CAST(h AS HUGEINT) END) % 1000000) + 1000000) % 1000000)::DOUBLE
+       |           / 500000.0 - 1.0 AS c
+       |  FROM t3
+       |),
+       |pl AS (SELECT p, LIST(c ORDER BY j) AS pv FROM comp GROUP BY p),
+       |buck AS (
+       |  SELECT e.vec_id,
+       |         CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(e.v, pl.pv) >= 0
+       |                       THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN pl
+       |  GROUP BY e.vec_id
+       |),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, b.bucket AS qb
+       |  FROM e JOIN buck b USING (vec_id) WHERE e.vec_id < 5
+       |),
+       |cand AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         LIST_DOT_PRODUCT(e.v, q.qv) /
+       |           (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) * SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) AS cos
+       |  FROM q
+       |  JOIN buck b ON b.bucket = q.qb
+       |  JOIN e ON e.vec_id = b.vec_id
+       |  WHERE e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, vec_id, ROUND(cos, 6) AS cosine,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+       |FROM cand
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding"))

@@ -104,6 +104,101 @@ object VectorUtil {
     }
     bucket
   }
+
+  /** Single-pass argmin over a broadcast centroid matrix: evaluates
+    * all k squared distances in one tight loop and returns
+    * (centroid_id, dist2) of the nearest — replacing the k× row
+    * multiplication of a corpus×centroids broadcast join + argmin
+    * aggregate with a pure map (no join, no shuffle).
+    *
+    * Arithmetic contract (bit-identical to the join formulation and
+    * to the DuckDB oracles): dist2 = (dot(v,v) + dot(c,c)) −
+    * 2·dot(v,c), every fold left-to-right in DOUBLE; dot(v,v) runs
+    * over the full vector, dot(v,c) over min(|v|, dim) — exactly the
+    * old `normSq(v) + normSq(c) - 2.0*dot(v,c)` expression tree.
+    * Ties: centroids scan in ascending id with strict `<`, so the
+    * smallest centroid_id wins — `min(struct(dist2, centroid_id))`
+    * semantics.
+    */
+  def nearestCentroid(
+      v: ArrayData, vF: Boolean, m: CentroidMatrix)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val vLen = v.numElements()
+    var dv = 0.0
+    var i = 0
+    while (i < vLen) { val x = elem(v, i, vF); dv += x * x; i += 1 }
+    val dim = math.min(vLen, m.dim)
+    var bestId = 0L
+    var best = 0.0
+    var c = 0
+    while (c < m.ids.length) {
+      var dvc = 0.0
+      var j = 0
+      val off = c * m.dim
+      while (j < dim) { dvc += elem(v, j, vF) * m.flat(off + j); j += 1 }
+      val d = dv + m.norms(c) - 2.0 * dvc
+      if (c == 0 || d < best) { best = d; bestId = m.ids(c) }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, best))
+  }
+}
+
+/** Collected centroids for [[NearestCentroid]]: ids ascending,
+  * components row-major (floats widened exactly — widening is lossless,
+  * so precollecting changes no arithmetic), per-centroid ||c||² in the
+  * same left-to-right DOUBLE fold the join formulation used. Driver-
+  * side by contract: coarse quantizers are k ≈ O(√N) rows — the same
+  * control-plane collect KMeans already does for its Lloyd loop.
+  */
+final class CentroidMatrix private (
+    val ids: Array[Long], val flat: Array[Double], val dim: Int,
+    val norms: Array[Double]) extends Serializable {
+  def k: Int = ids.length
+}
+
+object CentroidMatrix {
+
+  def apply(rows: Seq[(Long, Array[Double])]): CentroidMatrix = {
+    require(rows.nonEmpty, "centroid set is empty")
+    val sorted = rows.sortBy(_._1).toArray
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim), "ragged centroid dimensions")
+    val flat = new Array[Double](sorted.length * dim)
+    val norms = new Array[Double](sorted.length)
+    var c = 0
+    while (c < sorted.length) {
+      val v = sorted(c)._2
+      System.arraycopy(v, 0, flat, c * dim, dim)
+      var n = 0.0
+      var j = 0
+      while (j < dim) { n += v(j) * v(j); j += 1 }
+      norms(c) = n
+      c += 1
+    }
+    new CentroidMatrix(sorted.map(_._1), flat, dim, norms)
+  }
+
+  /** Collect a (centroid_id, vecCol) DataFrame — float or double
+    * elements — into a matrix. A driver action at plan-build time,
+    * bounded by the coarse-quantizer contract (k·dim doubles).
+    */
+  def fromDataFrame(
+      centroids: org.apache.spark.sql.DataFrame, vecCol: String): CentroidMatrix =
+    apply(centroids
+      .select(org.apache.spark.sql.functions.col("centroid_id").cast("long"),
+        org.apache.spark.sql.functions.col(vecCol))
+      .collect()
+      .map { r =>
+        val arr = r.getSeq[Any](1).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"centroid element of type ${other.getClass}")
+        }.toArray
+        (r.getLong(0), arr)
+      }.toIndexedSeq)
 }
 
 private object VectorExprTypes {
@@ -164,6 +259,30 @@ case class HyperplaneBits(child: Expression, planes: Int, seed: Int)
   override def prettyName: String = "hyperplane_bits"
 }
 
+/** `nearest_centroid(v, matrix)` — single-pass argmin assignment
+  * returning struct(centroid_id, dist2). The matrix rides codegen as
+  * a reference object; the projection stays inside whole-stage
+  * codegen (one static call per row, k·dim flops, zero joins).
+  */
+case class NearestCentroid(child: Expression, matrix: CentroidMatrix)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("dist2", DoubleType, nullable = false)))
+  private lazy val vF = VectorExprTypes.isFloat(child)
+  override def nullSafeEval(input: Any): Any =
+    VectorUtil.nearestCentroid(input.asInstanceOf[ArrayData], vF, matrix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidMatrix", matrix,
+      classOf[CentroidMatrix].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.VectorUtil.nearestCentroid($c, $vF, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
+}
+
 /** Column-API wrappers. */
 object VectorExprFunctions {
   def vec_dot(a: Column, b: Column): Column =
@@ -174,4 +293,7 @@ object VectorExprFunctions {
 
   def hyperplane_bits(v: Column, planes: Int, seed: Int = 0x5eed): Column =
     ColumnBridge.column(HyperplaneBits(ColumnBridge.expression(v), planes, seed))
+
+  def nearest_centroid(v: Column, matrix: CentroidMatrix): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), matrix))
 }

@@ -9,9 +9,8 @@ import org.apache.spark.sql.types._
   * [[Similarity.ivfAssign]]/[[Similarity.ivfTopK]].
   *
   * Scale shape per iteration (the 100 TB loop):
-  *  - assignment is a broadcast of k centroids + a map pass with
-  *    `min(struct(dist2, centroid_id))` argmin — map-side partial
-  *    aggregation, one shuffled row per vector;
+  *  - assignment is a pure map: a codegen'd `nearest_centroid` pass
+  *    over the collected k×dim matrix — no join, no shuffle;
   *  - mean recomputation posexplodes to (cell, pos, x) and aggregates —
   *    partial aggregation collapses each map partition to ≤ k·dim rows
   *    before the exchange, so the shuffle is centroid-sized, not
@@ -38,9 +37,9 @@ object KMeans {
   def step(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = Similarity.ivfAssign(corpus, centroids, idCol, vecCol)
-      .select(col(idCol), col("centroid_id"))
-      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+    // assignment is a map that keeps the vector — no join back
+    val assigned = Similarity.ivfAssignWithVec(corpus, centroids, idCol, vecCol)
+      .select(col("centroid_id"), col(vecCol))
     assigned
       .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("centroid_id"), col("pos"))

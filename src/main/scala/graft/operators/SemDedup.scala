@@ -16,10 +16,11 @@ import graft.functions.VectorFunctions
   * construction — that is SemDeDup's stated approximation, not a bug
   * here.
   *
-  * Scale shape: assignment is one broadcast-join map pass over the
-  * corpus (centroids are small by definition) with the argmin as
-  * `min(struct)` partial aggregation — the shuffle carries one row per
-  * vector. The pair stage shuffles each vector once on its cell key;
+  * Scale shape: assignment is one codegen'd `nearest_centroid` map
+  * pass over the collected centroid matrix (centroids are
+  * control-plane-sized by definition) — no join, no k× row
+  * multiplication, no shuffle. The pair stage shuffles each vector
+  * once on its cell key;
   * within-cell self-join does the bounded quadratic work. Hot cells
   * are observable via the assignment counts (q26's cell-size view) and
   * can be capped or re-split exactly like [[Dedup]]'s LSH hot-bucket
@@ -39,27 +40,16 @@ object SemDedup {
       corpus: DataFrame, centroids: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val scored = corpus.select(col(idCol), col(vecCol))
-      .join(broadcast(centroids.select(col("centroid_id"), col(vecCol).as("__c_vec"))))
-      .withColumn("__dist2",
-        VectorFunctions.normSq(col(vecCol)) + VectorFunctions.normSq(col("__c_vec"))
-          - lit(2.0) * VectorFunctions.dot(col(vecCol), col("__c_vec")))
-    // argmin via min(struct(dist2, centroid_id)) — deterministic
-    // centroid-id tiebreak, map-side partials. The vector rides along
-    // via first(): every row in the group carries the same vector, so
-    // the value is deterministic even though first() itself is not.
-    // The persist lives for the session (same caller-owned lifetime as
-    // Dedup's signature persists; Bench clears the cache between
-    // queries) — an eager unpersist would void the reuse, since the
-    // result is consumed lazily.
+    // assignment is a PURE MAP: one codegen'd nearest_centroid pass
+    // over a collected centroid matrix — no broadcast join, no k× row
+    // multiplication, no argmin shuffle (see Similarity.ivfAssign).
     // cells feeds both pair-join sides plus the output flag join —
-    // persist so the broadcast-assignment pass runs once, not three
-    // times (the same two-scan pattern as Dedup's signature persist;
-    // Bench clears cache between queries)
-    val cells = scored.groupBy(col(idCol))
-      .agg(min(struct(col("__dist2"), col("centroid_id"))).as("__best"),
-        first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col("__best.centroid_id").as("centroid_id"), col(vecCol))
+    // persist so the scan+assignment runs once, not three times (the
+    // same pattern as Dedup's signature persist; the persist lives for
+    // the session, Bench clears the cache between queries).
+    val cells = graft.operators.Similarity
+      .ivfAssignWithVec(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-duplicate pre-collapse (the same flood guard as the LSH
     // pipelines): bit-identical vectors — empty docs, boilerplate —

@@ -95,28 +95,42 @@ object Similarity {
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest
-    * of `centroids` (a small broadcast table of (centroid_id, vec)),
-    * producing an inverted-file layout — repartitioning by centroid
-    * puts each cell's vectors together for cell-local search.
+    * of `centroids` (a small table of (centroid_id, vec)), producing
+    * an inverted-file layout — repartitioning by centroid puts each
+    * cell's vectors together for cell-local search.
+    *
+    * A PURE MAP: the centroids collect to a [[graft.functions
+    * .expressions.CentroidMatrix]] (driver-bounded by the coarse-
+    * quantizer contract, the same control-plane collect KMeans does)
+    * and a single codegen'd `nearest_centroid` expression evaluates
+    * all k distances per row — no join, no k× row multiplication, no
+    * argmin shuffle. (The previous broadcast-join + min(struct)
+    * aggregate multiplied every corpus row k times before the
+    * partial agg; SemDeDup's own regime is k ≈ O(√N), so that factor
+    * grows with the corpus.) Arithmetic is bit-identical — see
+    * `VectorUtil.nearestCentroid`.
     */
   def ivfAssign(
       corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAssignWithVec(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"), col("dist2"))
+
+  /** [[ivfAssign]] keeping the vector column — assignment is a map, so
+    * downstream cell-local work needs no join back to the corpus.
+    * Output: (idCol, vecCol, centroid_id, dist2).
+    */
+  def ivfAssignWithVec(
+      corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = corpus
-      .join(broadcast(centroids.select(col("centroid_id"), col(vecCol).as("c_vec"))))
-      .withColumn("dist2",
-        normSq(col(vecCol)) + normSq(col("c_vec")) - lit(2.0) * dot(col(vecCol), col("c_vec")))
-    // argmin via min(struct(dist2, centroid_id)): lexicographic struct
-    // ordering gives the deterministic centroid_id tiebreak, and the
-    // aggregate gets map-side partial aggregation — the shuffle carries
-    // one row per vector. (A Window(row_number) plan would sort and
-    // shuffle the full corpus×centroids scored set, vectors attached —
-    // a scale-killer at 100 TB.)
-    scored
-      .groupBy(col(idCol))
-      .agg(min(struct(col("dist2"), col("centroid_id"))).as("best"))
-      .select(col(idCol), col("best.centroid_id").as("centroid_id"),
-        round(col("best.dist2"), 6).as("dist2"))
+    import graft.functions.expressions.{CentroidMatrix, VectorExprFunctions}
+    val m = CentroidMatrix.fromDataFrame(centroids, vecCol)
+    corpus
+      .select(col(idCol), col(vecCol),
+        VectorExprFunctions.nearest_centroid(col(vecCol), m).as("__best"))
+      .select(col(idCol), col(vecCol),
+        col("__best.centroid_id").as("centroid_id"),
+        round(col("__best.dist2"), 6).as("dist2"))
   }
 
   /** IVF-probed ANN top-k: search only the cells of each query's
@@ -132,9 +146,9 @@ object Similarity {
       k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
-      .select(col(idCol), col("centroid_id"))
-      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+    // assignment keeps the vector (it's a map) — no corpus self-join
+    val assigned = ivfAssignWithVec(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"), col(vecCol))
     // query → its nProbe nearest centroids. A Window is fine HERE: the
     // windowed set is queries × centroids, both broadcast-small by
     // contract — unlike the corpus-sized assignment above.

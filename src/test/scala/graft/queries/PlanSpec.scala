@@ -75,13 +75,17 @@ class PlanSpec extends SparkSpecBase {
     assert(projLine.trim.startsWith("*("), s"projection not codegen'd:\n$p")
   }
 
-  test("ivfAssign argmin aggregates with map-side partials — no Window over the scored set") {
+  test("ivfAssign is a pure map — no centroid join, no Window, no argmin shuffle") {
     val df = graft.queries.ExtensionQueries.ivfAssignments(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
+    // nearest_centroid evaluates all k distances per row; the only
+    // aggregate left is q26's cell-size count
+    assert(!p.contains("Join"), s"assignment must not join the centroids:\n$p")
     assert(!p.contains("Window"), s"argmin must not plan as Window:\n$p")
-    assert(p.contains("partial_min") || p.contains("partial"), // map-side partial agg
-      s"argmin must get partial aggregation:\n$p")
+    assert(p.contains("nearest_centroid"), s"expected the native expression:\n$p")
+    assert(p.contains("partial"), // the cell-size count still combines map-side
+      s"cell-size count must get partial aggregation:\n$p")
   }
 
   test("deterministic sampling is a scan-side filter — no shuffle, no RNG") {

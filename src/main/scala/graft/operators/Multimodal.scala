@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
   *
   * IMAGE rows are REAL: payloads are PNG bytes (encoded, decoded, and
   * resized with the JDK's `javax.imageio` — see [[ImageCodec]]), and
-  * image features come from actual decoded pixels. Audio/video decode
-  * remains STUBBED (the JDK ships no such codecs): deterministic
-  * features from the raw bytes, with the schema contract, the
-  * `mapPartitions` batch shape (one partition = one decoder
-  * instantiation, the Spark-side analogue of a Pandas-UDF batch), and
-  * the partitioning identical to what a real codec would use — so
-  * swapping one in changes one function.
+  * image features come from actual decoded pixels. AUDIO rows are
+  * REAL too: payloads are 16-bit PCM WAV (`javax.sound.sampled` —
+  * see [[AudioCodec]]), and audio features (sample rate, duration,
+  * RMS) come from an actual container decode. Video decode remains
+  * STUBBED (the JDK ships no video codec): deterministic features
+  * from the raw bytes, with the schema contract, the `mapPartitions`
+  * batch shape (one partition = one decoder instantiation, the
+  * Spark-side analogue of a Pandas-UDF batch), and the partitioning
+  * identical to what a real codec would use — so swapping one in
+  * changes one function.
   *
   * Scale: decode is per-row map work; `repartition` before decode
   * controls batch size / executor memory; features are tiny relative
@@ -41,12 +44,18 @@ object Multimodal {
   // and dimension derivations must stay bit-identical to the codec's
   @inline private def mix64(x: Long): Long = ImageCodec.mix64(x)
 
+  /** Sample rates the synthetic audio fixtures draw from. */
+  val AudioRates: Array[Int] = Array(8000, 11025, 16000, 22050)
+
   /** Wrap a corpus into the multimodal contract:
     * (id, content binary, meta struct). IMAGE rows carry REAL PNG
     * payloads (deterministic pixels from the id, ImageIO-encoded);
-    * audio/video rows carry deterministic opaque bytes (UTF-8 of the
-    * text fixture) as codec-less stand-ins. Runs via mapPartitions —
-    * the same batch shape the decoder uses.
+    * AUDIO rows carry REAL 16-bit PCM WAV payloads (deterministic
+    * samples from the id, `javax.sound.sampled`-encoded) with meta =
+    * (sample rate, channels, PCM frame count); video rows carry
+    * deterministic opaque bytes (UTF-8 of the text fixture) as the
+    * codec-less stand-in. Runs via mapPartitions — the same batch
+    * shape the decoder uses.
     */
   def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
@@ -59,25 +68,35 @@ object Multimodal {
             case 1L => "audio"
             case 2L => "video"
           }
-          if (mediaType == "image") {
-            // small real images: fixture payloads stay kilobytes
-            val w = Math.floorMod(mix64(id ^ 1L), 64L).toInt + 1
-            val h = Math.floorMod(mix64(id ^ 2L), 48L).toInt + 1
-            val png = ImageCodec.encodePng(ImageCodec.syntheticImage(id, w, h))
-            Row(id, png, Row("image", w, h, 1))
-          } else {
-            val bytes = r.getString(1).getBytes("UTF-8")
-            val w = Math.floorMod(mix64(id ^ 1L), 1920L).toInt + 1
-            val h = Math.floorMod(mix64(id ^ 2L), 1080L).toInt + 1
-            val frames = Math.floorMod(mix64(id ^ 3L), 300L).toInt + 1
-            Row(id, bytes, Row(mediaType, w, h, frames))
+          mediaType match {
+            case "image" =>
+              // small real images: fixture payloads stay kilobytes
+              val w = Math.floorMod(mix64(id ^ 1L), 64L).toInt + 1
+              val h = Math.floorMod(mix64(id ^ 2L), 48L).toInt + 1
+              val png = ImageCodec.encodePng(ImageCodec.syntheticImage(id, w, h))
+              Row(id, png, Row("image", w, h, 1))
+            case "audio" =>
+              // small real clips: up to ~2100 samples, kilobyte WAVs;
+              // meta carries (sample rate, channels, frame count) in
+              // the (width, height, n_frames) slots
+              val rate = AudioRates(Math.floorMod(mix64(id ^ 1L), 4L).toInt)
+              val n = Math.floorMod(mix64(id ^ 3L), 2000L).toInt + 100
+              val wav = AudioCodec.encodeWav(AudioCodec.syntheticPcm(id, n), rate)
+              Row(id, wav, Row("audio", rate, 1, n))
+            case _ =>
+              val bytes = r.getString(1).getBytes("UTF-8")
+              val w = Math.floorMod(mix64(id ^ 1L), 1920L).toInt + 1
+              val h = Math.floorMod(mix64(id ^ 2L), 1080L).toInt + 1
+              val frames = Math.floorMod(mix64(id ^ 3L), 300L).toInt + 1
+              Row(id, bytes, Row(mediaType, w, h, frames))
           }
         }
       }(enc)
   }
 
   /** Output schema of the decode+feature step. Image rows populate the
-    * pixel-derived columns from a REAL decode; audio/video rows carry
+    * pixel-derived columns from a REAL decode; audio rows populate the
+    * audio columns from a REAL container decode; video rows carry
     * -1/0 there and byte-derived features only.
     */
   val FeatureSchema: StructType = StructType(Seq(
@@ -91,13 +110,18 @@ object Multimodal {
     StructField("img_height", IntegerType),
     StructField("mean_luma", DoubleType),
     StructField("distinct_color_ratio", DoubleType),
+    StructField("audio_sample_rate", IntegerType),
+    StructField("audio_duration_sec", DoubleType),
+    StructField("audio_rms", DoubleType),
     StructField("sampled_frames", ArrayType(IntegerType))))
 
   /** Decode + featurize. Image rows: REAL ImageIO decode, features
     * from pixels (dimensions, Rec.601 mean luma, distinct-color
-    * ratio). Audio/video: stub features from raw bytes. Frame sampling
-    * picks every `sampleEvery`-th frame index from metadata. Runs via
-    * mapPartitions so decoder/codec state amortizes per partition.
+    * ratio). Audio rows: REAL WAV decode, features from the container
+    * and samples (sample rate, duration, RMS). Video: stub features
+    * from raw bytes. Frame sampling picks every `sampleEvery`-th frame
+    * index from metadata. Runs via mapPartitions so decoder/codec
+    * state amortizes per partition.
     */
   def decodeAndFeaturize(media: DataFrame, sampleEvery: Int = 30): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(FeatureSchema))
@@ -119,20 +143,26 @@ object Multimodal {
           }
           val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
           val frames = (0 until nFrames by sampleEvery).toArray
-          val (ok, w, h, luma, colorRatio) =
-            if (mediaType == "image")
-              ImageCodec.decode(bytes) match {
-                case Some(img) =>
-                  val (dw, dh, ml, dc) = ImageCodec.pixelFeatures(img)
-                  (true, dw, dh, math.rint(ml * 10000) / 10000,
-                    math.rint(dc * 10000) / 10000)
-                case None => (false, -1, -1, 0.0, 0.0)
-              }
-            else (false, -1, -1, 0.0, 0.0)
+          var (ok, w, h, luma, colorRatio) = (false, -1, -1, 0.0, 0.0)
+          var (aRate, aDur, aRms) = (-1, 0.0, 0.0)
+          if (mediaType == "image")
+            ImageCodec.decode(bytes).foreach { img =>
+              val (dw, dh, ml, dc) = ImageCodec.pixelFeatures(img)
+              ok = true; w = dw; h = dh
+              luma = math.rint(ml * 10000) / 10000
+              colorRatio = math.rint(dc * 10000) / 10000
+            }
+          else if (mediaType == "audio")
+            AudioCodec.decode(bytes).foreach { a =>
+              ok = true
+              aRate = a.sampleRate
+              aDur = math.rint(a.durationSec * 10000) / 10000
+              aRms = math.rint(AudioCodec.rms(a.samples) * 10000) / 10000
+            }
           Row(id, mediaType, bytes.length.toLong,
             math.rint(mean * 10000) / 10000,
             math.rint(nDistinct.toDouble / 256 * 10000) / 10000,
-            ok, w, h, luma, colorRatio, frames)
+            ok, w, h, luma, colorRatio, aRate, aDur, aRms, frames)
         }
       }(enc)
   }
@@ -142,10 +172,12 @@ object Multimodal {
     decodeAndFeaturize(syntheticMedia(docs, idCol, textCol))
 
   /** Resize. Image rows: REAL decode → bilinear scale → PNG re-encode
-    * ([[ImageCodec.resizePng]]). Audio/video rows: stub — payload
-    * truncated to the area-scaled length (byte count tracks pixel
-    * count), as a stand-in for a codec transcode. Metadata rewritten
-    * to the new dimensions either way.
+    * ([[ImageCodec.resizePng]]). Audio rows: spatial resize is
+    * undefined for audio — identity (payload and meta unchanged), so a
+    * mixed-media resize pass stays type-correct. Video rows: stub —
+    * payload truncated to the area-scaled length (byte count tracks
+    * pixel count), as a stand-in for a codec transcode, metadata
+    * rewritten to the new dimensions.
     */
   def resize(media: DataFrame, newW: Int, newH: Int): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
@@ -165,6 +197,8 @@ object Multimodal {
                 // payload for downstream decoders
                 case None => (bytes, meta.getInt(1), meta.getInt(2))
               }
+            else if (mediaType == "audio")
+              (bytes, meta.getInt(1), meta.getInt(2)) // identity
             else {
               val area = meta.getInt(1).toLong * meta.getInt(2)
               val scaled = if (area <= 0) 1

@@ -1250,6 +1250,7 @@ object ExtensionQueries {
         col("mean_byte"), col("byte_entropy_proxy"),
         col("decoded_ok"), col("img_width"), col("img_height"),
         col("mean_luma"), col("distinct_color_ratio"),
+        col("audio_sample_rate"), col("audio_duration_sec"), col("audio_rms"),
         size(col("sampled_frames")).as("n_sampled"))
       .orderBy(col("media_id"))
 }

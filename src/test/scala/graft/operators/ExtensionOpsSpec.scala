@@ -417,8 +417,42 @@ class ExtensionOpsSpec extends SparkSpecBase {
       assert(luma > 0 && luma < 255, s"mean luma $luma")
       assert(r.getDouble(9) > 0) // distinct-color ratio
     }
-    // audio/video remain stubbed: no decoded dims
-    assert(f1.filter(_.getString(1) != "image").forall(r => !r.getBoolean(5)))
+    // every audio row really decoded: container-reported rate, a real
+    // duration, and a nonzero RMS from actual samples
+    val audio = f1.filter(_.getString(1) == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach { r =>
+      assert(r.getBoolean(5), s"audio ${r.getLong(0)} failed to decode")
+      assert(Multimodal.AudioRates.contains(r.getInt(10)), r.toString)
+      assert(r.getDouble(11) > 0, s"duration ${r.getDouble(11)}")
+      assert(r.getDouble(12) > 0, s"rms ${r.getDouble(12)}")
+    }
+    // video remains stubbed: no decode
+    assert(f1.filter(_.getString(1) == "video").forall(r => !r.getBoolean(5)))
+  }
+
+  test("audio codec: WAV round trip is sample-exact; decoded format matches meta") {
+    val samples = AudioCodec.syntheticPcm(42L, 1234)
+    val back = AudioCodec.decode(AudioCodec.encodeWav(samples, 16000)).get
+    assert(back.sampleRate == 16000 && back.channels == 1)
+    assert(back.nFrames == 1234L)
+    assert(back.samples.sameElements(samples), "samples changed in round trip")
+    // pipeline-level: decoded sample rate and duration match the meta
+    // the fixture generator wrote (rate in meta.width, frames in
+    // meta.n_frames)
+    val media = Multimodal.syntheticMedia(table("documents"), "doc_id", "text")
+      .filter(col("meta.media_type") === "audio")
+    val checked = Multimodal.decodeAndFeaturize(media)
+      .join(media.select(col("media_id"), col("meta.width").as("rate"),
+        col("meta.n_frames").as("nf")), "media_id")
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(r.getAs[Int]("audio_sample_rate") == r.getAs[Int]("rate"), r.toString)
+      val expectedDur = math.rint(
+        r.getAs[Int]("nf").toDouble / r.getAs[Int]("rate") * 10000) / 10000
+      assert(r.getAs[Double]("audio_duration_sec") == expectedDur, r.toString)
+    }
   }
 
   test("image codec: PNG round trip is pixel-exact; decoded dims match meta") {
@@ -445,8 +479,11 @@ class ExtensionOpsSpec extends SparkSpecBase {
   test("multimodal resize scales payload and rewrites metadata") {
     val media = Multimodal.syntheticMedia(table("documents"), "doc_id", "text")
     val resized = Multimodal.resize(media, 64, 64)
-    val r = resized.select(col("meta.width"), col("meta.height"),
-      length(col("content")).as("len")).collect()
+    // spatially-resizable rows (image/video) get the new dims; audio
+    // is identity by contract (spatial resize is undefined for it)
+    val r = resized.filter(col("meta.media_type") =!= "audio")
+      .select(col("meta.width"), col("meta.height"),
+        length(col("content")).as("len")).collect()
     assert(r.forall(x => x.getInt(0) == 64 && x.getInt(1) == 64))
     assert(r.forall(_.getInt(2) >= 1))
     // image rows: REAL resize — re-decoding yields exactly 64x64
@@ -456,12 +493,18 @@ class ExtensionOpsSpec extends SparkSpecBase {
       .select(col("img_width"), col("img_height")).collect()
     assert(imgDims.nonEmpty)
     assert(imgDims.forall(x => x.getInt(0) == 64 && x.getInt(1) == 64))
-    // stub rows (audio/video): smaller target area => payload no larger
-    val av = media.filter(col("meta.media_type") =!= "image")
-    val origAv = av.select(length(col("content"))).collect().map(_.getInt(0))
-    val nowAv = Multimodal.resize(av, 64, 64)
+    // audio rows: payload and meta untouched (digest-compare — binary
+    // columns stringify by reference, so assertSameRows can't see them)
+    def audioDigest(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("meta.media_type") === "audio")
+      .select(col("media_id"), md5(col("content")).as("d"), col("meta"))
+    assertSameRows(audioDigest(resized), audioDigest(media))
+    // video stub rows: smaller target area => payload no larger
+    val vid = media.filter(col("meta.media_type") === "video")
+    val origV = vid.select(length(col("content"))).collect().map(_.getInt(0))
+    val nowV = Multimodal.resize(vid, 64, 64)
       .select(length(col("content"))).collect().map(_.getInt(0))
-    assert(nowAv.sum <= origAv.sum)
+    assert(nowV.sum <= origV.sum)
   }
 
   test("frame sampling fans out every Nth frame index per media row") {

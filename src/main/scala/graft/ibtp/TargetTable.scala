@@ -179,19 +179,112 @@ final class TargetTable(
     * (delete+insert collapse into one atomic-per-partition replace),
     * plus explicit cleanup of in-range partitions the fresh data no
     * longer populates (dynamic overwrite alone would leave those stale).
+    *
+    * Crash repair: the overwrite and the stale-partition cleanup are
+    * two steps; a crash between them leaves stale in-range partitions
+    * that a plain resume (`MAX(ts)+1`) would never revisit. (The
+    * reference has the same exposure between its per-period commits,
+    * `loop.sql:134`.) A range-intent marker closes it: written before
+    * the overwrite (phase `writing`), updated with the written
+    * partition set after it (phase `cleanup`), removed after cleanup.
+    * [[repairOrphanedReplace]] — invoked at the start of every
+    * replace — heals an orphaned `cleanup` intent deterministically
+    * (finish the recorded cleanup) and clears a `writing` intent that
+    * this call's own range covers (the re-run rewrites it anyway).
     */
   def replaceRange(df: DataFrame, from: LocalDate, to: LocalDate): Long = {
+    repairOrphanedReplace(coveredBy = Some((from, to)))
     val fresh = withPartitionCol(alignToTarget(df))
+    writeIntent(from, to, None)
     // single pass: the write's observed metrics carry both the row
     // count and the set of day-partitions written (no cache, no
     // pre-write distinct job)
     val (n, writtenDates) = writeDynamicOverwrite(fresh)
-    // remove stale partitions inside [from, to) that got no fresh rows
-    val staleDays = Iterator.iterate(from)(_.plusDays(1)).takeWhile(_.isBefore(to))
-      .filterNot(writtenDates.contains)
-    staleDays.foreach(d => deletePartition(d))
+    writeIntent(from, to, Some(writtenDates))
+    if (failBeforeCleanup) // test hook: simulate dying mid-replace
+      throw new IllegalStateException("simulated crash before stale cleanup")
+    cleanupStale(from, to, writtenDates)
+    clearIntent()
     n
   }
+
+  /** Remove stale in-range partitions the fresh write didn't touch. */
+  private def cleanupStale(
+      from: LocalDate, to: LocalDate, written: Set[LocalDate]): Unit =
+    Iterator.iterate(from)(_.plusDays(1)).takeWhile(_.isBefore(to))
+      .filterNot(written.contains)
+      .foreach(deletePartition)
+
+  /** Heal a replace intent orphaned by a crash (see [[replaceRange]]).
+    * `cleanup`-phase intents (overwrite committed, written set
+    * recorded) finish their cleanup here — a full repair with no
+    * source data needed. `writing`-phase intents (crash mid-write;
+    * the range's partitions are untrustworthy) cannot self-heal: they
+    * are cleared only when `coveredBy` contains the whole range
+    * (the caller is about to rewrite it), else logged loudly and left
+    * for the operator to re-backfill. Returns the healed/cleared
+    * intent's range, if any action was taken.
+    */
+  def repairOrphanedReplace(
+      coveredBy: Option[(LocalDate, LocalDate)] = None): Option[(LocalDate, LocalDate)] =
+    readReplaceIntent().flatMap {
+      case ReplaceIntent(f, t, Some(written)) =>
+        TargetTable.log.warn(
+          s"repairing orphaned replace intent [$f, $t): finishing stale cleanup")
+        cleanupStale(f, t, written)
+        clearIntent()
+        Some((f, t))
+      case ReplaceIntent(f, t, None) =>
+        val covered = coveredBy.exists { case (cf, ct) =>
+          !f.isBefore(cf) && !t.isAfter(ct) }
+        if (covered) { clearIntent(); Some((f, t)) }
+        else {
+          TargetTable.log.error(
+            s"orphaned replace intent [$f, $t) crashed MID-WRITE: partitions in " +
+              "that range are untrustworthy and this run does not cover it — " +
+              s"re-backfill [$f, $t) to repair")
+          None
+        }
+    }
+
+  /** Test hook: throw between the overwrite and the stale cleanup. */
+  private[ibtp] var failBeforeCleanup: Boolean = false
+
+  private def intentFile = new Path(path, IntentFile)
+
+  private[ibtp] final case class ReplaceIntent(
+      from: LocalDate, to: LocalDate, written: Option[Set[LocalDate]])
+
+  private[ibtp] def readReplaceIntent(): Option[ReplaceIntent] =
+    if (!fs.exists(intentFile)) None
+    else {
+      val in = fs.open(intentFile)
+      try {
+        val kv = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.contains("=")).map { l =>
+            val Array(k, v) = l.split("=", 2); k -> v
+          }.toMap
+        Some(ReplaceIntent(
+          LocalDate.parse(kv("from")), LocalDate.parse(kv("to")),
+          if (kv("phase") == "cleanup")
+            Some(kv.getOrElse("written", "").split(",").filter(_.nonEmpty)
+              .map(LocalDate.parse).toSet)
+          else None))
+      } finally in.close()
+    }
+
+  private def writeIntent(
+      from: LocalDate, to: LocalDate, written: Option[Set[LocalDate]]): Unit = {
+    val content =
+      s"phase=${written.fold("writing")(_ => "cleanup")}\n" +
+        s"from=${fmt.format(from)}\nto=${fmt.format(to)}\n" +
+        written.fold("")(w => s"written=${w.toSeq.sorted.map(fmt.format).mkString(",")}\n")
+    val out = fs.create(intentFile, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def clearIntent(): Unit =
+    if (fs.exists(intentFile)) fs.delete(intentFile, false)
 
   /** Unique-key upsert — reference B13+B14 (`loop.sql:100-107`):
     * `DELETE FROM target WHERE (uk) IN (SELECT (uk) FROM tmp)` then
@@ -478,6 +571,13 @@ object TargetTable {
 
   /** Underscore-prefixed so Spark's file listing treats it as metadata. */
   val SchemaFile = "_graft_schema.json"
+
+  /** Crash-repair marker for in-flight range replaces (see
+    * [[TargetTable.replaceRange]]); underscore-prefixed metadata.
+    */
+  val IntentFile = "_graft_replace_intent"
+
+  private[ibtp] val log = org.slf4j.LoggerFactory.getLogger(classOf[TargetTable])
 }
 
 /** Type-widening matrix for schema evolution — the reference's

@@ -274,4 +274,48 @@ class IbtpRunnerSpec extends SparkSpecBase {
     runner(target, c = c)
     assertSameRows(target.read(), oneShot(jan1, feb1))
   }
+
+  test("crashed replaceRange self-heals via the range-intent marker") {
+    val target = new TargetTable(spark, tmpDir("ibtp_intent"), "day")
+    runner(target)
+    val from = LocalDate.of(2024, 1, 10)
+    val to   = LocalDate.of(2024, 1, 13)
+    // the replacement drops jan 11 entirely — its old partition goes
+    // stale, and ONLY the post-overwrite cleanup step removes it
+    val repl = oneShot(from, to)
+      .filter(col("day").cast("date") =!= lit(java.sql.Date.valueOf(from.plusDays(1))))
+    val expected = oneShot(jan1, feb1)
+      .filter(col("day").cast("date") =!= lit(java.sql.Date.valueOf(from.plusDays(1))))
+    // crash between the overwrite and the stale cleanup
+    target.failBeforeCleanup = true
+    intercept[IllegalStateException] { target.replaceRange(repl, from, to) }
+    target.failBeforeCleanup = false
+    // the marker recorded the cleanup phase; the stale partition survives
+    val intent = target.readReplaceIntent()
+    assert(intent.exists(i => i.from == from && i.to == to && i.written.isDefined),
+      s"intent: $intent")
+    assert(target.read().filter(col("day").cast("date") ===
+      lit(java.sql.Date.valueOf(from.plusDays(1)))).count() > 0,
+      "stale partition should still be present after the simulated crash")
+    // repair alone (no re-run) completes the recorded cleanup: the
+    // overwrite had committed, so repair yields the one-shot table
+    assert(target.repairOrphanedReplace().contains((from, to)))
+    assert(target.readReplaceIntent().isEmpty)
+    assertSameRows(target.read(), expected)
+    // a writing-phase orphan (crash mid-overwrite) cannot self-heal,
+    // but a re-run covering the range clears it and rewrites
+    val fs = new org.apache.hadoop.fs.Path(target.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(target.path, TargetTable.IntentFile)
+    val out = fs.create(marker, true)
+    out.write(s"phase=writing\nfrom=$from\nto=$to\n".getBytes("UTF-8"))
+    out.close()
+    // uncovered repair refuses (logs; marker stays)
+    assert(target.repairOrphanedReplace().isEmpty)
+    assert(target.readReplaceIntent().nonEmpty)
+    // a covering re-run clears it and leaves a clean, correct table
+    target.replaceRange(repl, from, to)
+    assert(target.readReplaceIntent().isEmpty)
+    assertSameRows(target.read(), expected)
+  }
 }

@@ -18,10 +18,12 @@ import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQuerie
   * of the simhash; q30's oracle reimplements the winnowing
   * fingerprint the same way; q25's oracle reimplements the ENTIRE
   * hyperplane-LSH pipeline (plane matrix, buckets, candidates,
-  * ranking) in exact DuckDB arithmetic. Recall stays spec-side
-  * (planted-duplicate recall in ScalaTest). Remaining rows-only
-  * queries (q31 media payloads, q34 sketch estimates) are
-  * spec-verified via error-bound/determinism properties.
+  * ranking) in exact DuckDB arithmetic; q34 encodes its sketch error
+  * bounds as oracled booleans next to hard-compared exact counts.
+  * Recall stays spec-side (planted-duplicate recall in ScalaTest).
+  * The one remaining rows-only query (q31 — binary media payloads no
+  * SQL engine can decode) is spec-verified via round-trip/determinism
+  * properties.
   */
 object SparkEntry {
 
@@ -157,6 +159,7 @@ object SparkEntry {
     "q30_fingerprint_stats" -> ExtensionQueries.fingerprintStatsSql,
     "q32_ivf_search" -> ExtensionQueries.ivfSearchSql,
     "q36_kmeans_step" -> ExtensionQueries.kmeansStepSql,
+    "q34_approx_event_stats" -> ExtensionQueries.approxEventStatsSql,
     "q35_salted_join_revenue" -> ExtensionQueries.saltedJoinRevenueSql,
     "q37_stratified_sample" -> CurationQueries.stratifiedSampleSql,
     "q38_uniform_mixture" -> CurationQueries.uniformMixtureSql,

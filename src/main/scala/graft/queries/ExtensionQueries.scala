@@ -944,18 +944,63 @@ object ExtensionQueries {
 
   // ---- approximate aggregates (sketches) -----------------------------
 
-  /** HLL distinct users + approximate value quantiles per event type.
-    * Sketch outputs are engine-specific (no DuckDB oracle); the spec
-    * bounds their error against exact answers instead.
+  /** HLL distinct users + approximate value quantiles per event type,
+    * WITH THE ERROR BOUNDS ENCODED under the driver's hash gate: raw
+    * sketch estimates are engine-specific and can never hash-match an
+    * exact oracle, so the query emits (a) the EXACT distinct count —
+    * hard-compared against DuckDB — and (b) booleans asserting each
+    * sketch estimate sits inside its published bound ([approx_count_
+    * distinct at rsd 0.02 within 3·rsd of exact; percentile_approx at
+    * accuracy 10000 within 1/10000 rank error). The oracle emits the
+    * independently-recomputed exact counts with TRUE bounds, so an
+    * out-of-bound sketch OR a wrong exact count breaks the hash. The
+    * raw-estimate spec (ExtensionOpsSpec) keeps the numeric view.
     */
-  def approxEventStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+  def approxEventStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+    val agg = ev.groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+      percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
+      count(col("value")).as("n_vals"))
+    // rank positions of the approximate quantile values, exactly
+    val ranks = ev
+      .join(broadcast(agg.select(col("event_type"), col("p50"), col("p95"))),
+        Seq("event_type"))
+      .groupBy(col("event_type")).agg(
+        sum(when(col("value") <  col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") <  col("p95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("le95"))
+    // value occupies ranks [lt+1, le]; in bound iff that interval
+    // intersects [(q-eps)·n − 1, (q+eps)·n + 1] — the ±1 covers rank
+    // discretization (Spark's percentile targets rank 1 + q·(n−1), so
+    // even an EXACT answer sits up to one rank past q·n)
+    def rankOk(q: Double, lt: String, le: String) = {
+      val eps = 1.0 / 10000
+      ((col(lt) + 1).cast("double") <= lit(q + eps) * col("n_vals") + 1) &&
+        (col(le).cast("double") >= lit(q - eps) * col("n_vals") - 1)
+    }
+    agg.join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          <= lit(3 * 0.02) * col("exact_users")).as("users_in_bound"),
+        rankOk(0.5, "lt50", "le50").as("p50_in_bound"),
+        rankOk(0.95, "lt95", "le95").as("p95_in_bound"))
       .orderBy(col("event_type"))
+  }
+
+  val approxEventStatsSql: String =
+    """SELECT event_type,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS users_in_bound,
+      |       TRUE AS p50_in_bound,
+      |       TRUE AS p95_in_bound
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** Skew-safe join: lineitem salted against the small orders-priority
     * dim — result must equal the plain join (spec-checked).

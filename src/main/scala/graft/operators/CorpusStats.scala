@@ -128,7 +128,10 @@ object CorpusStats {
     * shuffles. All arithmetic is integral — no float drift between
     * engine and oracle.
     *
-    * Adds `med`, `mad`, `is_outlier` to `df`'s columns.
+    * Adds `med`, `mad`, `is_outlier` to `df`'s columns, preserving
+    * every input row: rows whose group has no non-NULL value (no
+    * histogram row) or a NULL group key get NULL med/mad/is_outlier —
+    * the flag joins are LEFT joins, so no row silently disappears.
     */
   def madOutliers(
       df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
@@ -146,8 +149,8 @@ object CorpusStats {
       .agg(sum(col("__cnt")).as("__cnt"))
     val mad = quantileDiscOverHist(devHist, groupCol, "__d", "__cnt", 0.5)
       .select(col(groupCol), col("value").as("mad"))
-    df.join(broadcast(med), groupCol)
-      .join(broadcast(mad), groupCol)
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .join(broadcast(mad), Seq(groupCol), "left")
       .withColumn("is_outlier",
         abs(col(valueCol).cast("long") - col("med")) > lit(k.toLong) * col("mad"))
   }

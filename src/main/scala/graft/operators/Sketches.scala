@@ -47,11 +47,17 @@ object Sketches {
   def dailyFrequencySketches(
       events: DataFrame, tsCol: String, keyCol: String,
       eps: Double = 0.001, confidence: Double = 0.99,
-      seed: Int = 42): DataFrame =
+      seed: Int = 42): DataFrame = {
+    // interpolated into SQL below — out-of-range (or NaN/Inf) values
+    // would otherwise surface as a confusing parse/runtime error
+    require(eps > 0 && eps < 1, s"eps must be in (0, 1), got $eps")
+    require(confidence > 0 && confidence < 1,
+      s"confidence must be in (0, 1), got $confidence")
     events.groupBy(col(tsCol).cast("date").as("day"))
       .agg(expr(s"count_min_sketch(`$keyCol`, ${eps}d, ${confidence}d, $seed)")
         .as("cms"),
         count(lit(1)).as("n_events"))
+  }
 
   /** Merge per-day CountMin blobs and probe the given items' estimated
     * frequencies. The collect is control-plane-bounded — one kilobyte

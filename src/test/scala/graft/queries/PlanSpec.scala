@@ -266,7 +266,9 @@ class PlanSpec extends SparkSpecBase {
   test("cohort retention counts ride the distinct grid — no COUNT DISTINCT Expand") {
     val df = graft.SparkEntry.queries("q73_cohort_retention")(spark, sfDir)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // finalPlan: a node only in the pre-AQE "Initial Plan" section must
+    // not fail the negative assertions (same treatment as cube/pivot)
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
     assert(!p.contains("Expand"),
       s"retention count must be count(*) over the distinct grid:\n$p")
   }
@@ -274,7 +276,7 @@ class PlanSpec extends SparkSpecBase {
   test("madOutliers broadcasts the bands onto the corpus — no corpus shuffle join") {
     val df = graft.SparkEntry.queries("q77_mad_outliers")(spark, sfDir)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"),
       s"med/mad bands must broadcast, not shuffle the corpus:\n$p")
@@ -301,13 +303,21 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("semDedup pair stage is an equi-join on the cell key — never all-pairs") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     val df = graft.SparkEntry.queries("q74_semantic_dedup")(spark, sfDir)
     df.collect()
+    // negative on the EXECUTED tree (AQE stages + cached plans): no
+    // cartesian product may survive to execution
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "pair stage must never plan a cartesian product")
+    // positive on the full plan text INCLUDING the pre-AQE section:
+    // at this fixture size the corpus has zero semantic dups, so
+    // AQE's empty-relation elimination erases the (correctly-shaped)
+    // pair join from the final plan — the shape pin lives in the
+    // initial plan, where join-strategy churn cannot flake a
+    // POSITIVE assertion (only negatives are AQE-sensitive)
     val p = df.queryExecution.executedPlan.toString
-    // the only nested-loop join allowed is the tiny centroid broadcast
-    // (the same deliberate 1×k expansion as ivfAssign); the corpus-side
-    // pair stage must key on centroid_id
-    assert(!p.contains("CartesianProduct"), p)
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[centroid_id".r
       .findFirstIn(p).isDefined,
       s"within-cell pairs must come from a centroid_id equi-join:\n$p")

@@ -11,6 +11,17 @@ import sys
 
 def main(out_path, run_paths):
     runs = [json.load(open(p)) for p in run_paths]
+    # all runs must cover the same query set: a missing query would
+    # KeyError below, and an extra one would be silently dropped from
+    # the medians — both can skew a committed baseline when sidecar
+    # runs straddle a query-set change
+    key_sets = [set(r["queries"]) for r in runs]
+    if any(ks != key_sets[0] for ks in key_sets[1:]):
+        for p, ks in zip(run_paths, key_sets):
+            diff = ks ^ key_sets[0]
+            if diff:
+                raise SystemExit(
+                    f"query sets differ across runs: {p} vs {run_paths[0]}: {sorted(diff)}")
     queries = sorted(runs[0]["queries"])
     medians = {
         q: round(statistics.median(r["queries"][q] for r in runs), 3)

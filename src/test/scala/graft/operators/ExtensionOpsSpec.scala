@@ -386,8 +386,13 @@ class ExtensionOpsSpec extends SparkSpecBase {
 
   test("approximate aggregates stay within error bounds of exact answers") {
     import org.apache.spark.sql.functions.{expr => sqlExpr}
-    val approx = ExtensionQueries.approxEventStats(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // the raw numeric view (q34 itself now emits bound BOOLEANS under
+    // the driver's hash gate — this spec keeps the estimates visible)
+    val approx = table("events").groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("ap95"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = table("events").groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("u"),
         sqlExpr("percentile(value, 0.5)").as("p50"),
@@ -398,6 +403,12 @@ class ExtensionOpsSpec extends SparkSpecBase {
       assert(math.abs(au - u).toDouble / u <= 0.1, s"$k distinct: $au vs $u")
       assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
       assert(math.abs(ap95 - p95) / p95 <= 0.05, s"$k p95: $ap95 vs $p95")
+    }
+    // and the oracled bound booleans all hold on this fixture
+    val flags = ExtensionQueries.approxEventStats(spark, sfDir).collect()
+    assert(flags.nonEmpty)
+    flags.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4), r.toString)
     }
   }
 

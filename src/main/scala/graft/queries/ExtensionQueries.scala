@@ -259,7 +259,7 @@ object ExtensionQueries {
   def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDups(spark, dir)
     val lshEdges = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
-      shingleN = 3, bands = 64, rowsPerBand = 1, threshold = 0.5)
+      shingleN = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
       .select(col("id_a"), col("id_b"))
     val copyEdges = Dedup.exactMemberEdges(corpus, "doc_id", "text")
     graft.operators.Components
@@ -1187,8 +1187,8 @@ object ExtensionQueries {
     * closest near-duplicates", the question a dedup triage actually
     * asks at 100 TB, where unpruned all-pairs k-NN does not exist.
     * Same recall argument as q62: the fixtures' above-threshold pairs
-    * all sit at Jaccard ≥ 0.5 (next pair down: 0.16), and 64 one-row
-    * bands miss such a pair with probability ≤ 2⁻⁶⁴. The DuckDB
+    * all sit at Jaccard ≥ 0.5 (next pair down: 0.16), and 64 two-row
+    * bands miss such a pair with probability (1−j²)⁶⁴ ≤ 1e-8. The DuckDB
     * oracle recomputes the full exact pipeline string-side —
     * inverted-index pairs, threshold, collapse contract, ranking —
     * with the quadratic construction living oracle-side only.
@@ -1199,7 +1199,7 @@ object ExtensionQueries {
   def textKnn(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDups(spark, dir)
     val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
-      shingleN = 3, bands = 64, rowsPerBand = 1, threshold = 0.5)
+      shingleN = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
     Dedup.knnFromPairs(pairs, k = 3)
       .orderBy(col("doc_id"), col("rank"))
   }

@@ -28,7 +28,17 @@ object ExtensionQueries {
     d.unionAll(d.select((col("doc_id") + ExactOffset).as("doc_id"), col("text")))
   }
 
-  /** documents ∪ near copies (last 3 tokens dropped). */
+  /** documents ∪ near copies (last 3 tokens dropped).
+    *
+    * persist(): the dedup pipelines consuming this fixture read it
+    * several times (representative collapse and verify-set joins read
+    * both sides, components read the node set again) — TailProfile
+    * measured ~2 s per re-materialization of the token-slice union at
+    * sf0.1, ~5 re-reads inside q62 alone. Spark's cache manager keys
+    * on the canonicalized plan, so one persisted build serves every
+    * consumer in the session; Bench clears the cache between queries
+    * to keep per-query timings honest.
+    */
   def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val toks = split(trim(col("text")), "\\s+")
@@ -36,6 +46,7 @@ object ExtensionQueries {
       (col("doc_id") + NearOffset).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
     d.unionAll(mutated)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** documents ∪ verbatim excerpts (tokens 5..24, ids offset
@@ -49,6 +60,7 @@ object ExtensionQueries {
     d.unionAll(d.select(
       (col("doc_id") + ExcerptOffset).as("doc_id"),
       concat_ws(" ", slice(toks, 5, 20)).as("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   // ---- deduplication -------------------------------------------------
@@ -252,9 +264,10 @@ object ExtensionQueries {
     * all-pairs inverted index — that quadratic construction lives
     * oracle-side only. The bench path still matches it exactly on
     * these fixtures: every above-0.5 pair measures Jaccard ≥ 0.5 with
-    * the next pair down at 0.16, and 64 one-row bands miss a j ≥ 0.5
-    * pair with probability ≤ (1−j)^64 ≤ 2⁻⁶⁴ — below the 64-bit hash
-    * collision floor the exact path already accepts.
+    * the next pair down at 0.16, and 64 two-row bands miss a j ≥ 0.5
+    * pair with probability (1−j²)⁶⁴ ≤ 1e-8 — while requiring a j²
+    * double collision per band keeps false candidates ~1000× below
+    * the one-row-band flood (~36k vs ~1M at sf0.1).
     */
   def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDups(spark, dir)

@@ -30,8 +30,9 @@ import org.apache.spark.storage.StorageLevel
   * grows 3^rounds) and the previous round's checkpoint blocks are
   * freed once the new one is materialized — one live copy of the node
   * set at any time (on a real cluster, swap for a reliable
-  * `checkpoint` to storage). The convergence probe is an any-change
-  * existence check (`isEmpty`), not a full count.
+  * `checkpoint` to storage). Convergence detection is an Observation
+  * metric collected during the round's own aggregation — no separate
+  * probe job and no extra pass over the label set.
   */
 object Components extends Logging {
 
@@ -63,6 +64,13 @@ object Components extends Logging {
     // plan grows 3^rounds (measured: treeString alone OOMs by round
     // ~7). The prior round's checkpoint blocks are freed once the new
     // one is materialized and compared — one live copy at any time.
+    //
+    // Convergence detection rides the round's own aggregation instead
+    // of a separate join-and-probe job: the prior label enters the
+    // union tagged as `old` (exactly one labels row per id, so
+    // max(old) recovers it), and an Observation metric counts
+    // lbl != old rows while the eager localCheckpoint materializes —
+    // zero extra passes over the label set per round.
     var labels = nodes
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
       .localCheckpoint()
@@ -75,14 +83,18 @@ object Components extends Logging {
       val jump = labels.as("a")
         .join(labels.as("b"), col("a.lbl") === col("b.id"))
         .select(col("a.id").as("id"), col("b.lbl").as("lbl"))
-      val next = labels.unionAll(nbr).unionAll(jump)
+      val nullLbl = lit(null).cast("long")
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc_round_${round}_${java.util.UUID.randomUUID()}")
+      val next = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+        .unionAll(nbr.select(col("id"), col("lbl"), nullLbl.as("old")))
+        .unionAll(jump.select(col("id"), col("lbl"), nullLbl.as("old")))
         .groupBy(col("id"))
-        .agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .isEmpty
+        .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
+        .observe(obs, sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("lbl"))
+        .localCheckpoint() // eager: materializes and fires the observation
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       org.apache.spark.sql.graft.ColumnBridge.freeLocalCheckpoint(labels)
       labels = next
       round += 1

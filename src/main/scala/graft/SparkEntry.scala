@@ -21,9 +21,13 @@ import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQuerie
   * ranking) in exact DuckDB arithmetic; q34 encodes its sketch error
   * bounds as oracled booleans next to hard-compared exact counts.
   * Recall stays spec-side (planted-duplicate recall in ScalaTest).
-  * The one remaining rows-only query (q31 — binary media payloads no
-  * SQL engine can decode) is spec-verified via round-trip/determinism
-  * properties.
+  * q31's oracle regenerates the expected pixels and PCM samples from
+  * the fixture's splitmix64 derivations in exact 64-bit SQL
+  * arithmetic and recomputes luma/color/duration/RMS with the same
+  * integer-exact accumulations the codecs use, so the REAL
+  * `javax.imageio`/`javax.sound.sampled` decode path is hash-gated
+  * end to end; only the container-level byte statistics
+  * (deflate-dependent) stay spec-side. Every query is oracled.
   */
 object SparkEntry {
 
@@ -157,6 +161,7 @@ object SparkEntry {
     "q28_lang_id" -> ExtensionQueries.langIdSql,
     "q29_token_counts" -> ExtensionQueries.tokenCountsSql,
     "q30_fingerprint_stats" -> ExtensionQueries.fingerprintStatsSql,
+    "q31_multimodal_features" -> ExtensionQueries.multimodalFeaturesSql,
     "q32_ivf_search" -> ExtensionQueries.ivfSearchSql,
     "q36_kmeans_step" -> ExtensionQueries.kmeansStepSql,
     "q34_approx_event_stats" -> ExtensionQueries.approxEventStatsSql,

@@ -84,17 +84,23 @@ object AudioCodec {
     } catch { case _: Exception => None }
 
   /** Root-mean-square amplitude of normalized ([-1, 1)) samples — the
-    * standard loudness feature. Deterministic: one left-to-right fold.
+    * standard loudness feature. The squares are accumulated as exact
+    * integers (Σs² fits a Long: ≤ n·2³⁰), so the sum is independent of
+    * sample visit order — the parallel-safe formulation — and
+    * √(Σs² / (n·2³⁰)) is one exact division plus one IEEE sqrt,
+    * bit-stable across engines (the DuckDB oracle recomputes it from
+    * regenerated samples). Mathematically identical to the textbook
+    * √(Σ(s/32768)²/n).
     */
   def rms(samples: Array[Short]): Double = {
     if (samples.isEmpty) return 0.0
-    var acc = 0.0
+    var sumSq = 0L
     var i = 0
     while (i < samples.length) {
-      val x = samples(i) / 32768.0
-      acc += x * x
+      val s = samples(i).toLong
+      sumSq += s * s
       i += 1
     }
-    math.sqrt(acc / samples.length)
+    math.sqrt(sumSq.toDouble / (samples.length.toLong * 1073741824L).toDouble)
   }
 }

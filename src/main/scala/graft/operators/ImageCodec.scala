@@ -64,12 +64,17 @@ object ImageCodec {
 
   /** (width, height, mean luminance in [0,255], distinct-color ratio) —
     * the per-image features, computed from REAL decoded pixels.
-    * Luminance = Rec.601 luma of each pixel.
+    * Luminance = Rec.601 luma of each pixel, accumulated as the exact
+    * integer 299·R + 587·G + 114·B (milli-luma): the sum is then
+    * independent of pixel visit order — the parallel-safe formulation —
+    * and the mean is a single IEEE division of exact operands, so the
+    * value is bit-stable across engines (the DuckDB oracle recomputes
+    * it from regenerated pixels).
     */
   def pixelFeatures(img: BufferedImage): (Int, Int, Double, Double) = {
     val w = img.getWidth
     val h = img.getHeight
-    var lumaSum = 0.0
+    var lumaMilliSum = 0L
     val seen = new java.util.HashSet[Integer]()
     var y = 0
     while (y < h) {
@@ -79,15 +84,15 @@ object ImageCodec {
         val r = (rgb >> 16) & 0xff
         val g = (rgb >> 8) & 0xff
         val b = rgb & 0xff
-        lumaSum += 0.299 * r + 0.587 * g + 0.114 * b
+        lumaMilliSum += 299L * r + 587L * g + 114L * b
         seen.add(rgb & 0xffffff)
         x += 1
       }
       y += 1
     }
-    val n = (w * h).toDouble
-    (w, h, if (n == 0) 0.0 else lumaSum / n,
-      if (n == 0) 0.0 else seen.size / n)
+    val n = w.toLong * h
+    (w, h, if (n == 0) 0.0 else lumaMilliSum.toDouble / (n * 1000L).toDouble,
+      if (n == 0) 0.0 else seen.size.toDouble / n.toDouble)
   }
 
   /** Real resize: decode → area-scale via Graphics2D (bilinear) →

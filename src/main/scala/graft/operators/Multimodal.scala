@@ -145,19 +145,24 @@ object Multimodal {
           val frames = (0 until nFrames by sampleEvery).toArray
           var (ok, w, h, luma, colorRatio) = (false, -1, -1, 0.0, 0.0)
           var (aRate, aDur, aRms) = (-1, 0.0, 0.0)
+          // decode-derived features are emitted at FULL precision: the
+          // codecs compute them as single IEEE operations over exact
+          // integer accumulators, so the raw doubles are bit-stable
+          // across engines — a ×10000 rint here would only reintroduce
+          // tie-rounding divergence risk against the DuckDB oracle
           if (mediaType == "image")
             ImageCodec.decode(bytes).foreach { img =>
               val (dw, dh, ml, dc) = ImageCodec.pixelFeatures(img)
               ok = true; w = dw; h = dh
-              luma = math.rint(ml * 10000) / 10000
-              colorRatio = math.rint(dc * 10000) / 10000
+              luma = ml
+              colorRatio = dc
             }
           else if (mediaType == "audio")
             AudioCodec.decode(bytes).foreach { a =>
               ok = true
               aRate = a.sampleRate
-              aDur = math.rint(a.durationSec * 10000) / 10000
-              aRms = math.rint(AudioCodec.rms(a.samples) * 10000) / 10000
+              aDur = a.durationSec
+              aRms = AudioCodec.rms(a.samples)
             }
           Row(id, mediaType, bytes.length.toLong,
             math.rint(mean * 10000) / 10000,

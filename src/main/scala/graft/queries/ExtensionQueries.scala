@@ -1302,13 +1302,139 @@ object ExtensionQueries {
 
   // ---- multimodal ----------------------------------------------------
 
+  /** Multimodal decode features, projected to the DECODE-DERIVED
+    * columns the DuckDB oracle can recompute exactly: the Spark side
+    * reads dimensions / sample rate / duration / luma / RMS out of
+    * REAL `javax.imageio` PNG and `javax.sound.sampled` WAV decodes,
+    * while the oracle regenerates the expected pixels and samples from
+    * the same splitmix64 derivations in exact 64-bit SQL arithmetic
+    * (the q22/q25 construction) — so a hash match proves the whole
+    * encode→container→decode→featurize path end to end.
+    *
+    * Container-level byte statistics (n_bytes, mean_byte,
+    * byte_entropy_proxy) are deliberately NOT in this projection: PNG
+    * container bytes are deflate-output-dependent — a legal
+    * compression-level change would alter them without any decode
+    * semantics changing — so they are spec-verified
+    * (ExtensionOpsSpec round-trip/determinism) rather than oracled.
+    */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.featurePipeline(Tables.documents(spark, dir), "doc_id", "text")
-      .select(col("media_id"), col("media_type"), col("n_bytes"),
-        col("mean_byte"), col("byte_entropy_proxy"),
-        col("decoded_ok"), col("img_width"), col("img_height"),
+      .select(col("media_id"), col("media_type"), col("decoded_ok"),
+        col("img_width"), col("img_height"),
         col("mean_luma"), col("distinct_color_ratio"),
         col("audio_sample_rate"), col("audio_duration_sec"), col("audio_rms"),
         size(col("sampled_frames")).as("n_sampled"))
       .orderBy(col("media_id"))
+
+  // exact 64-bit SQL arithmetic for the multimodal oracle: DuckDB
+  // UBIGINT ops error on overflow instead of wrapping, so the wrapping
+  // multiply splits into 32-bit halves through HUGEINT — the same
+  // construction the q22 simhash oracle uses.
+  private def wrapMulSql(u: String, c: String): String =
+    s"CAST(( (CAST($u AS HUGEINT) % 4294967296) * $c" +
+      s" + ((CAST($u AS HUGEINT) // 4294967296) * $c % 4294967296) * 4294967296" +
+      s" ) % 18446744073709551616 AS UBIGINT)"
+
+  // splitmix64 finalizer ≡ ImageCodec.mix64, as a correlated scalar
+  // subquery so each stage's value is named once instead of the
+  // expression tree exploding combinatorially
+  private def mix64Sql(x: String): String =
+    s"(WITH s0 AS (SELECT CAST(($x) AS UBIGINT) AS h0), " +
+      s"s1 AS (SELECT ${wrapMulSql("xor(h0, h0 >> 30)", "13787848793156543929")} AS h1 FROM s0), " +
+      s"s2 AS (SELECT ${wrapMulSql("xor(h1, h1 >> 27)", "10723151780598845931")} AS h2 FROM s1) " +
+      s"SELECT xor(h2, h2 >> 31) FROM s2)"
+
+  // Java Math.floorMod over the SIGNED reading of an unsigned 64-bit
+  // value (u % m on the unsigned value diverges whenever m does not
+  // divide 2^64 — e.g. 48, 2000)
+  private def floorModSql(u: String, m: Long): String =
+    s"CAST((((CASE WHEN $u >= 9223372036854775808 THEN CAST($u AS HUGEINT) - 18446744073709551616" +
+      s" ELSE CAST($u AS HUGEINT) END) % $m) + $m) % $m AS BIGINT)"
+
+  private val XK = "11400714819323198485" // 0x9e3779b97f4a7c15 (x / sample stride)
+  private val YK = "14029467366897019727" // 0xc2b2ae3d27d4eb4f (y stride)
+
+  val multimodalFeaturesSql: String = {
+    val id = "CAST(doc_id AS UBIGINT)"
+    val pixelHash = mix64Sql(
+      s"xor(xor(CAST(t.doc_id AS UBIGINT), ${wrapMulSql("CAST(xs.x AS UBIGINT)", XK)}), " +
+        s"${wrapMulSql("CAST(ys.y AS UBIGINT)", YK)})")
+    val sampleHash = mix64Sql(
+      s"xor(CAST(t.doc_id AS UBIGINT), ${wrapMulSql("CAST(ii.i AS UBIGINT)", XK)})")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         ${mix64Sql(id)} AS m0,
+       |         ${mix64Sql(s"xor($id, 1)")} AS m1,
+       |         ${mix64Sql(s"xor($id, 2)")} AS m2,
+       |         ${mix64Sql(s"xor($id, 3)")} AS m3
+       |  FROM documents
+       |),
+       |typed AS (
+       |  SELECT doc_id,
+       |         CASE ${floorModSql("m0", 3)} WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |         CAST(${floorModSql("m1", 64)} + 1 AS INTEGER) AS iw,
+       |         CAST(${floorModSql("m2", 48)} + 1 AS INTEGER) AS ih,
+       |         CASE ${floorModSql("m1", 4)} WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000 ELSE 22050 END AS arate,
+       |         CAST(${floorModSql("m3", 2000)} + 100 AS INTEGER) AS nsamp,
+       |         CAST(${floorModSql("m3", 300)} + 1 AS INTEGER) AS vframes
+       |  FROM base
+       |),
+       |-- regenerated pixels: uncorrelated 64x48 grid (lateral range is
+       |-- unsupported) filtered to each image's true dimensions
+       |imgpx AS (
+       |  SELECT t.doc_id,
+       |         CAST($pixelHash & 16777215 AS BIGINT) AS v
+       |  FROM typed t,
+       |       (SELECT UNNEST(range(0, 64)) AS x) xs,
+       |       (SELECT UNNEST(range(0, 48)) AS y) ys
+       |  WHERE t.media_type = 'image' AND xs.x < t.iw AND ys.y < t.ih
+       |),
+       |imgfeat AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) + 114 * (v & 255)) AS BIGINT) AS lumamilli,
+       |         CAST(COUNT(DISTINCT v) AS BIGINT) AS ncolor,
+       |         CAST(COUNT(*) AS BIGINT) AS npx
+       |  FROM imgpx GROUP BY doc_id
+       |),
+       |-- regenerated 16-bit PCM samples (nsamp <= 2099 by construction)
+       |audsmp AS (
+       |  SELECT t.doc_id,
+       |         CAST($sampleHash & 65535 AS BIGINT) AS u16
+       |  FROM typed t, (SELECT UNNEST(range(0, 2100)) AS i) ii
+       |  WHERE t.media_type = 'audio' AND ii.i < t.nsamp
+       |),
+       |audfeat AS (
+       |  SELECT doc_id,
+       |         CAST(SUM((CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)
+       |                * (CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)) AS BIGINT) AS sumsq,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM audsmp GROUP BY doc_id
+       |)
+       |SELECT t.doc_id AS media_id,
+       |       t.media_type,
+       |       t.media_type <> 'video' AS decoded_ok,
+       |       CASE WHEN t.media_type = 'image' THEN t.iw ELSE -1 END AS img_width,
+       |       CASE WHEN t.media_type = 'image' THEN t.ih ELSE -1 END AS img_height,
+       |       CASE WHEN t.media_type = 'image'
+       |            THEN CAST(i.lumamilli AS DOUBLE) / CAST(i.npx * 1000 AS DOUBLE)
+       |            ELSE CAST(0 AS DOUBLE) END AS mean_luma,
+       |       CASE WHEN t.media_type = 'image'
+       |            THEN CAST(i.ncolor AS DOUBLE) / CAST(i.npx AS DOUBLE)
+       |            ELSE CAST(0 AS DOUBLE) END AS distinct_color_ratio,
+       |       CASE WHEN t.media_type = 'audio' THEN t.arate ELSE -1 END AS audio_sample_rate,
+       |       CASE WHEN t.media_type = 'audio'
+       |            THEN CAST(t.nsamp AS DOUBLE) / CAST(t.arate AS DOUBLE)
+       |            ELSE CAST(0 AS DOUBLE) END AS audio_duration_sec,
+       |       CASE WHEN t.media_type = 'audio'
+       |            THEN SQRT(CAST(a.sumsq AS DOUBLE) / CAST(a.n * 1073741824 AS DOUBLE))
+       |            ELSE CAST(0 AS DOUBLE) END AS audio_rms,
+       |       CAST(CASE t.media_type WHEN 'image' THEN 1
+       |                              WHEN 'audio' THEN (t.nsamp + 29) // 30
+       |                              ELSE (t.vframes + 29) // 30 END AS INTEGER) AS n_sampled
+       |FROM typed t
+       |LEFT JOIN imgfeat i USING (doc_id)
+       |LEFT JOIN audfeat a USING (doc_id)
+       |ORDER BY media_id""".stripMargin
+  }
 }

@@ -14,13 +14,15 @@ import org.apache.spark.sql.types._
   * image features come from actual decoded pixels. AUDIO rows are
   * REAL too: payloads are 16-bit PCM WAV (`javax.sound.sampled` —
   * see [[AudioCodec]]), and audio features (sample rate, duration,
-  * RMS) come from an actual container decode. Video decode remains
-  * STUBBED (the JDK ships no video codec): deterministic features
-  * from the raw bytes, with the schema contract, the `mapPartitions`
-  * batch shape (one partition = one decoder instantiation, the
-  * Spark-side analogue of a Pandas-UDF batch), and the partitioning
-  * identical to what a real codec would use — so swapping one in
-  * changes one function.
+  * RMS) come from an actual container decode. VIDEO rows carry a real
+  * RIFF/AVI container ([[VideoContainer]]) whose header metadata
+  * (dimensions, frame count) is parsed back out of the payload bytes;
+  * only the frame-pixel DECODE remains stubbed (the JDK ships no
+  * video codec), with the schema contract, the `mapPartitions` batch
+  * shape (one partition = one decoder instantiation, the Spark-side
+  * analogue of a Pandas-UDF batch), and the partitioning identical to
+  * what a real codec would use — so swapping one in changes one
+  * function.
   *
   * Scale: decode is per-row map work; `repartition` before decode
   * controls batch size / executor memory; features are tiny relative
@@ -52,8 +54,9 @@ object Multimodal {
     * payloads (deterministic pixels from the id, ImageIO-encoded);
     * AUDIO rows carry REAL 16-bit PCM WAV payloads (deterministic
     * samples from the id, `javax.sound.sampled`-encoded) with meta =
-    * (sample rate, channels, PCM frame count); video rows carry
-    * deterministic opaque bytes (UTF-8 of the text fixture) as the
+    * (sample rate, channels, PCM frame count); VIDEO rows carry a real
+    * RIFF/AVI container (deterministic dims/frames from the id, the
+    * text fixture riding the JUNK chunk) — the frame pixels are the
     * codec-less stand-in. Runs via mapPartitions — the same batch
     * shape the decoder uses.
     */
@@ -84,11 +87,15 @@ object Multimodal {
               val wav = AudioCodec.encodeWav(AudioCodec.syntheticPcm(id, n), rate)
               Row(id, wav, Row("audio", rate, 1, n))
             case _ =>
-              val bytes = r.getString(1).getBytes("UTF-8")
+              // REAL RIFF/AVI container (frame pixels stay codec-less —
+              // the documented stub); the text fixture rides the JUNK
+              // chunk so payload content is deterministic per doc
               val w = Math.floorMod(mix64(id ^ 1L), 1920L).toInt + 1
               val h = Math.floorMod(mix64(id ^ 2L), 1080L).toInt + 1
               val frames = Math.floorMod(mix64(id ^ 3L), 300L).toInt + 1
-              Row(id, bytes, Row(mediaType, w, h, frames))
+              val avi = VideoContainer.encodeAvi(w, h, frames,
+                r.getString(1).getBytes("UTF-8"))
+              Row(id, avi, Row(mediaType, w, h, frames))
           }
         }
       }(enc)
@@ -96,8 +103,10 @@ object Multimodal {
 
   /** Output schema of the decode+feature step. Image rows populate the
     * pixel-derived columns from a REAL decode; audio rows populate the
-    * audio columns from a REAL container decode; video rows carry
-    * -1/0 there and byte-derived features only.
+    * audio columns from a REAL container decode; video rows populate
+    * img_width/img_height from a REAL container-header parse but keep
+    * decoded_ok = false (no frame decode without a codec) and -1/0
+    * elsewhere.
     */
   val FeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -164,6 +173,14 @@ object Multimodal {
               aDur = a.durationSec
               aRms = AudioCodec.rms(a.samples)
             }
+          else
+            // video: REAL container-header parse (dims read back from
+            // the payload bytes); decoded_ok stays false — there is no
+            // frame decode without a codec
+            VideoContainer.parseAvi(bytes).foreach { m =>
+              w = m.width
+              h = m.height
+            }
           Row(id, mediaType, bytes.length.toLong,
             math.rint(mean * 10000) / 10000,
             math.rint(nDistinct.toDouble / 256 * 10000) / 10000,
@@ -205,11 +222,22 @@ object Multimodal {
             else if (mediaType == "audio")
               (bytes, meta.getInt(1), meta.getInt(2)) // identity
             else {
-              val area = meta.getInt(1).toLong * meta.getInt(2)
-              val scaled = if (area <= 0) 1
-                else math.max(1,
-                  (bytes.length.toLong * newW * newH / area).toInt)
-              (bytes.take(scaled), newW, newH)
+              // stub transcode over a REAL container: re-encode the AVI
+              // header at the new dimensions and area-scale the junk
+              // payload (byte count tracks pixel count, as a transcode's
+              // would); payloads that don't parse keep original bytes
+              // and meta dims, mirroring the image branch's contract
+              VideoContainer.parseAvi(bytes) match {
+                case Some(m) =>
+                  // 96 = fixed header bytes before the JUNK payload
+                  val junkLen = math.max(0, bytes.length - 96).toLong
+                  val area = m.width.toLong * m.height
+                  val scaled = if (area <= 0) 0L
+                    else math.min(junkLen, junkLen * newW * newH / area)
+                  (VideoContainer.encodeAvi(newW, newH, m.nFrames,
+                    new Array[Byte](scaled.toInt)), newW, newH)
+                case None => (bytes, meta.getInt(1), meta.getInt(2))
+              }
             }
           Row(id, out, Row(mediaType, outW, outH, meta.getInt(3)))
         }

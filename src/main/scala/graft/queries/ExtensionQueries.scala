@@ -1309,7 +1309,10 @@ object ExtensionQueries {
     * while the oracle regenerates the expected pixels and samples from
     * the same splitmix64 derivations in exact 64-bit SQL arithmetic
     * (the q22/q25 construction) — so a hash match proves the whole
-    * encode→container→decode→featurize path end to end.
+    * encode→container→decode→featurize path end to end. Video rows'
+    * img_width/img_height come from a REAL RIFF/AVI container-header
+    * parse of the payload bytes (frame decode itself stays stubbed —
+    * no JDK video codec — so decoded_ok is false for them).
     *
     * Container-level byte statistics (n_bytes, mean_byte,
     * byte_entropy_proxy) are deliberately NOT in this projection: PNG
@@ -1377,7 +1380,9 @@ object ExtensionQueries {
        |         CAST(${floorModSql("m2", 48)} + 1 AS INTEGER) AS ih,
        |         CASE ${floorModSql("m1", 4)} WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000 ELSE 22050 END AS arate,
        |         CAST(${floorModSql("m3", 2000)} + 100 AS INTEGER) AS nsamp,
-       |         CAST(${floorModSql("m3", 300)} + 1 AS INTEGER) AS vframes
+       |         CAST(${floorModSql("m3", 300)} + 1 AS INTEGER) AS vframes,
+       |         CAST(${floorModSql("m1", 1920)} + 1 AS INTEGER) AS vw,
+       |         CAST(${floorModSql("m2", 1080)} + 1 AS INTEGER) AS vh
        |  FROM base
        |),
        |-- regenerated pixels: uncorrelated 64x48 grid (lateral range is
@@ -1414,8 +1419,8 @@ object ExtensionQueries {
        |SELECT t.doc_id AS media_id,
        |       t.media_type,
        |       t.media_type <> 'video' AS decoded_ok,
-       |       CASE WHEN t.media_type = 'image' THEN t.iw ELSE -1 END AS img_width,
-       |       CASE WHEN t.media_type = 'image' THEN t.ih ELSE -1 END AS img_height,
+       |       CASE t.media_type WHEN 'image' THEN t.iw WHEN 'video' THEN t.vw ELSE -1 END AS img_width,
+       |       CASE t.media_type WHEN 'image' THEN t.ih WHEN 'video' THEN t.vh ELSE -1 END AS img_height,
        |       CASE WHEN t.media_type = 'image'
        |            THEN CAST(i.lumamilli AS DOUBLE) / CAST(i.npx * 1000 AS DOUBLE)
        |            ELSE CAST(0 AS DOUBLE) END AS mean_luma,

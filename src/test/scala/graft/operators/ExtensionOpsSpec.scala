@@ -495,6 +495,32 @@ class ExtensionOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("video container: AVI round trip is metadata-exact; corrupt bytes reject") {
+    val junk = "some payload text".getBytes("UTF-8")
+    val avi = VideoContainer.encodeAvi(640, 360, 123, junk)
+    assert(VideoContainer.parseAvi(avi).contains(VideoContainer.AviMeta(640, 360, 123)))
+    // odd-length junk pads to the RIFF word boundary, still parses
+    assert(VideoContainer.parseAvi(VideoContainer.encodeAvi(2, 3, 1, Array[Byte](7)))
+      .contains(VideoContainer.AviMeta(2, 3, 1)))
+    assert(VideoContainer.parseAvi(junk).isEmpty)          // not a RIFF
+    assert(VideoContainer.parseAvi(avi.take(40)).isEmpty)  // truncated
+    assert(VideoContainer.parseAvi(Array.emptyByteArray).isEmpty)
+    // pipeline-level: the featurize step's video dims are READ BACK
+    // from the payload container and equal the generator's meta
+    val media = Multimodal.syntheticMedia(table("documents"), "doc_id", "text")
+      .filter(col("meta.media_type") === "video")
+    val checked = Multimodal.decodeAndFeaturize(media)
+      .join(media.select(col("media_id"), col("meta.width").as("mw"),
+        col("meta.height").as("mh")), "media_id")
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(!r.getAs[Boolean]("decoded_ok"), r.toString) // no frame codec
+      assert(r.getAs[Int]("img_width") == r.getAs[Int]("mw"), r.toString)
+      assert(r.getAs[Int]("img_height") == r.getAs[Int]("mh"), r.toString)
+    }
+  }
+
   test("multimodal resize scales payload and rewrites metadata") {
     val media = Multimodal.syntheticMedia(table("documents"), "doc_id", "text")
     val resized = Multimodal.resize(media, 64, 64)

@@ -122,6 +122,7 @@ object SparkEntry {
     "q79_rrf_fusion" -> (ExtensionQueries.rrfFusion _),
     "q80_table_profile" -> (CurationQueries.tableProfile _),
     "q81_bpe_merges" -> (ExtensionQueries.bpeMerges _),
+    "q82_lm_perplexity" -> (ExtensionQueries.lmPerplexity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -204,5 +205,6 @@ object SparkEntry {
     "q79_rrf_fusion" -> ExtensionQueries.rrfFusionSql,
     "q80_table_profile" -> CurationQueries.tableProfileSql,
     "q81_bpe_merges" -> ExtensionQueries.bpeMergesSql,
+    "q82_lm_perplexity" -> ExtensionQueries.lmPerplexitySql,
   )
 }

@@ -1442,4 +1442,56 @@ object ExtensionQueries {
        |LEFT JOIN audfeat a USING (doc_id)
        |ORDER BY media_id""".stripMargin
   }
+
+  /** Unigram-LM perplexity quality scoring (CCNet-style, self-scored
+    * on the documents corpus, add-one smoothing): per-doc average
+    * token log-probability plus the low-quality flag. Deterministic
+    * because the per-token logp is DECIMAL(18,9)-quantized before the
+    * order-free decimal sum (the q36 KMeans trick applied to a
+    * transcendental).
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.operators.Perplexity
+      .perplexityScore(d, d, "doc_id", "text", addK = 1, cutoff = LmCutoff)
+      .orderBy(col("doc_id"))
+  }
+
+  // flags the bottom ~2-5% of the documents fixture at every scale
+  // (2nd pct ≈ -3.49, 5th pct ≈ -3.435 at sf0.001/sf0.01/sf0.1) —
+  // non-vacuous on both sides of the gate
+  private val LmCutoff = -3.45
+
+  /** DuckDB oracle: the identical unigram model — same tokenization
+    * (lowercased whitespace tokens, empties dropped), same
+    * ln((c+1)/(T+V)) quantized to DECIMAL(18,9), same exact decimal
+    * sum and single rounded division.
+    */
+  val lmPerplexitySql: String =
+    s"""WITH tok0 AS (
+       |  SELECT doc_id,
+       |         UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS token
+       |  FROM documents
+       |),
+       |tok AS (SELECT doc_id, token FROM tok0 WHERE token <> ''),
+       |counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+       |               CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+       |lp AS (
+       |  SELECT token,
+       |         CAST(LN(CAST(c + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+       |              AS DECIMAL(18,9)) AS logp
+       |  FROM counts, tot
+       |),
+       |doc AS (
+       |  SELECT tok.doc_id,
+       |         CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       |         ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+       |  FROM tok JOIN lp USING (token)
+       |  GROUP BY tok.doc_id
+       |)
+       |SELECT doc_id, n_tokens, avg_logp,
+       |       avg_logp < $LmCutoff AS is_low_quality
+       |FROM doc
+       |ORDER BY doc_id""".stripMargin
 }

@@ -282,6 +282,17 @@ class PlanSpec extends SparkSpecBase {
       s"med/mad bands must broadcast, not shuffle the corpus:\n$p")
   }
 
+  test("lmPerplexity never moves document text through an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.SparkEntry.queries("q82_lm_perplexity")(spark, sfDir)
+    df.collect()
+    val exchanges = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected token-count and doc-score exchanges")
+    assert(!exchanges.exists(_.output.exists(_.name == "text")),
+      "LM fit/scoring must shuffle tokens and decimals, never document text")
+  }
+
   test("spanDedup shuffles span hashes, never span text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType

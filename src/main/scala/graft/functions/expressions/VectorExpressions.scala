@@ -137,7 +137,12 @@ object VectorUtil {
       val off = c * m.dim
       while (j < dim) { dvc += elem(v, j, vF) * m.flat(off + j); j += 1 }
       val d = dv + m.norms(c) - 2.0 * dvc
-      if (c == 0 || d < best) { best = d; bestId = m.ids(c) }
+      // min(struct) semantics incl. NaN: Spark orders NaN greatest, so
+      // a NaN distance loses to any finite one (best!=best detects NaN
+      // without boxing); among all-NaN the smallest id wins
+      if (c == 0 || d < best || (best != best && d == d)) {
+        best = d; bestId = m.ids(c)
+      }
       c += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

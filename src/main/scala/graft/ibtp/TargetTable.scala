@@ -184,27 +184,41 @@ final class TargetTable(
     * two steps; a crash between them leaves stale in-range partitions
     * that a plain resume (`MAX(ts)+1`) would never revisit. (The
     * reference has the same exposure between its per-period commits,
-    * `loop.sql:134`.) A range-intent marker closes it: written before
-    * the overwrite (phase `writing`), updated with the written
-    * partition set after it (phase `cleanup`), removed after cleanup.
+    * `loop.sql:134`.) Two immutable temp+rename markers close it: a
+    * range intent written before the overwrite, a written-partition
+    * sidecar after it, both removed after cleanup (see
+    * [[readReplaceIntent]] for the state machine).
     * [[repairOrphanedReplace]] — invoked at the start of every
-    * replace — heals an orphaned `cleanup` intent deterministically
-    * (finish the recorded cleanup) and clears a `writing` intent that
-    * this call's own range covers (the re-run rewrites it anyway).
+    * replace — heals an orphaned cleanup-phase pair deterministically
+    * (finish the recorded cleanup) and clears a mid-write intent that
+    * this call's own range covers (the re-run rewrites it anyway); a
+    * mid-write intent this range does NOT cover makes this call throw
+    * rather than destroy the record of the untrustworthy range.
     */
   def replaceRange(df: DataFrame, from: LocalDate, to: LocalDate): Long = {
     repairOrphanedReplace(coveredBy = Some((from, to)))
+    // an intent that survived repair is an unrepaired mid-write crash
+    // on a range this call does not cover: proceeding would overwrite
+    // the only durable record that those partitions are untrustworthy
+    readReplaceIntent().foreach { orphan =>
+      throw new IllegalStateException(
+        s"cannot replace [$from, $to): orphaned replace intent " +
+          s"[${orphan.from}, ${orphan.to}) crashed mid-write and this range " +
+          "does not cover it; re-backfill that range first")
+    }
     val fresh = withPartitionCol(alignToTarget(df))
-    writeIntent(from, to, None)
+    clearWrittenSidecar() // a stale sidecar alone is a completed-replace leftover
+    writeIntent(from, to)
     // single pass: the write's observed metrics carry both the row
     // count and the set of day-partitions written (no cache, no
     // pre-write distinct job)
     val (n, writtenDates) = writeDynamicOverwrite(fresh)
-    writeIntent(from, to, Some(writtenDates))
+    writeWrittenSidecar(from, to, writtenDates)
     if (failBeforeCleanup) // test hook: simulate dying mid-replace
       throw new IllegalStateException("simulated crash before stale cleanup")
     cleanupStale(from, to, writtenDates)
     clearIntent()
+    clearWrittenSidecar()
     n
   }
 
@@ -233,11 +247,12 @@ final class TargetTable(
           s"repairing orphaned replace intent [$f, $t): finishing stale cleanup")
         cleanupStale(f, t, written)
         clearIntent()
+        clearWrittenSidecar()
         Some((f, t))
       case ReplaceIntent(f, t, None) =>
         val covered = coveredBy.exists { case (cf, ct) =>
           !f.isBefore(cf) && !t.isAfter(ct) }
-        if (covered) { clearIntent(); Some((f, t)) }
+        if (covered) { clearIntent(); clearWrittenSidecar(); Some((f, t)) }
         else {
           TargetTable.log.error(
             s"orphaned replace intent [$f, $t) crashed MID-WRITE: partitions in " +
@@ -251,40 +266,83 @@ final class TargetTable(
   private[ibtp] var failBeforeCleanup: Boolean = false
 
   private def intentFile = new Path(path, IntentFile)
+  private def writtenSidecarFile = new Path(path, WrittenSidecarFile)
 
   private[ibtp] final case class ReplaceIntent(
       from: LocalDate, to: LocalDate, written: Option[Set[LocalDate]])
 
+  /** The durable replace state is TWO immutable files, each written
+    * once per replace via temp+rename (never truncated in place, so a
+    * crash can never leave a partial marker — only an absent one or a
+    * harmless `.tmp`):
+    *  - [[IntentFile]] (range only) before the overwrite;
+    *  - [[WrittenSidecarFile]] (range + written partition set) after it.
+    * Intent alone = crashed mid-write (unrepairable without source
+    * data); intent + same-range sidecar = crashed before cleanup
+    * (deterministically repairable); sidecar alone, or a sidecar whose
+    * range disagrees with the intent, is a completed-replace leftover
+    * and is ignored.
+    */
   private[ibtp] def readReplaceIntent(): Option[ReplaceIntent] =
-    if (!fs.exists(intentFile)) None
+    readKv(intentFile).map { kv =>
+      val (f, t) = (LocalDate.parse(kv("from")), LocalDate.parse(kv("to")))
+      val written = readKv(writtenSidecarFile)
+        .filter(s => s.get("from").contains(kv("from")) &&
+          s.get("to").contains(kv("to")))
+        .map(_.getOrElse("written", "").split(",").filter(_.nonEmpty)
+          .map(LocalDate.parse).toSet)
+      ReplaceIntent(f, t, written)
+    }
+
+  /** Parse a key=value marker; a malformed file (impossible under
+    * temp+rename, defensive against manual edits) fails loudly with
+    * the remedy rather than a bare NoSuchElementException.
+    */
+  private def readKv(file: Path): Option[Map[String, String]] =
+    if (!fs.exists(file)) None
     else {
-      val in = fs.open(intentFile)
-      try {
-        val kv = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      val in = fs.open(file)
+      val kv =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .filter(_.contains("=")).map { l =>
             val Array(k, v) = l.split("=", 2); k -> v
           }.toMap
-        Some(ReplaceIntent(
-          LocalDate.parse(kv("from")), LocalDate.parse(kv("to")),
-          if (kv("phase") == "cleanup")
-            Some(kv.getOrElse("written", "").split(",").filter(_.nonEmpty)
-              .map(LocalDate.parse).toSet)
-          else None))
-      } finally in.close()
+        finally in.close()
+      if (!kv.contains("from") || !kv.contains("to"))
+        throw new IllegalStateException(
+          s"corrupt replace marker $file (keys: ${kv.keys.mkString(",")}): " +
+            "inspect the target, re-backfill the affected range if in doubt, " +
+            "then delete the marker")
+      Some(kv)
     }
 
-  private def writeIntent(
-      from: LocalDate, to: LocalDate, written: Option[Set[LocalDate]]): Unit = {
-    val content =
-      s"phase=${written.fold("writing")(_ => "cleanup")}\n" +
-        s"from=${fmt.format(from)}\nto=${fmt.format(to)}\n" +
-        written.fold("")(w => s"written=${w.toSeq.sorted.map(fmt.format).mkString(",")}\n")
-    val out = fs.create(intentFile, true)
+  private def writeIntent(from: LocalDate, to: LocalDate): Unit =
+    writeMarker(intentFile, s"from=${fmt.format(from)}\nto=${fmt.format(to)}\n")
+
+  private def writeWrittenSidecar(
+      from: LocalDate, to: LocalDate, written: Set[LocalDate]): Unit =
+    writeMarker(writtenSidecarFile,
+      s"from=${fmt.format(from)}\nto=${fmt.format(to)}\n" +
+        s"written=${written.toSeq.sorted.map(fmt.format).mkString(",")}\n")
+
+  /** Temp+rename: the destination is either absent or complete. The
+    * caller guarantees the destination does not exist (intent: the
+    * orphan check threw otherwise; sidecar: cleared at replace start),
+    * so the rename never needs overwrite semantics.
+    */
+  private def writeMarker(file: Path, content: String): Unit = {
+    val tmp = new Path(file.getParent, file.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, file))
+      throw new IllegalStateException(s"could not commit marker $file")
   }
 
   private def clearIntent(): Unit =
     if (fs.exists(intentFile)) fs.delete(intentFile, false)
+
+  private def clearWrittenSidecar(): Unit =
+    if (fs.exists(writtenSidecarFile)) fs.delete(writtenSidecarFile, false)
 
   /** Unique-key upsert — reference B13+B14 (`loop.sql:100-107`):
     * `DELETE FROM target WHERE (uk) IN (SELECT (uk) FROM tmp)` then
@@ -576,6 +634,11 @@ object TargetTable {
     * [[TargetTable.replaceRange]]); underscore-prefixed metadata.
     */
   val IntentFile = "_graft_replace_intent"
+
+  /** Written-partition-set sidecar for the cleanup phase (see
+    * [[TargetTable.replaceRange]]); underscore-prefixed metadata.
+    */
+  val WrittenSidecarFile = "_graft_replace_written"
 
   private[ibtp] val log = org.slf4j.LoggerFactory.getLogger(classOf[TargetTable])
 }

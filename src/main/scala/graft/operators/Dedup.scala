@@ -54,7 +54,7 @@ object Dedup extends Logging {
     * self-join — exchange reuse does not fire across a self-join's
     * sides under AQE; PlanSpec pins the new shape.)
     */
-  private def capBuckets(bucketed: DataFrame, maxBucket: Int, keys: Seq[String]): DataFrame = {
+  private[graft] def capBuckets(bucketed: DataFrame, maxBucket: Int, keys: Seq[String]): DataFrame = {
     if (maxBucket == Int.MaxValue) return bucketed // cap disabled: skip the width pass
     logInfo(s"LSH hot-bucket cap active: dropping buckets wider than $maxBucket " +
       s"on (${keys.mkString(", ")}); audit dropped buckets via Dedup.hotBuckets")
@@ -83,7 +83,7 @@ object Dedup extends Logging {
     * previous Window-over-content-key formulation, which repartitioned
     * AND sorted every text by digest just to tag the min id.
     */
-  private def contentRepresentatives(
+  private[graft] def contentRepresentatives(
       docs: DataFrame, idCol: String, contentKey: Column): DataFrame = {
     val keep = docs.groupBy(contentKey.as("__ck"))
       .agg(min(col(idCol)).as(idCol))
@@ -336,12 +336,17 @@ object Dedup extends Logging {
       else {
         logInfo(s"shingle df cap active: shingles with df > $maxDf excluded " +
           "from the similarity universe; audit via Dedup.stopShingles")
+        // the df pass and the corpus-side filter both consume `sets`;
+        // pin it so the text is scanned and shingle-hashed ONCE (the
+        // upsert/minhash-sig two-scan pattern), keeping the "never a
+        // second text pass" contract literal
+        val pinned = sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // over-cap shingles collapse to ONE broadcast row (empty-safe):
         // the corpus-side filter is a map pass over each doc's own array
-        val stop = stopShingles(sets, maxDf, "sh")
+        val stop = stopShingles(pinned, maxDf, "sh")
           .agg(coalesce(collect_list(col("g")), array().cast("array<bigint>"))
             .as("__stop"))
-        sets.crossJoin(broadcast(stop))
+        pinned.crossJoin(broadcast(stop))
           .select(col("id"), array_except(col("sh"), col("__stop")).as("sh"))
       }
     val ex = filtered

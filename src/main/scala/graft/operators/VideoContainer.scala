@@ -68,7 +68,9 @@ object VideoContainer {
     try {
       if (fourcc() != "RIFF") return None
       val riffSize = buf.getInt
-      if (riffSize < 0 || riffSize + 8 > bytes.length) return None
+      // long arithmetic: riffSize near Int.MaxValue must not wrap the
+      // truncation check into a silent pass
+      if (riffSize < 0 || riffSize.toLong + 8 > bytes.length) return None
       if (fourcc() != "AVI ") return None
       if (fourcc() != "LIST") return None
       buf.getInt // hdrl list size

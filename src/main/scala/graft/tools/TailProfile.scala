@@ -34,7 +34,17 @@ object TailProfile {
     val corpus = graft.queries.ExtensionQueries.corpusWithNearDups(spark, sfDir)
     time("corpus materialize")(corpus.count())
 
-    val sigs = corpus
+    // mirror minhashNearDupPairs stage for stage: the real pipeline
+    // collapses exact copies to min-id representatives BEFORE
+    // signatures and caps hot LSH buckets — omitting either would
+    // attribute time to the wrong stage on fixtures with duplicate
+    // texts (sf0.1's documents table has 8)
+    val reps = graft.operators.Dedup.contentRepresentatives(corpus, "doc_id",
+      struct(xxhash64(col("text")), length(col("text"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("content-representative collapse")(reps.count())
+
+    val sigs = reps
       .select(col("doc_id").as("id"),
         shingle_hashes(col("text"), shingleN).as("shingles"),
         minhash_sig(col("text"), shingleN, bands * rowsPerBand).as("sig"))
@@ -42,11 +52,13 @@ object TailProfile {
       .persist(StorageLevel.MEMORY_AND_DISK)
     time("signatures (128 minhash + shingles)")(sigs.count())
 
-    val bandKeys = sigs
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val bandKeys = graft.operators.Dedup.capBuckets(
+      sigs
+        .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash")),
+      maxBucket = 256, keys = Seq("band", "band_hash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    time("band keys explode")(bandKeys.count())
+    time("band keys explode + hot-bucket cap")(bandKeys.count())
 
     val candidates = bandKeys.as("l")
       .join(bandKeys.as("r"),

@@ -318,4 +318,47 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assert(target.readReplaceIntent().isEmpty)
     assertSameRows(target.read(), expected)
   }
+
+  test("non-covering replace refuses to destroy a mid-write orphan; corrupt marker fails loudly") {
+    val target = new TargetTable(spark, tmpDir("ibtp_intent2"), "day")
+    runner(target)
+    val fs = new org.apache.hadoop.fs.Path(target.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(target.path, TargetTable.IntentFile)
+    val orphanFrom = LocalDate.of(2024, 1, 10)
+    val orphanTo   = LocalDate.of(2024, 1, 13)
+    val out = fs.create(marker, true)
+    out.write(s"from=$orphanFrom\nto=$orphanTo\n".getBytes("UTF-8"))
+    out.close()
+    // replacing a DIFFERENT range must throw and leave the orphan intact
+    val other = oneShot(LocalDate.of(2024, 1, 20), LocalDate.of(2024, 1, 22))
+    val ex = intercept[IllegalStateException] {
+      target.replaceRange(other, LocalDate.of(2024, 1, 20), LocalDate.of(2024, 1, 22))
+    }
+    assert(ex.getMessage.contains(s"[$orphanFrom, $orphanTo)"), ex.getMessage)
+    assert(target.readReplaceIntent().exists(i =>
+      i.from == orphanFrom && i.to == orphanTo && i.written.isEmpty),
+      "the orphan marker must survive the refused replace")
+    // a stale sidecar from an OLD range must not turn the orphan into a
+    // bogus cleanup-phase repair (mismatched ranges are ignored)
+    val sidecar = new org.apache.hadoop.fs.Path(target.path, TargetTable.WrittenSidecarFile)
+    val out2 = fs.create(sidecar, true)
+    out2.write("from=2024-01-01\nto=2024-01-02\nwritten=2024-01-01\n".getBytes("UTF-8"))
+    out2.close()
+    assert(target.readReplaceIntent().exists(_.written.isEmpty),
+      "mismatched sidecar must be ignored")
+    // covering replace repairs and clears both markers
+    val repl = oneShot(orphanFrom, orphanTo)
+    target.replaceRange(repl, orphanFrom, orphanTo)
+    assert(target.readReplaceIntent().isEmpty)
+    assert(!fs.exists(sidecar) && !fs.exists(marker))
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+    // a malformed marker (manual edit) fails loudly with the remedy
+    val out3 = fs.create(marker, true)
+    out3.write("garbage\n".getBytes("UTF-8"))
+    out3.close()
+    val ex2 = intercept[IllegalStateException] { target.readReplaceIntent() }
+    assert(ex2.getMessage.contains("corrupt replace marker"), ex2.getMessage)
+    fs.delete(marker, false)
+  }
 }

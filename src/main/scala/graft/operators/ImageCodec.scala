@@ -57,10 +57,14 @@ object ImageCodec {
   }
 
   /** Decode any ImageIO-supported payload (PNG/BMP/GIF/JPEG); None for
-    * bytes no installed reader accepts.
+    * bytes no installed reader accepts — including truncated or
+    * bit-flipped payloads, where ImageIO throws rather than returning
+    * null (a corrupt row must never kill a featurize job; fuzz-pinned
+    * in MediaFuzzSpec).
     */
   def decode(bytes: Array[Byte]): Option[BufferedImage] =
-    Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
 
   /** (width, height, mean luminance in [0,255], distinct-color ratio) —
     * the per-image features, computed from REAL decoded pixels.

@@ -40,8 +40,12 @@ object Bench {
       val (t1, e1) = timed(name)
       if (e1.isDefined) (name, t1, e1)
       else {
-        val (t2, e2) = timed(name) // a second-run failure surfaces too
-        (name, math.min(t1, t2), e2)
+        val (t2, e2) = timed(name)
+        // a second-run failure surfaces too, carrying ONLY the failing
+        // run's time — min() across a success and a failure would record
+        // a valid-looking duration on an entry marked as an error
+        if (e2.isDefined) (name, t2, e2)
+        else (name, math.min(t1, t2), None)
       }
     }
     val qs = results.map { case (k, v, err) =>

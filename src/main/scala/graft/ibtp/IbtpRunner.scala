@@ -142,6 +142,15 @@ object IbtpRunner {
       graft.plans.PeriodFilterGuard.require(model.query(spark, b))
     }
 
+    // Heal any replace intent orphaned by a crashed backfill BEFORE the
+    // resume probe: a cleanup-phase orphan repairs deterministically
+    // here (finishing its recorded stale-partition cleanup can change
+    // maxPartitionDate, so it must precede resume), and a mid-write
+    // orphan at least logs its re-backfill remedy on EVERY run — not
+    // only on the next replaceRange — instead of letting MAX(ts)+1
+    // resumes keep building silently on an untrustworthy range.
+    if (target.exists) target.repairOrphanedReplace()
+
     // ---- init path (`materialization.sql:68-77` → init.sql) ----------
     val needInit = !target.exists || mode == RunMode.FullRefresh
     val isBackfill = mode.isInstanceOf[RunMode.Backfill]

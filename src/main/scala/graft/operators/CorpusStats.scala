@@ -161,6 +161,11 @@ object CorpusStats {
     * come from [[groupedQuantileDisc]] (histogram-side, tiny) and
     * broadcast onto an in-place clip; the corpus never shuffles.
     * Adds `valueCol`_winsorized.
+    *
+    * Row-preserving like [[madOutliers]]: the band joins are LEFT
+    * joins, so rows with a NULL group key or a group with no non-NULL
+    * value survive — their clip (and a NULL value's clip) is NULL,
+    * never a silently dropped row.
     */
   def winsorize(
       df: DataFrame, groupCol: String, valueCol: String,
@@ -171,10 +176,15 @@ object CorpusStats {
     val qs = groupedQuantileDisc(df, groupCol, valueCol, Seq(qLo, qHi).distinct)
     val lo = qs.filter(col("q") === qLo).select(col(groupCol), col("value").as("__lo"))
     val hi = qs.filter(col("q") === qHi).select(col(groupCol), col("value").as("__hi"))
-    df.join(broadcast(lo), groupCol)
-      .join(broadcast(hi), groupCol)
+    df.join(broadcast(lo), Seq(groupCol), "left")
+      .join(broadcast(hi), Seq(groupCol), "left")
       .withColumn(s"${valueCol}_winsorized",
-        least(greatest(col(valueCol).cast("long"), col("__lo")), col("__hi")))
+        // explicit NULL-in/NULL-out: Spark's least/greatest IGNORE
+        // NULL operands, which would otherwise clamp a NULL value to
+        // the band edge (or pass a missing band through unclipped)
+        when(col(valueCol).isNull || col("__lo").isNull || col("__hi").isNull,
+          lit(null).cast("long"))
+          .otherwise(least(greatest(col(valueCol).cast("long"), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 

@@ -147,19 +147,38 @@ object Dedup extends Logging {
       maxBucket: Int = 256): DataFrame = {
     // signatures + shingle-hash sets via the native expressions (one
     // hash pass per document, 8-byte shingle elements instead of
-    // strings); persisted because the pipeline reads them four times
-    // (two band-join sides + two verify sides). At cluster scale this
-    // would be a checkpoint to storage instead.
+    // strings); pinned for the scope because the pipeline reads them
+    // four times (two band-join sides + two verify sides), and
+    // released when the (small) verified pair list materializes — the
+    // operator is self-cleaning, no session-lifetime persist. At
+    // cluster scale this would be a checkpoint to storage instead.
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, bands * rowsPerBand)
+    CacheScope.pinned(sigs)(
+      minhashPairsFrom(sigs, bands, rowsPerBand, threshold, maxBucket))
+  }
+
+  /** The signature/shingle-set projection feeding [[minhashPairsFrom]]. */
+  private[graft] def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, nHashes: Int): DataFrame = {
     import graft.functions.expressions.TextHashFunctions._
     val reps = contentRepresentatives(docs, idCol,
       struct(xxhash64(col(textCol)), length(col(textCol))))
-    val sigs = reps
+    reps
       .select(col(idCol).as("id"),
         shingle_hashes(col(textCol), shingleN).as("shingles"),
-        minhash_sig(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
+        minhash_sig(col(textCol), shingleN, nHashes).as("sig"))
       .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
+  /** The LAZY band-join + verify pipeline over pre-built signatures —
+    * exposed for plan-shape specs (the public operator returns an
+    * eagerly checkpointed result whose plan is a leaf).
+    */
+  private[graft] def minhashPairsFrom(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucket: Int): DataFrame = {
+    import graft.functions.expressions.TextHashFunctions._
     val bandKeys = capBuckets(
       sigs
         .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -200,9 +219,15 @@ object Dedup extends Logging {
       maxBucket: Int = 256): DataFrame = {
     val reps = contentRepresentatives(docs, idCol,
       struct(xxhash64(col(textCol)), length(col(textCol))))
+    // fingerprints feed both self-join sides; pinned for the scope,
+    // released when the pair list materializes (see CacheScope)
     val prints = reps.select(col(idCol).as("id"),
       graft.functions.expressions.TextHashFunctions.simhash64_fast(col(textCol)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.pinned(prints)(simhashPairsFrom(prints, maxDistance, maxBucket))
+  }
+
+  private def simhashPairsFrom(
+      prints: DataFrame, maxDistance: Int, maxBucket: Int): DataFrame = {
     val blocks = capBuckets(
       prints.select(
         col("id"), col("sh"),
@@ -247,12 +272,21 @@ object Dedup extends Logging {
     import graft.functions.VectorFunctions
     require(probeBits >= 0 && probeBits <= 1, "probeBits supports 0 or 1")
     val reps = contentRepresentatives(vectors, idCol, xxhash64(col(vecCol).cast("string")))
-    val bucketed = capBuckets(
-      reps
-        .select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("bucket", VectorFunctions.hyperplaneBits(col("v"), planes))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      maxBucket, Seq("bucket"))
+    // the bucketed assignment feeds candidate generation plus both
+    // verify sides; pinned for the scope, released when the pair list
+    // materializes (see CacheScope)
+    val assigned = reps
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", VectorFunctions.hyperplaneBits(col("v"), planes))
+    CacheScope.pinned(assigned)(
+      embeddingPairsFrom(assigned, planes, threshold, maxBucket, probeBits))
+  }
+
+  private def embeddingPairsFrom(
+      assigned: DataFrame, planes: Int, threshold: Double,
+      maxBucket: Int, probeBits: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val bucketed = capBuckets(assigned, maxBucket, Seq("bucket"))
     // candidate generation on (id, bucket) keys ONLY — the probe
     // explosion multiplies 16-byte rows, not vectors; vectors join back
     // for exact verification on just the matched pairs
@@ -327,26 +361,31 @@ object Dedup extends Logging {
     */
   private def sharedShinglePairs(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = Int.MaxValue): DataFrame =
+    sharedShinglePairsFrom(shingleSets(docs, idCol, textCol, shingleN), maxDf)
+
+  private def shingleSets(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
     import graft.functions.expressions.TextHashFunctions._
-    val sets = docs
-      .select(col(idCol).as("id"), shingle_hashes(col(textCol), shingleN).as("sh"))
+    docs.select(col(idCol).as("id"), shingle_hashes(col(textCol), shingleN).as("sh"))
+  }
+
+  private def sharedShinglePairsFrom(sets: DataFrame, maxDf: Int): DataFrame = {
     val filtered =
       if (maxDf == Int.MaxValue) sets
       else {
         logInfo(s"shingle df cap active: shingles with df > $maxDf excluded " +
           "from the similarity universe; audit via Dedup.stopShingles")
         // the df pass and the corpus-side filter both consume `sets`;
-        // pin it so the text is scanned and shingle-hashed ONCE (the
-        // upsert/minhash-sig two-scan pattern), keeping the "never a
-        // second text pass" contract literal
-        val pinned = sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the CAPPED public entry (containmentPairs) pins it in a
+        // CacheScope so the text is scanned and shingle-hashed ONCE —
+        // and released when the pair output materializes
         // over-cap shingles collapse to ONE broadcast row (empty-safe):
         // the corpus-side filter is a map pass over each doc's own array
-        val stop = stopShingles(pinned, maxDf, "sh")
+        val stop = stopShingles(sets, maxDf, "sh")
           .agg(coalesce(collect_list(col("g")), array().cast("array<bigint>"))
             .as("__stop"))
-        pinned.crossJoin(broadcast(stop))
+        sets.crossJoin(broadcast(stop))
           .select(col("id"), array_except(col("sh"), col("__stop")).as("sh"))
       }
     val ex = filtered
@@ -395,13 +434,21 @@ object Dedup extends Logging {
       shingleN: Int = 3, threshold: Double = 0.9,
       maxDf: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0, 1]")
-    sharedShinglePairs(docs, idCol, textCol, shingleN, maxDf)
+    def result(pairs: DataFrame) = pairs
       .withColumn("cont_a_in_b", col("inter") / col("n_a"))
       .withColumn("cont_b_in_a", col("inter") / col("n_b"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
         round(col("cont_b_in_a"), 4).as("cont_b_in_a"))
+    if (maxDf == Int.MaxValue)
+      result(sharedShinglePairs(docs, idCol, textCol, shingleN))
+    else {
+      // capped path reads the shingle sets twice (df pass + pairing):
+      // pin them for the scope, release when the pair list materializes
+      val sets = shingleSets(docs, idCol, textCol, shingleN)
+      CacheScope.pinned(sets)(result(sharedShinglePairsFrom(sets, maxDf)))
+    }
   }
 
   /** EXACT text k-nearest-neighbors by n-gram Jaccard: for every

@@ -202,6 +202,7 @@ object Multimodal {
     * rewritten to the new dimensions.
     */
   def resize(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    require(newW > 0 && newH > 0, s"bad resize target: ${newW}x$newH")
     val enc = ExpressionEncoder(RowEncoder.encoderFor(MediaSchema))
     media.select(col("media_id"), col("content"), col("meta"))
       .mapPartitions { rows =>
@@ -229,11 +230,17 @@ object Multimodal {
               // and meta dims, mirroring the image branch's contract
               VideoContainer.parseAvi(bytes) match {
                 case Some(m) =>
-                  // 96 = fixed header bytes before the JUNK payload
-                  val junkLen = math.max(0, bytes.length - 96).toLong
+                  // payload offset comes from the parsed chunk
+                  // structure, not encodeAvi's fixed layout — parseAvi
+                  // accepts any avihSize >= 56
+                  val junkLen = math.max(0, bytes.length - m.junkOffset).toLong
                   val area = m.width.toLong * m.height
+                  // BigInt product: junkLen * newW * newH can overflow
+                  // Long at extreme target dims, turning `scaled`
+                  // negative and the allocation into a throw
                   val scaled = if (area <= 0) 0L
-                    else math.min(junkLen, junkLen * newW * newH / area)
+                    else (BigInt(junkLen) * newW * newH / area)
+                      .min(BigInt(junkLen)).toLong
                   (VideoContainer.encodeAvi(newW, newH, m.nFrames,
                     new Array[Byte](scaled.toInt)), newW, newH)
                 case None => (bytes, meta.getInt(1), meta.getInt(2))

@@ -44,13 +44,23 @@ object SemDedup {
     // over a collected centroid matrix — no broadcast join, no k× row
     // multiplication, no argmin shuffle (see Similarity.ivfAssign).
     // cells feeds both pair-join sides plus the output flag join —
-    // persist so the scan+assignment runs once, not three times (the
-    // same pattern as Dedup's signature persist; the persist lives for
-    // the session, Bench clears the cache between queries).
+    // pinned for the scope so the scan+assignment runs once, not three
+    // times, and released when the flag output materializes (see
+    // CacheScope; the output is one small row per corpus row — at
+    // cluster scale the same shape checkpoints to storage instead).
     val cells = graft.operators.Similarity
       .ivfAssignWithVec(corpus, centroids, idCol, vecCol)
       .select(col(idCol), col("centroid_id"), col(vecCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.pinned(cells)(semDedupFrom(cells, threshold, idCol, vecCol))
+  }
+
+  /** The LAZY within-cell pair pipeline over pre-built cell
+    * assignments — exposed for plan-shape specs (the public operator
+    * returns an eagerly checkpointed result whose plan is a leaf).
+    */
+  private[graft] def semDedupFrom(
+      cells: DataFrame, threshold: Double,
+      idCol: String, vecCol: String): DataFrame = {
     // exact-duplicate pre-collapse (the same flood guard as the LSH
     // pipelines): bit-identical vectors — empty docs, boilerplate —
     // collapse to their min-id representative BEFORE the pair stage,

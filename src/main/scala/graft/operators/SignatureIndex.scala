@@ -104,11 +104,12 @@ final class SignatureIndex(
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     // materialize pairs BEFORE the index grows (the pair frame must not
-    // see the batch twice), then index the batch
-    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // see the batch twice), as an eager local checkpoint rather than a
+    // session-lifetime persist — the blocks free when the frame is
+    // garbage-collected, leaving the cache manager clean per batch
+    val out = pairs.localCheckpoint(true)
     newSigs.write.mode("append").parquet(sigPath)
-    newSigs.unpersist()
+    newSigs.unpersist(blocking = false)
     out
   }
 }

@@ -51,8 +51,15 @@ object VideoContainer {
     buf.array()
   }
 
-  /** Container-level metadata read back from real AVI bytes. */
-  final case class AviMeta(width: Int, height: Int, nFrames: Int)
+  /** Container-level metadata read back from real AVI bytes.
+    * `junkOffset` is the byte offset where the payload chunk's data
+    * begins, DERIVED from the parsed chunk structure
+    * (12 RIFF + 12 LIST/hdrl + 8 avih header + avihSize + 8 chunk
+    * header) — 96 for [[encodeAvi]]'s fixed 56-byte avih, but correct
+    * for any spec-conformant avihSize >= 56 that [[parseAvi]] accepts.
+    */
+  final case class AviMeta(
+      width: Int, height: Int, nFrames: Int, junkOffset: Int = 96)
 
   /** Parse the main header of an AVI payload; None for bytes that are
     * not a RIFF 'AVI ' form with a leading 'hdrl'/'avih' (which is how
@@ -85,7 +92,8 @@ object VideoContainer {
       val w = buf.getInt
       val h = buf.getInt
       if (w <= 0 || h <= 0 || nFrames < 0) None
-      else Some(AviMeta(w, h, nFrames))
+      else Some(AviMeta(w, h, nFrames,
+        junkOffset = 12 + 12 + 8 + avihSize + 8))
     } catch { case _: java.nio.BufferUnderflowException => None }
   }
 }

@@ -390,8 +390,9 @@ object CurationQueries {
       |  FROM documents GROUP BY source
       |)
       |SELECT d.doc_id, d.source, d.n_chars,
-      |       LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS n_chars_winsorized
-      |FROM documents d JOIN b USING (source)
+      |       CASE WHEN d.n_chars IS NULL OR b.lo IS NULL OR b.hi IS NULL THEN NULL
+      |            ELSE LEAST(GREATEST(d.n_chars, b.lo), b.hi) END AS n_chars_winsorized
+      |FROM documents d LEFT JOIN b USING (source)
       |ORDER BY d.doc_id""".stripMargin
 
   /** Span-level (C4-style) dedup: 3-word spans deduped globally to

@@ -22,6 +22,15 @@ object ExtensionQueries {
   private val NearOffset    = 2000000L
   private val ExcerptOffset = 3000000L
 
+  /** Release a query's fixture pins once its result materializes: the
+    * fixture builders persist (their pipelines read them several
+    * times); the scope eagerly checkpoints the final result and
+    * unpersists the fixtures, so a completed query leaves no pinned
+    * blocks in the session (asserted per query in SparkEntrySpec).
+    */
+  private def scoped(fixtures: DataFrame*)(body: => DataFrame): DataFrame =
+    graft.operators.CacheScope.pinned(fixtures: _*)(body)
+
   /** documents ∪ exact copies: every text appears exactly twice. */
   def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -82,58 +91,141 @@ object ExtensionQueries {
       |GROUP BY text
       |ORDER BY keep_id""".stripMargin
 
-  /** MinHash LSH soundness under the DuckDB gate: emitted LSH pairs
-    * unioned with the EXACT inverted-index all-pairs set at the same
-    * threshold, each pair's Jaccard recomputed from text. If the
-    * pipeline is sound (no false positives, engine shingle-Jaccard ≡
-    * string-side Jaccard) the union IS the exact set, which DuckDB
-    * independently recomputes from the raw strings; any below-threshold
-    * emission or metric drift breaks the hash match. Recall stays
-    * spec-side (planted-duplicate recall ≥ 0.98 in ScalaTest) — a
-    * missed pair is hidden by the union, a wrong pair is not.
+  /** MinHash-LSH near-dup pairs, benched as the PRODUCTION pipeline
+    * alone (the q62/q67 shape: 64 two-row bands, hot-bucket cap, exact
+    * verify of candidates only) — no exact Σdf² all-pairs union in the
+    * benched path; that quadratic construction would be the one
+    * remaining scale-killer at a 100× denser corpus.
+    *
+    * The DuckDB oracle is a FULL replay of the LSH pipeline (the q25
+    * technique applied to text): exact-copy collapse, FNV-1a +
+    * splitmix64 token hashes, shingle-hash folds, all 128 affine
+    * permutations with exact 64-bit wraparound arithmetic and SIGNED
+    * minima, two-row band buckets (band-slice equality ≡ the engine's
+    * band_hash equality modulo a 2^-64 xxhash64 collision), the
+    * 256-wide bucket cap, candidate generation, and the exact
+    * string-side Jaccard verification — so WHICH pairs the
+    * approximation emits is exactly pinned, not just their soundness.
+    * The LSH ∪ exact soundness/recall equality moved spec-side
+    * (ExtensionOpsSpec "LSH equals the exact pair set"), where the
+    * driver still runs it per round.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDups(spark, dir)
-    val lsh = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
-      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
-    val exact = Dedup.allPairsJaccard(corpus, "doc_id", "text",
-      shingleN = 3, threshold = 0.5)
-    // sound pipeline ⇒ the anti-join is empty and the result IS the
-    // exact set; an LSH pair outside it (false positive / metric
-    // drift) survives the union and breaks the oracle hash
-    val extra = lsh.join(exact.select(col("id_a"), col("id_b")),
-      Seq("id_a", "id_b"), "left_anti")
-    exact.unionAll(extra).orderBy(col("id_a"), col("id_b"))
+    scoped(corpus) {
+      Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }
   }
 
-  val dedupMinhashSql: String =
-    """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 2000000,
-      |         ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1,
-      |           GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) - 3, 1)), ' ')
-      |  FROM documents
-      |),
-      |sh AS (
-      |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
-      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM corpus)
-      |),
-      |ex AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
-      |shared AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |),
-      |sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh)
-      |SELECT s.id_a, s.id_b,
-      |       ROUND(s.inter::DOUBLE / (la.n + lb.n - s.inter), 4) AS jaccard
-      |FROM shared s
-      |JOIN sizes la ON la.doc_id = s.id_a
-      |JOIN sizes lb ON lb.doc_id = s.id_b
-      |WHERE s.inter::DOUBLE / (la.n + lb.n - s.inter) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+  val dedupMinhashSql: String = {
+    // exact 64-bit helpers shared with the q22/q25 replay oracles
+    def signed(x: String): String =
+      s"CASE WHEN ($x) >= 9223372036854775808 THEN CAST(($x) - 18446744073709551616 AS BIGINT)" +
+        s" ELSE CAST(($x) AS BIGINT) END"
+    // v_i = (a_i * g + b_i) mod 2^64 with the HUGEINT-split multiply
+    // (a is a column here, so the split rides the g operand)
+    val permHash =
+      "( (CAST(s.g AS HUGEINT) % 4294967296) * p.a" +
+        " + ((CAST(s.g AS HUGEINT) // 4294967296) * p.a % 4294967296) * 4294967296" +
+        " + p.b ) % 18446744073709551616"
+    // FNV-1a over the token's characters + splitmix64 finalizer — the
+    // engine's TextHashUtil.hashRange, ASCII corpus assumed (q22 note)
+    val fnvMix =
+      s"""(WITH f AS (
+         |  SELECT list_reduce(
+         |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+         |      list_transform(range(1, length(t)+1),
+         |        i -> CAST(ord(substr(t, CAST(i AS INTEGER), 1)) AS UBIGINT))),
+         |    (h, b) -> ${wrapMulSql("xor(h, b)", "1099511628211")}) AS h0),
+         | m1 AS (SELECT ${wrapMulSql("xor(h0, h0 >> 30)", "13787848793156543929")} AS h1 FROM f),
+         | m2 AS (SELECT ${wrapMulSql("xor(h1, h1 >> 27)", "10723151780598845931")} AS h2 FROM m1)
+         | SELECT xor(h2, h2 >> 31) FROM m2)""".stripMargin
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |         ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), 1,
+       |           GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) - 3, 1)), ' ')
+       |  FROM documents
+       |),
+       |-- the pair contract: identical texts collapse to their min-id
+       |-- representative BEFORE signatures (exact copies are
+       |-- exactGroups' output, not near-dup pairs)
+       |corpus AS (SELECT MIN(doc_id) AS doc_id, text FROM corpus0 GROUP BY text),
+       |tks AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks FROM corpus
+       |),
+       |pos AS (
+       |  SELECT doc_id, toks, UNNEST(range(1, LEN(toks)+1)) AS i FROM tks
+       |),
+       |tok AS (
+       |  SELECT doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS p,
+       |         toks[CAST(i AS INTEGER)] AS t
+       |  FROM pos WHERE toks[CAST(i AS INTEGER)] <> ''
+       |),
+       |th AS (SELECT doc_id, p, $fnvMix AS h FROM tok),
+       |-- shingle hash: fold h := mix64(h XOR token_hash) from the
+       |-- golden-ratio seed over 3 consecutive token hashes
+       |f1 AS (SELECT doc_id, p,
+       |         ${mix64Sql("xor(CAST(11400714819323198485 AS UBIGINT), h)")} AS s
+       |       FROM th),
+       |f2 AS (SELECT f1.doc_id, f1.p, ${mix64Sql("xor(f1.s, t2.h)")} AS s
+       |       FROM f1 JOIN th t2 ON t2.doc_id = f1.doc_id AND t2.p = f1.p + 1),
+       |f3 AS (SELECT f2.doc_id, ${mix64Sql("xor(f2.s, t3.h)")} AS g
+       |       FROM f2 JOIN th t3 ON t3.doc_id = f2.doc_id AND t3.p = f2.p + 2),
+       |shd AS (SELECT DISTINCT doc_id, g FROM f3),
+       |-- permutation i: a_i = mix64(0x517cc1b727220a95 + i) | 1,
+       |--                b_i = mix64(0x2545f4914f6cdd1d + i)
+       |perm AS (
+       |  SELECT i,
+       |         ${mix64Sql("5871781006564002453 + CAST(i AS UBIGINT)")} | 1 AS a,
+       |         ${mix64Sql("2685821657736338717 + CAST(i AS UBIGINT)")} AS b
+       |  FROM (SELECT UNNEST(RANGE(0, 128)) AS i)
+       |),
+       |-- signature element i = SIGNED min over the doc's shingle
+       |-- hashes of (a_i*g + b_i) mod 2^64 (the engine compares Longs)
+       |sigv AS (
+       |  SELECT s.doc_id, p.i, MIN(${signed(permHash)}) AS sig
+       |  FROM shd s CROSS JOIN perm p
+       |  GROUP BY s.doc_id, p.i
+       |),
+       |-- 64 two-row bands; band-slice equality ≡ the engine's
+       |-- band_hash equality modulo a 2^-64 xxhash64 collision
+       |bandv AS (
+       |  SELECT doc_id, CAST(i // 2 AS INTEGER) AS band, LIST(sig ORDER BY i) AS bv
+       |  FROM sigv GROUP BY doc_id, CAST(i // 2 AS INTEGER)
+       |),
+       |capw AS (SELECT band, bv, COUNT(*) AS w FROM bandv GROUP BY band, bv),
+       |capped AS (
+       |  SELECT v.doc_id, v.band, v.bv FROM bandv v
+       |  JOIN capw c ON c.band = v.band AND c.bv = v.bv
+       |  WHERE c.w <= 256
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |),
+       |-- exact verify of candidates only, string-side shingle sets
+       |-- (engine hash-set Jaccard ≡ string-set Jaccard, the q23 note)
+       |sh AS (
+       |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM tks
+       |)
+       |SELECT c.id_a, c.id_b,
+       |       ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
+       |             (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 4) AS jaccard
+       |FROM cand c
+       |JOIN sh a ON a.doc_id = c.id_a
+       |JOIN sh b ON b.doc_id = c.id_b
+       |WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
+       |      (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** SimHash exactness under the DuckDB gate: with the hot-bucket cap
     * disabled, the 16-bit-block pigeonhole scheme finds EXACTLY the
@@ -145,10 +237,14 @@ object ExtensionQueries {
     * verification in one equality. (The capped production variant is
     * spec-tested; ASCII corpus assumed — the SQL hashes code points.)
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(corpusWithNearDups(spark, dir), "doc_id", "text",
-      maxDistance = 3, maxBucket = Int.MaxValue)
-      .orderBy(col("id_a"), col("id_b"))
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDups(spark, dir)
+    scoped(corpus) {
+      Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+        maxDistance = 3, maxBucket = Int.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
 
   val dedupSimhashSql: String =
     """WITH corpus0 AS (
@@ -214,8 +310,11 @@ object ExtensionQueries {
   def ngramJaccardPlanted(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.documents(spark, dir)
       .select(col("doc_id").as("id_a"), (col("doc_id") + NearOffset).as("id_b"))
-    Dedup.ngramJaccard(corpusWithNearDups(spark, dir), "doc_id", "text", pairs, n = 3)
-      .orderBy(col("id_a"))
+    val corpus = corpusWithNearDups(spark, dir)
+    scoped(corpus) {
+      Dedup.ngramJaccard(corpus, "doc_id", "text", pairs, n = 3)
+        .orderBy(col("id_a"))
+    }
   }
 
   /** DuckDB oracle: the engine computes Jaccard over 64-bit shingle
@@ -271,13 +370,15 @@ object ExtensionQueries {
     */
   def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDups(spark, dir)
-    val lshEdges = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
-      shingleN = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
-      .select(col("id_a"), col("id_b"))
-    val copyEdges = Dedup.exactMemberEdges(corpus, "doc_id", "text")
-    graft.operators.Components
-      .clusterAssign(corpus, "doc_id", lshEdges.unionAll(copyEdges), "id_a", "id_b")
-      .orderBy(col("doc_id"))
+    scoped(corpus) {
+      val lshEdges = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val copyEdges = Dedup.exactMemberEdges(corpus, "doc_id", "text")
+      graft.operators.Components
+        .clusterAssign(corpus, "doc_id", lshEdges.unionAll(copyEdges), "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** DuckDB oracle: same string-side exact-Jaccard edges (the q21/q23
@@ -394,7 +495,13 @@ object ExtensionQueries {
          |    + ((CAST(xor(x, x >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
          |  ) % 18446744073709551616 AS UBIGINT) AS x FROM $post)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |dims AS (SELECT MAX(LEN(v)) AS dim FROM e),
+       |-- uniform-dim precondition, asserted loudly: the engine derives
+       |-- a plane matrix PER distinct vector dimension (HyperplaneBits
+       |-- planeCache) while this oracle builds one matrix at the max
+       |-- dim — a ragged fixture must fail the run, not silently diverge
+       |dims AS (SELECT CASE WHEN MIN(LEN(v)) <> MAX(LEN(v))
+       |                THEN ERROR('ragged embedding dims: oracle assumes uniform')
+       |                ELSE MAX(LEN(v)) END AS dim FROM e),
        |pj AS (
        |  SELECT pp.p, jj.j
        |  FROM (SELECT UNNEST(RANGE(0, 6)) AS p) pp,
@@ -1149,14 +1256,18 @@ object ExtensionQueries {
     * a 20-token excerpt inside a 150-token page (union dominated by
     * the page), directional containment flags it at 1.0.
     */
-  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     // maxDf = 64 is the 100 TB shape (index join bounded at
     // 64 × corpus shingles — linear); provably non-binding here (the
     // fixtures' max shingle df is 36 at sf0.1, spec-asserted), so the
     // capped result is bit-identical to the uncapped exact oracle
-    Dedup.containmentPairs(corpusWithExcerpts(spark, dir), "doc_id", "text",
-      shingleN = 3, threshold = 0.9, maxDf = 64)
-      .orderBy(col("id_a"), col("id_b"))
+    val corpus = corpusWithExcerpts(spark, dir)
+    scoped(corpus) {
+      Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.9, maxDf = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
 
   /** DuckDB oracle: same corpus token-wise, string-side shingle sets,
     * LIST_INTERSECT-free inverted-index counting (the q23 hash-vs-
@@ -1211,10 +1322,12 @@ object ExtensionQueries {
     */
   def textKnn(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDups(spark, dir)
-    val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
-      shingleN = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
-    Dedup.knnFromPairs(pairs, k = 3)
-      .orderBy(col("doc_id"), col("rank"))
+    scoped(corpus) {
+      val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+      Dedup.knnFromPairs(pairs, k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }
   }
 
   val textKnnSql: String =

@@ -14,10 +14,17 @@ class SparkEntrySpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every query runs and returns rows at sf0.001") {
+  test("every query runs, returns rows, and leaves no pinned blocks at sf0.001") {
+    // cache hygiene: operators/fixtures pin intermediates only inside
+    // a CacheScope, so a COMPLETED query must leave the session's
+    // cache manager empty — a long-lived session composing many
+    // pipelines must not accumulate pinned blocks until eviction
+    spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n > 0, s"$name returned 0 rows")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left pinned blocks in the cache manager")
     }
   }
 }

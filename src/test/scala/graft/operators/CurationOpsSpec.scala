@@ -256,6 +256,24 @@ class CurationOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("winsorize preserves NULL-group / all-NULL-group / NULL-value rows with NULL clip") {
+    import spark.implicits._
+    val d = Seq[(Long, Option[String], Option[Long])](
+      (1L, Some("a"), Some(5L)), (2L, Some("a"), Some(50L)), (3L, Some("a"), Some(500L)),
+      (4L, None, Some(7L)),              // NULL group key
+      (5L, Some("ghost"), None),         // group with only NULL values
+      (6L, Some("a"), None)              // NULL value in a banded group
+    ).toDF("doc_id", "source", "n_chars")
+    val w = CorpusStats.winsorize(d, "source", "n_chars", 0.1, 0.9)
+    assert(w.count() == 6, "rows were dropped by the band join")
+    val byId = w.collect().map(r => r.getAs[Long]("doc_id") ->
+      Option(r.getAs[Any]("n_chars_winsorized"))).toMap
+    assert(byId(4L).isEmpty, "NULL group key must clip to NULL")
+    assert(byId(5L).isEmpty, "all-NULL group must clip to NULL")
+    assert(byId(6L).isEmpty, "NULL value must clip to NULL, not clamp to the band edge")
+    assert(byId(1L).contains(5L) && byId(2L).contains(50L) && byId(3L).contains(500L))
+  }
+
   test("weightedSample fails loudly on a negative weight") {
     val bad = docs.select(col("doc_id"),
       when(col("doc_id") === 7, lit(-5L)).otherwise(lit(3L)).as("w"))

@@ -168,6 +168,31 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(planted >= (n * 0.9).toInt, s"found $planted of $n planted pairs")
   }
 
+  test("LSH equals the exact pair set (the moved q21 soundness gate)") {
+    // the exact-union soundness check formerly benched inside q21: at
+    // the benched parameters (64 two-row bands), the LSH pipeline must
+    // emit EXACTLY the exact inverted-index all-pairs set at the same
+    // threshold — no false positive survives the verify, and the
+    // (1−j²)⁶⁴ ≤ 1e-8 miss probability at j ≥ 0.5 means no recall loss
+    // on these fixtures. The benched q21 carries the LSH-replay oracle;
+    // this spec carries the exactness, and the driver runs both.
+    val corpus = ExtensionQueries.corpusWithNearDups(spark, sfDir)
+    val lsh = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      shingleN = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+    val exact = Dedup.allPairsJaccard(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    // allPairsJaccard has no representative collapse: restrict it to
+    // the content representatives the pair contract ranges over
+    val reps = Dedup.exactGroups(corpus, "doc_id", "text")
+      .select(col("keep_id"))
+    val exactOverReps = exact
+      .join(reps.withColumnRenamed("keep_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(reps.withColumnRenamed("keep_id", "id_b"), Seq("id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    assertSameRows(lsh, exactOverReps)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("hot-bucket guard: boilerplate flood collapses to one representative, recall holds") {
     import spark.implicits._
     // 400 exact copies of one boilerplate page — at web scale this is

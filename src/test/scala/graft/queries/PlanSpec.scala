@@ -180,9 +180,14 @@ class PlanSpec extends SparkSpecBase {
     // broadcast-anti-join shape must plan no Window, and any band-key
     // shuffle may carry only the aggregated over-cap KEYS, never the
     // bucketed rows on the cap's account
-    val df = graft.operators.Dedup.minhashNearDupPairs(
+    // the LAZY pipeline variant: the public operator eagerly
+    // checkpoints its result (CacheScope), so its returned plan is a
+    // leaf — the shape pin must look at the pipeline itself
+    val sigs = graft.operators.Dedup.minhashSignatures(
       graft.queries.ExtensionQueries.corpusWithNearDups(spark, sfDir),
-      "doc_id", "text")
+      "doc_id", "text", shingleN = 3, nHashes = 64)
+    val df = graft.operators.Dedup.minhashPairsFrom(
+      sigs, bands = 16, rowsPerBand = 4, threshold = 0.5, maxBucket = 256)
     df.collect()
     val nodes = allNodes(df.queryExecution.executedPlan)
     assert(!nodes.exists(_.isInstanceOf[
@@ -315,7 +320,17 @@ class PlanSpec extends SparkSpecBase {
 
   test("semDedup pair stage is an equi-join on the cell key — never all-pairs") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
-    val df = graft.SparkEntry.queries("q74_semantic_dedup")(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    // the LAZY pipeline variant (the public operator checkpoints its
+    // result eagerly, hiding the pair join behind a leaf)
+    val centroids = table("embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val cells = graft.operators.Similarity
+      .ivfAssignWithVec(table("embeddings"), centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+    val df = graft.operators.SemDedup
+      .semDedupFrom(cells, threshold = 0.95, "vec_id", "embedding")
     df.collect()
     // negative on the EXECUTED tree (AQE stages + cached plans): no
     // cartesian product may survive to execution

@@ -142,13 +142,15 @@ object IbtpRunner {
       graft.plans.PeriodFilterGuard.require(model.query(spark, b))
     }
 
-    // Heal any replace intent orphaned by a crashed backfill BEFORE the
-    // resume probe: a cleanup-phase orphan repairs deterministically
-    // here (finishing its recorded stale-partition cleanup can change
-    // maxPartitionDate, so it must precede resume), and a mid-write
-    // orphan at least logs its re-backfill remedy on EVERY run — not
-    // only on the next replaceRange — instead of letting MAX(ts)+1
-    // resumes keep building silently on an untrustworthy range.
+    // Heal crashed-predecessor state BEFORE the init decision and the
+    // resume probe. A full-refresh swap orphan restores/finishes the
+    // swap (changing target.exists and the resumable max); a replace
+    // orphan's cleanup-phase repair can change maxPartitionDate; a
+    // mid-write replace orphan at least logs its re-backfill remedy on
+    // EVERY run — not only on the next replaceRange — instead of
+    // letting MAX(ts)+1 resumes keep building silently on an
+    // untrustworthy range.
+    target.repairOrphanedSwap()
     if (target.exists) target.repairOrphanedReplace()
 
     // ---- init path (`materialization.sql:68-77` → init.sql) ----------
@@ -246,11 +248,62 @@ object IbtpRunner {
             Duration.Inf)
           rowsInserted += ns.map(math.max(_, 0L)).sum
         }
-      } finally pool.shutdown()
+      } finally {
+        // on a batch failure, sibling period jobs are still in flight:
+        // wait them out so the run's failure state is quiescent (no
+        // writes continuing behind the caller's back) before the
+        // exception propagates — the contiguity repair then sees the
+        // final hole set, not a moving one
+        pool.shutdown()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+      }
     }
 
     params.postHooks.foreach(spark.sql(_).collect()) // run_hooks(post_hooks)
     log(s"[ibtp] INSERT $rowsInserted")
     IbtpResult(mode, Some(window), slices, rowsInserted, period, sizing)
+  }
+
+  /** Contiguity verifier + hole repair for the documented
+    * `maxConcurrentPeriods > 1` failure exposure (see the RunParams
+    * scaladoc): a batch that dies mid-run can commit periods AFTER a
+    * failed one, so `MAX(ts)+1` resumes never revisit the hole and
+    * ordinary runs keep building on an incomplete history.
+    *
+    * Detection is a pure metadata listing ([[TargetTable
+    * .missingDayRanges]]) over [window start, maxPartitionDate);
+    * repair replays the model over exactly each missing range through
+    * [[TargetTable.replaceRange]] — idempotent (a replayed empty day
+    * writes nothing and stays absent; a lost period refills to the
+    * uninterrupted build), partition-pruned on the source side, and
+    * crash-safe under the replace intent marker. Legitimately empty
+    * days are re-probed on every invocation — the price of a
+    * metadata-only detector, acceptable for an explicit maintenance
+    * command (one pruned-scan-of-nothing per empty day).
+    *
+    * Returns the repaired (possibly empty-source) ranges.
+    */
+  def repairHoles(
+      spark: SparkSession,
+      model: IbtpModel,
+      target: TargetTable,
+      params: RunParams,
+      sources: Map[String, DataFrame] = Map.empty): Seq[(LocalDate, LocalDate)] = {
+    val cfg = params.config
+    val effectiveCfg = cfg.copy(
+      startDate = params.cliStart.orElse(cfg.startDate),
+      stopDate = params.cliStop.orElse(cfg.stopDate))
+    target.repairOrphanedSwap()
+    if (!target.exists) return Nil
+    target.repairOrphanedReplace()
+    val (startDate, _) = Boundaries.resolveStartStop(spark, effectiveCfg, sources)
+    target.maxPartitionDate.toSeq.flatMap { frontier =>
+      val holes = target.missingDayRanges(startDate, frontier)
+      holes.foreach { case (f, t) =>
+        params.log(s"[ibtp] repairing contiguity hole [$f, $t)")
+        target.replaceRange(model.query(spark, PeriodBounds(f, t)), f, t)
+      }
+      holes
+    }
   }
 }

@@ -78,14 +78,40 @@ final class TargetTable(
     * the resume probe needs (reference `helpers.sql:119` runs MAX(ts)
     * on the warehouse; here it is a metadata listing).
     */
-  def maxPartitionDate: Option[LocalDate] = {
+  def maxPartitionDate: Option[LocalDate] = partitionDates.maxOption
+
+  /** All day-partition values present, from directory names only. */
+  def partitionDates: Set[LocalDate] = {
     val p = new Path(path)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Set.empty
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith(s"$PartitionCol="))
       .map(n => LocalDate.parse(n.stripPrefix(s"$PartitionCol=")))
-      .sorted.lastOption
+      .toSet
+  }
+
+  /** Metadata-only contiguity probe: the maximal runs of ABSENT
+    * day-partitions in [from, toExclusive), coalesced to half-open
+    * ranges. Behind the resume frontier (`maxPartitionDate`), an
+    * absent day is either a legitimately empty source day or a hole a
+    * failed concurrent-append batch left (the documented
+    * `maxConcurrentPeriods > 1` exposure) — metadata alone cannot
+    * distinguish them, which is why the repair REPLAYS the model over
+    * each range (`IbtpRunner.repairHoles`): lost periods refill,
+    * genuinely empty days write nothing, both idempotently.
+    */
+  def missingDayRanges(
+      from: LocalDate, toExclusive: LocalDate): Seq[(LocalDate, LocalDate)] = {
+    val present = partitionDates
+    Iterator.iterate(from)(_.plusDays(1)).takeWhile(_.isBefore(toExclusive))
+      .filterNot(present.contains)
+      .foldLeft(Vector.empty[(LocalDate, LocalDate)]) { case (acc, d) =>
+        acc.lastOption match {
+          case Some((f, t)) if t == d => acc.init :+ ((f, d.plusDays(1)))
+          case _                      => acc :+ ((d, d.plusDays(1)))
+        }
+      }
   }
 
   /** Raw read including the partition column (for partition-aware ops).
@@ -125,21 +151,111 @@ final class TargetTable(
 
   /** Init/CTAS — reference A10 (`insert_by_timeperiod_init.sql:10,16,30,37`).
     * Full-refresh safety: write goes to a fresh directory then swaps in,
-    * emulating the reference's rename-to-backup (`init.sql:23-27`) with
-    * the same per-job atomicity exposure.
+    * emulating the reference's rename-to-backup (`init.sql:23-27`).
+    *
+    * The swap's non-atomic instant is bracketed by an intent marker (a
+    * SIBLING file — the target directory itself is what gets renamed)
+    * written after the staging write commits and before the first
+    * destination mutation, carrying the new table's full schema. Every
+    * crash point therefore repairs deterministically with no source
+    * data ([[repairOrphanedSwap]]): staged data present → finish the
+    * swap forward (the intent is only written once staging is
+    * complete); swap done but sidecar/cleanup missing → finish those;
+    * only the backup left → restore it. The reference has the same
+    * window between its rename pair with no breadcrumb at all.
     */
   def init(df: DataFrame): Long = {
-    val tmp = new Path(path + "__dbt_tmp_init")
+    repairOrphanedSwap() // heal a crashed predecessor before mutating
+    val tmp = new Path(path + TmpInitSuffix)
     val dst = new Path(path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val n = writeCounted(withPartitionCol(df), tmp.toString, "overwrite")
-    val backup = new Path(path + "__dbt_backup")
+    val full = StructType(df.schema.fields :+ StructField(PartitionCol, DateType))
+    writeMarker(swapIntentFile, s"schema=${full.json}\n")
+    failSwapPoint(1)
+    val backup = new Path(path + BackupSuffix)
     if (fs.exists(backup)) fs.delete(backup, true)
     if (fs.exists(dst)) fs.rename(dst, backup)
+    failSwapPoint(2)
     fs.rename(tmp, dst)
+    failSwapPoint(3)
+    writeFullSidecar(full)
     if (fs.exists(backup)) fs.delete(backup, true)
-    writeSchemaSidecar(df.schema)
+    clearSwapIntent()
     n
+  }
+
+  /** Test hook: throw after swap phase `n` (1 = intent written, 2 =
+    * old table renamed out, 3 = new table renamed in).
+    */
+  private[ibtp] var failSwapAt: Int = 0
+  private def failSwapPoint(n: Int): Unit =
+    if (failSwapAt == n)
+      throw new IllegalStateException(s"simulated crash at swap phase $n")
+
+  private def swapIntentFile = new Path(path + SwapIntentSuffix)
+
+  private def readSwapIntent(): Option[StructType] =
+    if (!fs.exists(swapIntentFile)) None
+    else {
+      val in = fs.open(swapIntentFile)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.linesIterator.find(_.startsWith("schema=")) match {
+        case Some(l) => Some(DataType.fromJson(l.stripPrefix("schema="))
+          .asInstanceOf[StructType])
+        case None => throw new IllegalStateException(
+          s"corrupt swap intent $swapIntentFile: inspect $path, restore from " +
+            s"the ${BackupSuffix} directory if present, then delete the marker")
+      }
+    }
+
+  private def clearSwapIntent(): Unit =
+    if (fs.exists(swapIntentFile)) fs.delete(swapIntentFile, false)
+
+  /** Heal an init backup-swap orphaned by a crash (see [[init]]).
+    * Deterministic from which directories survived — the intent exists
+    * only while staged data is complete, so rolling FORWARD is always
+    * safe; the recorded schema finishes the sidecar write. Returns
+    * true when a repair ran. Invoked by [[init]] and at the start of
+    * every runner materialization.
+    */
+  def repairOrphanedSwap(): Boolean = readSwapIntent() match {
+    case None => false
+    case Some(full) =>
+      val dst    = new Path(path)
+      val tmp    = new Path(path + TmpInitSuffix)
+      val backup = new Path(path + BackupSuffix)
+      TargetTable.log.warn(s"repairing orphaned init swap at $path")
+      if (fs.exists(tmp)) {
+        // staged data complete (the intent is written only after the
+        // staging write commits): finish the swap forward
+        if (fs.exists(dst)) {
+          if (fs.exists(backup)) fs.delete(backup, true)
+          fs.rename(dst, backup)
+        }
+        fs.rename(tmp, dst)
+        writeFullSidecar(full)
+        if (fs.exists(backup)) fs.delete(backup, true)
+      } else if (fs.exists(dst)) {
+        // swap completed through rename-in; sidecar write and backup
+        // cleanup may not have happened — both are idempotent
+        writeFullSidecar(full)
+        if (fs.exists(backup)) fs.delete(backup, true)
+      } else if (fs.exists(backup)) {
+        // neither staged nor new data: restore the old table (cannot
+        // arise from this protocol's crash points alone, but an
+        // operator deleting the half-swapped state lands here)
+        fs.rename(backup, dst)
+      } else {
+        clearSwapIntent()
+        throw new IllegalStateException(
+          s"orphaned swap intent at $path but no data directory survived " +
+            "(target, staging, and backup all absent) — re-run the full refresh")
+      }
+      clearSwapIntent()
+      true
   }
 
   /** Plain append — reference B14 (`loop.sql:109-114`). Rows land in
@@ -298,7 +414,8 @@ final class TargetTable(
     * temp+rename, defensive against manual edits) fails loudly with
     * the remedy rather than a bare NoSuchElementException.
     */
-  private def readKv(file: Path): Option[Map[String, String]] =
+  private def readKv(
+      file: Path, required: Seq[String] = Seq("from", "to")): Option[Map[String, String]] =
     if (!fs.exists(file)) None
     else {
       val in = fs.open(file)
@@ -308,11 +425,11 @@ final class TargetTable(
             val Array(k, v) = l.split("=", 2); k -> v
           }.toMap
         finally in.close()
-      if (!kv.contains("from") || !kv.contains("to"))
+      if (!required.forall(kv.contains))
         throw new IllegalStateException(
-          s"corrupt replace marker $file (keys: ${kv.keys.mkString(",")}): " +
-            "inspect the target, re-backfill the affected range if in doubt, " +
-            "then delete the marker")
+          s"corrupt marker $file (keys: ${kv.keys.mkString(",")}, " +
+            s"expected ${required.mkString(",")}): inspect the target, repair " +
+            "the affected range/partition if in doubt, then delete the marker")
       Some(kv)
     }
 
@@ -517,16 +634,23 @@ final class TargetTable(
     * independent job (resumable, bounded working set — the same design
     * as the load loop); partitions already at target are skipped
     * without reading data (size check is a pure metadata listing).
-    * The swap (delete originals, move staged files in) has the same
-    * brief non-atomic exposure as init's rename swap — run it like the
-    * reference runs full refreshes: not concurrently with readers that
-    * can't tolerate a retry.
+    * Crash safety: staged files first move INTO the partition under
+    * dot-prefixed names (invisible to Spark's file listing, so readers
+    * see either exactly the old files or exactly the new ones — never
+    * duplicates), originals are deleted only once every staged file is
+    * in place, and the hidden files are then unhidden. An intent
+    * marker recording both name sets brackets the sequence: a crash
+    * before the deletes begin rolls BACK (originals are untouched by
+    * construction), any later crash rolls FORWARD
+    * ([[repairOrphanedCompact]], invoked at every compact start) —
+    * data is never lost, matching `replaceRange`'s state machine.
     */
   def compact(
       from: Option[LocalDate] = None,
       to: Option[LocalDate] = None,
       targetFileBytes: Long = 128L * 1024 * 1024): Seq[CompactionStat] = {
     if (!exists) return Nil
+    repairOrphanedCompact()
     val userSchema = storedSchema
       .map(s => StructType(s.fields.filterNot(_.name == PartitionCol)))
     val parts = fs.listStatus(new Path(path)).toSeq
@@ -550,15 +674,79 @@ final class TargetTable(
           reader.parquet(dir.toString)
             .coalesce(targetFiles)
             .write.mode("overwrite").parquet(stage.toString)
-          files.foreach(f => fs.delete(f.getPath, false))
-          fs.listStatus(stage)
+          // staged part files get fresh job UUIDs — no collision with
+          // the originals' names, so hidden/unhidden moves are safe
+          val staged = fs.listStatus(stage).toSeq
             .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-            .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+            .map(_.getPath)
+          val hiddenNames = staged.map("." + _.getName)
+          writeMarker(compactIntentFile,
+            s"date=${fmt.format(d)}\n" +
+              s"orig=${files.map(_.getPath.getName).mkString(",")}\n" +
+              s"hidden=${hiddenNames.mkString(",")}\n")
+          staged.zip(hiddenNames).foreach { case (s, h) =>
+            fs.rename(s, new Path(dir, h)) }
+          failCompactPoint(1)
+          files.foreach(f => fs.delete(f.getPath, false))
+          failCompactPoint(2)
+          hiddenNames.foreach { h =>
+            fs.rename(new Path(dir, h), new Path(dir, h.stripPrefix("."))) }
+          clearCompactIntent()
           Some(CompactionStat(d, files.size, targetFiles, bytes))
         } finally if (fs.exists(stage)) fs.delete(stage, true)
       }
     }
   }
+
+  /** Test hook: throw after compact phase `n` (1 = staged files hidden
+    * in place, 2 = originals deleted).
+    */
+  private[ibtp] var failCompactAt: Int = 0
+  private def failCompactPoint(n: Int): Unit =
+    if (failCompactAt == n)
+      throw new IllegalStateException(s"simulated crash at compact phase $n")
+
+  private def compactIntentFile = new Path(path, TargetTable.CompactIntentFile)
+
+  private def clearCompactIntent(): Unit =
+    if (fs.exists(compactIntentFile)) fs.delete(compactIntentFile, false)
+
+  /** Heal a partition compaction orphaned by a crash (see [[compact]]).
+    * Forward iff every staged file reached the partition (hidden or
+    * already unhidden) — originals may then be partially deleted, so
+    * finishing the swap is the only safe direction; otherwise the
+    * originals are untouched by construction and the hidden leftovers
+    * roll back. Returns the repaired partition, if any.
+    */
+  def repairOrphanedCompact(): Option[LocalDate] =
+    readKv(compactIntentFile, required = Seq("date")).map { kv =>
+      val d   = LocalDate.parse(kv("date"))
+      val dir = new Path(path, s"$PartitionCol=${kv("date")}")
+      val orig   = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
+      val hidden = kv.getOrElse("hidden", "").split(",").filter(_.nonEmpty).toSeq
+      if (fs.exists(dir)) {
+        TargetTable.log.warn(s"repairing orphaned compaction of $dir")
+        val landed = hidden.forall(h =>
+          fs.exists(new Path(dir, h)) || fs.exists(new Path(dir, h.stripPrefix("."))))
+        if (landed) {
+          orig.foreach { o =>
+            val p = new Path(dir, o)
+            if (fs.exists(p)) fs.delete(p, false)
+          }
+          hidden.foreach { h =>
+            val hp = new Path(dir, h)
+            if (fs.exists(hp)) fs.rename(hp, new Path(dir, h.stripPrefix(".")))
+          }
+        } else {
+          hidden.foreach { h =>
+            val hp = new Path(dir, h)
+            if (fs.exists(hp)) fs.delete(hp, false)
+          }
+        }
+      }
+      clearCompactIntent()
+      d
+    }
 
   /** Overwrite exactly the day-partitions present in `df`, leaving all
     * other partitions untouched (dynamic partition overwrite). This is
@@ -639,6 +827,19 @@ object TargetTable {
     * [[TargetTable.replaceRange]]); underscore-prefixed metadata.
     */
   val WrittenSidecarFile = "_graft_replace_written"
+
+  /** Init staging/backup/intent live as SIBLINGS of the target path —
+    * the target directory itself is what the swap renames.
+    */
+  val TmpInitSuffix    = "__dbt_tmp_init"
+  val BackupSuffix     = "__dbt_backup"
+  val SwapIntentSuffix = "__swap_intent"
+
+  /** Crash-repair marker for in-flight partition compactions (see
+    * [[TargetTable.compact]]); underscore-prefixed metadata inside the
+    * target (compaction never renames the target directory).
+    */
+  val CompactIntentFile = "_graft_compact_intent"
 
   private[ibtp] val log = org.slf4j.LoggerFactory.getLogger(classOf[TargetTable])
 }

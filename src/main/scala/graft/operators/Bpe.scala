@@ -82,4 +82,108 @@ object Bpe {
     import spark.implicits._
     merges.result().toDF("step", "merge_left", "merge_right", "pair_count")
   }
+
+  /** Batched merge discovery — the scale path for real vocabularies:
+    * [[trainMerges]] collects ONE argmax row per merge, so a 32k-merge
+    * tokenizer is 32k driver round-trips of a full vocabulary
+    * aggregate. Each batched round instead collects the top
+    * ~2·`batchSize` pairs in one bounded collect and applies the
+    * greedy PAIRWISE-SYMBOL-DISJOINT prefix (up to `batchSize` merges)
+    * in a single vocabulary rewrite — ceil(n/batchSize) aggregation
+    * jobs instead of n.
+    *
+    * Exactness contract: disjoint-symbol merges cannot change each
+    * other's pair counts (removing occurrences of `<a><b>` only
+    * touches pairs adjacent to `a`/`b`, and the pairs a merge creates
+    * all involve its own new symbol, which is also reserved), so every
+    * applied merge is recorded at its true pre-round count and
+    * batched ≡ sequential whenever sequential BPE would have picked
+    * the same disjoint set — in particular always for `batchSize = 1`,
+    * and for any corpus whose per-round top pairs share no symbol
+    * (spec-verified). When tops DO overlap, the conflicting candidate
+    * is deferred to the next round at its refreshed count — the
+    * standard batching approximation, which cannot apply a merge at a
+    * stale count but may order discovery differently than sequential.
+    */
+  def trainMergesBatched(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var vocab = words
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("cnt"))
+      .persist()
+    // rounds chain rewrites: without lineage truncation the analyzed
+    // plan nests every previous round's 64 replace() calls and the
+    // analyzer recursion blows the stack around round ~50 — each round
+    // therefore local-checkpoints its vocabulary (the Components
+    // pattern) and frees the previous round's blocks
+    var vocabIsCheckpoint = false
+    def releaseVocab(df: DataFrame): Unit =
+      if (vocabIsCheckpoint)
+        org.apache.spark.sql.graft.ColumnBridge.freeLocalCheckpoint(df)
+      else df.unpersist(blocking = false)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val syms = split(regexp_replace(col("s"), "^<|>$", ""), "><")
+      // 8× headroom: conflicting candidates are skipped, not applied,
+      // and on small alphabets the top of the list shares letters
+      // heavily — a deeper bounded collect (still KB-sized rows) finds
+      // disjoint picks further down and cuts the round count
+      val top = vocab
+        .select(col("cnt"), syms.as("__syms"))
+        .filter(size(col("__syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(col("__syms")) - 2),
+          i => struct(col("__syms")(i).as("l"), col("__syms")(i + 1).as("r"))))
+          .as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(batchSize * 8)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        // greedy disjoint prefix in (count DESC, l, r) order; reserve
+        // each merge's operands AND its produced symbol so no later
+        // candidate this round touches a symbol whose counts moved
+        val used = scala.collection.mutable.Set.empty[String]
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = top.iterator
+        while (it.hasNext && selected.size < batchSize && step + selected.size <= nMerges) {
+          val row = it.next()
+          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r) && !used(l + r)) {
+            selected += ((l, r, n))
+            used += l; used += r; used += (l + r)
+          }
+        }
+        if (selected.isEmpty) done = true // every candidate conflicted (can't happen: the first never does)
+        else {
+          selected.foreach { case (l, r, n) =>
+            merges += ((step, l, r, n)); step += 1
+          }
+          val rewrite = selected.foldLeft("s") { case (acc, (l, r, _)) =>
+            s"replace($acc, '<$l><$r>', '<$l$r>')"
+          }
+          // eager checkpoint: materializes the rewrite while the parent
+          // is still cached AND truncates lineage for the next round
+          val next = vocab.withColumn("s", expr(rewrite)).localCheckpoint()
+          releaseVocab(vocab)
+          vocab = next
+          vocabIsCheckpoint = true
+        }
+      }
+    }
+    releaseVocab(vocab)
+    import spark.implicits._
+    merges.result().toDF("step", "merge_left", "merge_right", "pair_count")
+  }
 }

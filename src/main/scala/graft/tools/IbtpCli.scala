@@ -23,6 +23,14 @@ import graft.sources.{GraftSession, Tables}
   *   [--check-unique k1,k2]   (post-load uniqueness gate, README.md:102)
   * }}}
   *
+  * Maintenance-only invocations (no forward materialization):
+  * {{{
+  * runMain graft.tools.IbtpCli --compact-only --target /path/tbl \
+  *   --timestamp-field day [--target-file-bytes N]
+  * runMain graft.tools.IbtpCli --repair-holes --sql model.sql \
+  *   --target /path/tbl --timestamp-field day --start-date D
+  * }}}
+  *
   * The model SQL may reference any test table by name (registered as
   * temp views) and must contain `__PERIOD_FILTER_FROM__` /
   * `__PERIOD_FILTER_TO__` placeholders.
@@ -39,6 +47,20 @@ object IbtpCli {
     try {
       val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
       Tables.registerAll(spark, sfDir)
+
+      // standalone maintenance: compact an existing target and exit —
+      // no model SQL, no materialization (the operational cron job for
+      // long-lived targets accumulating per-period small files)
+      if (opts.contains("compact-only")) {
+        val t = new TargetTable(spark, req("target"), req("timestamp-field"))
+        val stats = t.compact(
+          targetFileBytes = opts.get("target-file-bytes").map(_.toLong)
+            .getOrElse(128L * 1024 * 1024))
+        stats.foreach(st => println(
+          s"[ibtp] compacted ${st.date}: ${st.filesBefore} -> ${st.filesAfter} files"))
+        if (stats.isEmpty) println("[ibtp] compact: nothing to do")
+        return
+      }
 
       val sqlText = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(req("sql"))), "UTF-8")
@@ -70,6 +92,18 @@ object IbtpCli {
         multi.getOrElse(k, Vector.empty).map(_.trim).filter(_.nonEmpty)
 
       val target = new TargetTable(spark, req("target"), cfg.timestampField)
+      // maintenance: verify contiguity behind the resume frontier and
+      // backfill exactly the missing ranges (the concurrent-append
+      // failure hole), then exit — no forward materialization
+      if (opts.contains("repair-holes")) {
+        val repaired = IbtpRunner.repairHoles(spark,
+          IbtpModel.SqlModel(sqlText), target,
+          IbtpRunner.RunParams(cfg, RunMode.Normal, log = println))
+        if (repaired.isEmpty) println("[ibtp] contiguity: no holes found")
+        else repaired.foreach { case (f, t) =>
+          println(s"[ibtp] repaired hole [$f, $t)") }
+        return
+      }
       val res = IbtpRunner.run(spark, IbtpModel.SqlModel(sqlText), target,
         IbtpRunner.RunParams(cfg, mode, log = println,
           preHooks = hooks("pre-hook"), postHooks = hooks("post-hook"),

@@ -49,4 +49,63 @@ class BpeSpec extends SparkSpecBase {
     val b = Bpe.trainMerges(table("documents"), "text", 3).collect().toSeq
     assert(a == b && a.size == 3)
   }
+
+  test("batched ≡ sequential: batchSize=1 always; larger batches on disjoint tops") {
+    // batchSize = 1 degenerates to sequential BPE exactly
+    val docs = table("documents")
+    val seqM = Bpe.trainMerges(docs, "text", 8).collect().toSeq
+    val b1   = Bpe.trainMergesBatched(docs, "text", 8, batchSize = 1).collect().toSeq
+    assert(b1 == seqM, s"batchSize=1 diverged:\n$b1\nvs\n$seqM")
+    // a corpus engineered so every round's top pairs are pairwise
+    // symbol-disjoint: four frequent words over disjoint alphabets —
+    // disjoint-symbol merges leave each other's counts untouched, so
+    // the batch applies exactly the merges sequential would
+    val dj = Seq((1L, ("ab " * 9) + ("cd " * 7) + ("ef " * 5) + ("gh " * 3)))
+      .toDF("doc_id", "text")
+    val seqDj = Bpe.trainMerges(dj, "text", 4).collect().toSeq
+    val b4Dj  = Bpe.trainMergesBatched(dj, "text", 4, batchSize = 4).collect().toSeq
+    assert(b4Dj == seqDj, s"disjoint-top batch diverged:\n$b4Dj\nvs\n$seqDj")
+    // overlap safety: when the top pairs SHARE a symbol, the batch
+    // must defer the conflicting candidate, never apply it at a stale
+    // count — counts recorded per merge must equal sequential's for
+    // the merges both discover (here: the full sequential prefix)
+    val ov = Seq((1L, ("the " * 10) + ("he " * 5))).toDF("doc_id", "text")
+    val seqOv = Bpe.trainMerges(ov, "text", 3).collect().toSeq
+    val bOv   = Bpe.trainMergesBatched(ov, "text", 3, batchSize = 3).collect().toSeq
+    assert(bOv == seqOv, s"overlapping-top batch diverged:\n$bOv\nvs\n$seqOv")
+  }
+
+  test("1k-merge batched training runs in bounded jobs") {
+    // sequential discovery is 2 driver round-trips per merge (argmax +
+    // rewrite count) — 2000+ jobs for 1k merges. Batched must stay
+    // within a few jobs per ROUND, i.e. O(n/batchSize) total.
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    // the sf0.001 fixture vocabulary saturates below 1k merges; build a
+    // deterministic 2000-word corpus (base-26-coded ids, 7 letters) with
+    // ~12k merges of headroom — Zipf-ish counts so argmaxes are mostly
+    // untied and the greedy disjoint selection has real work to do
+    import spark.implicits._
+    val corpus = (0 until 2000).map { i =>
+      val w = java.lang.Integer.toString(i + 26 * 26 * 26, 26)
+        .map(c => if (c.isDigit) ('a' + (c - '0')).toChar else ('k' + (c - 'a')).toChar)
+      (i.toLong, (w + " ") * (1 + 2000 / (i + 1)))
+    }.toDF("doc_id", "text")
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try Bpe.trainMergesBatched(corpus, "text", 1000, batchSize = 64)
+        .collect()
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(merges.length == 1000, s"expected 1000 merges, got ${merges.length}")
+    // steps are dense 1..1000 with positive counts
+    assert(merges.map(_.getInt(0)).toSeq == (1 to 1000))
+    assert(merges.forall(_.getLong(3) > 0))
+    // ceil(1000/64) = 16 rounds; allow generous per-round overhead but
+    // stay an order of magnitude under sequential's ~2000
+    assert(jobs < 200, s"expected bounded jobs for batched training, saw $jobs")
+  }
 }

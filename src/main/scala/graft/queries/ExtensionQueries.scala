@@ -45,8 +45,10 @@ object ExtensionQueries {
     * measured ~2 s per re-materialization of the token-slice union at
     * sf0.1, ~5 re-reads inside q62 alone. Spark's cache manager keys
     * on the canonicalized plan, so one persisted build serves every
-    * consumer in the session; Bench clears the cache between queries
-    * to keep per-query timings honest.
+    * consumer inside a query's [[scoped]] block, which RELEASES the
+    * pin once the query's result materializes — consuming queries must
+    * wrap themselves in `scoped(corpus)` so no pinned blocks outlive
+    * the query (the SparkEntrySpec cache-hygiene gate).
     */
   def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))

@@ -27,6 +27,14 @@ def rows_key(rows, names):
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
+    # Big-scale sweeps (sf1.0) spill tens of GB on the hash-replay
+    # oracles; let the caller size memory and point the spill at a
+    # volume with room instead of cwd/.tmp.
+    import os
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_TEMP_DIR"):
+        con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMP_DIR']}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(

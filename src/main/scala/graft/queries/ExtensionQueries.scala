@@ -229,21 +229,26 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** SimHash exactness under the DuckDB gate: with the hot-bucket cap
-    * disabled, the 16-bit-block pigeonhole scheme finds EXACTLY the
-    * pairs at Hamming distance <= 3 — and the oracle reimplements the
-    * entire simhash (FNV-1a + splitmix64 per token, bit votes over the
-    * token multiset) in DuckDB SQL with exact 64-bit modular
-    * arithmetic, then brute-forces all pairs. Verifies the hash
-    * function, the blocking scheme's completeness, AND the Hamming
-    * verification in one equality. (The capped production variant is
-    * spec-tested; ASCII corpus assumed — the SQL hashes code points.)
+  /** SimHash near-dup pairs, benched as the PRODUCTION pipeline (the
+    * q21 split applied to simhash): 16-bit-block pigeonhole candidate
+    * generation WITH the 256-wide hot-bucket cap — the uncapped
+    * variant is quadratic in bucket density and measured 20.3× for 10×
+    * data (sf0.1 → sf1.0). The DuckDB oracle reimplements the entire
+    * pipeline with exact 64-bit modular arithmetic: FNV-1a +
+    * splitmix64 per token, bit votes over the token multiset, the
+    * 4×16-bit rotation blocks, the bucket cap, same-block candidate
+    * generation, and the Hamming verification — so WHICH pairs the
+    * capped scheme emits is exactly pinned at every scale. The
+    * uncapped pigeonhole EXACTNESS (capped ≡ brute force when no
+    * bucket overflows) stays spec-side (ExtensionOpsSpec), where the
+    * driver still runs it per round. (ASCII corpus assumed — the SQL
+    * hashes code points.)
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDups(spark, dir)
     scoped(corpus) {
       Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
-        maxDistance = 3, maxBucket = Int.MaxValue)
+        maxDistance = 3, maxBucket = 256)
         .orderBy(col("id_a"), col("id_b"))
     }
   }
@@ -485,7 +490,16 @@ object ExtensionQueries {
     * stays approximate by design, but WHICH pairs the
     * approximation yields is exactly pinned.
     */
-  val similarityLshSql: String = {
+  /** Shared hyperplane-LSH replay fragment for the q25/q33 oracles:
+    * given a prior CTE `e(vec_id, v DOUBLE[])`, emits the CTE chain
+    * `dims .. buck` that regenerates the engine's deterministic plane
+    * matrix — splitmix64 of (seed=0x5eed, plane, component) with exact
+    * 64-bit wraparound arithmetic (HUGEINT-split multiplies),
+    * Java-floorMod-scaled to [-1, 1) — and rebuilds every vector's
+    * `planes`-bit sign bucket with the same left-to-right DOUBLE dot
+    * product (`LIST_DOT_PRODUCT` ≡ the native `vec_dot` fold).
+    */
+  private def hyperplaneBucketCtes(planes: Int): String = {
     def mix(pre: String, post: String, xCol: String): String =
       s"""$pre AS (SELECT p, j, CAST(
          |  ( (CAST(xor($xCol, $xCol >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929
@@ -496,8 +510,7 @@ object ExtensionQueries {
          |  ( (CAST(xor(x, x >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931
          |    + ((CAST(xor(x, x >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
          |  ) % 18446744073709551616 AS UBIGINT) AS x FROM $post)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |-- uniform-dim precondition, asserted loudly: the engine derives
+    s"""-- uniform-dim precondition, asserted loudly: the engine derives
        |-- a plane matrix PER distinct vector dimension (HyperplaneBits
        |-- planeCache) while this oracle builds one matrix at the max
        |-- dim — a ragged fixture must fail the run, not silently diverge
@@ -506,7 +519,7 @@ object ExtensionQueries {
        |                ELSE MAX(LEN(v)) END AS dim FROM e),
        |pj AS (
        |  SELECT pp.p, jj.j
-       |  FROM (SELECT UNNEST(RANGE(0, 6)) AS p) pp,
+       |  FROM (SELECT UNNEST(RANGE(0, $planes)) AS p) pp,
        |       (SELECT UNNEST(RANGE(0, (SELECT dim FROM dims))) AS j) jj
        |),
        |s0 AS (
@@ -543,7 +556,12 @@ object ExtensionQueries {
        |                       THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |  FROM e CROSS JOIN pl
        |  GROUP BY e.vec_id
-       |),
+       |)""".stripMargin
+  }
+
+  val similarityLshSql: String = {
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${hyperplaneBucketCtes(6)},
        |q AS (
        |  SELECT e.vec_id AS query_id, e.v AS qv, b.bucket AS qb
        |  FROM e JOIN buck b USING (vec_id) WHERE e.vec_id < 5
@@ -989,50 +1007,87 @@ object ExtensionQueries {
       |SELECT doc_id, CAST(LEN(LIST_DISTINCT(w)) AS INTEGER) AS fp_size, w[1] AS first_fp
       |FROM wins ORDER BY doc_id""".stripMargin
 
-  /** Embedding-cosine near-dup over a corpus with planted near-copies:
-    * embeddings ∪ slightly-perturbed copies (first component nudged by
-    * 1e-3) — cosine ≈ 1 for planted pairs, ~0 for random ones.
-    */
-  /** Embedding-LSH soundness under the DuckDB gate — same union shape
-    * as [[dedupMinhash]]: emitted hyperplane-LSH pairs ∪ exact brute
-    * force at the same threshold, cosine recomputed per pair; equals
-    * the exact set iff the pipeline emits no false positive and the
-    * engine cosine is bit-stable against DuckDB's double arithmetic
-    * (the q24 property). Recall (multi-probe ≥ 0.9) stays spec-side.
+  /** Embedding-cosine near-dup over a corpus with planted near-copies
+    * (embeddings ∪ copies with the first component nudged by 1e-3),
+    * benched as the PRODUCTION pipeline alone (the q21 split applied
+    * to vectors): hyperplane-LSH bucketing generates candidates, exact
+    * cosine verifies them — no exact all-pairs union in the benched
+    * path; that quadratic construction was measured at 146.7× for 10×
+    * data (sf0.1 → sf1.0) and cannot exist at 100 TB.
+    *
+    * The DuckDB oracle is a FULL replay of the LSH pipeline (the q25
+    * hyperplane technique + the q21 cap/collapse treatment): exact-copy
+    * collapse to min-id representatives, the deterministic 8-plane
+    * matrix bit-for-bit, sign buckets, the 256-wide bucket cap,
+    * same-bucket candidate generation, and the bit-stable DOUBLE
+    * cosine verify at 0.98 — so WHICH pairs the approximation emits is
+    * exactly pinned at every scale (at sf1.0 the copies make both the
+    * collapse and potentially the cap load-bearing). The LSH ⊆ exact
+    * soundness + planted-pair recall moved spec-side
+    * (ExtensionOpsSpec "embedding LSH is sound against the exact
+    * all-pairs set"), where the driver still runs it per round.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddingCorpusWithNearDups(spark, dir)
+    Dedup.embeddingNearDupPairs(corpus, planes = 8, threshold = 0.98)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** embeddings ∪ perturbed near-copies (first component +1e-3, ids
+    * offset 1,000,000) — the planted-pair fixture shared by the q33
+    * benched query and its spec-side exactness gates.
+    */
+  def embeddingCorpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val perturbed = e.select(
       (col("vec_id") + lit(ExactOffset)).as("vec_id"),
       transform(col("embedding"),
         (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
-    val corpus = e.unionAll(perturbed)
-    val lsh = Dedup.embeddingNearDupPairs(corpus, planes = 8, threshold = 0.98)
-    val exact = Dedup.allPairsCosine(corpus, threshold = 0.98)
-    lsh.unionAll(exact).dropDuplicates("id_a", "id_b")
-      .orderBy(col("id_a"), col("id_b"))
+    e.unionAll(perturbed)
   }
 
   val dedupEmbeddingSql: String =
-    """WITH corpus AS (
-      |  SELECT vec_id, embedding FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 1000000,
-      |         LIST_TRANSFORM(embedding, (x, i) ->
-      |           CASE WHEN i = 1 THEN x + CAST(0.001 AS FLOAT) ELSE x END)
-      |  FROM embeddings
-      |),
-      |scored AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-      |           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-      |            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
-      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-      |)
-      |SELECT id_a, id_b, ROUND(cos, 6) AS cosine
-      |FROM scored
-      |WHERE cos >= 0.98
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH corpus0 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |         LIST_TRANSFORM(embedding, (x, i) ->
+       |           CASE WHEN i = 1 THEN x + CAST(0.001 AS FLOAT) ELSE x END)
+       |  FROM embeddings
+       |),
+       |-- the pair contract: bit-identical vectors collapse to their
+       |-- min-id representative BEFORE bucketing (exact copies are
+       |-- exactGroups' output, not near-dup pairs) — grouping by the
+       |-- vector VALUE ≡ the engine's xxhash64(cast-to-string) content
+       |-- key modulo a 2^-64 collision
+       |corpus AS (SELECT MIN(vec_id) AS vec_id, embedding
+       |           FROM corpus0 GROUP BY embedding),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus),
+       |${hyperplaneBucketCtes(8)},
+       |-- the 256-wide hot-bucket cap: over-cap buckets drop entirely
+       |capw AS (SELECT bucket, COUNT(*) AS w FROM buck GROUP BY bucket),
+       |capped AS (
+       |  SELECT b.vec_id, b.bucket FROM buck b
+       |  JOIN capw c USING (bucket) WHERE c.w <= 256
+       |),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |         LIST_DOT_PRODUCT(ea.v, eb.v) /
+       |           (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v)) *
+       |            SQRT(LIST_DOT_PRODUCT(eb.v, eb.v))) AS cos
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.id_a
+       |  JOIN e eb ON eb.vec_id = c.id_b
+       |)
+       |SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+       |FROM scored
+       |WHERE cos >= 0.98
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---- sessionization ------------------------------------------------
 

@@ -10,12 +10,14 @@ import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQuerie
   * north-star extension operators (dedup / similarity / text analysis /
   * multimodal). Every oracle-expressible query has a matching
   * `oracleSql` entry with identical column names. The near-dup
-  * pipelines (q21/q22/q33) are oracled for SOUNDNESS: q21/q33 emit
-  * their LSH pairs unioned with the exact all-pairs set (≡ exact set
-  * iff no false positives and the engine metric matches DuckDB's
-  * string/double-side recomputation); q22 runs uncapped, where the
-  * pigeonhole scheme is exact, against a full DuckDB reimplementation
-  * of the simhash; q30's oracle reimplements the winnowing
+  * pipelines (q21/q22/q33) bench the PRODUCTION capped pipelines
+  * (maxBucket=256, exact-copy collapse) and their oracles are FULL
+  * DuckDB replays — token/shingle hashes, band or block or hyperplane
+  * bucketing, the bucket cap, candidate generation, and the exact
+  * verify, all in exact 64-bit modular arithmetic — so WHICH pairs
+  * each capped scheme emits is pinned at every scale. The quadratic
+  * ground truths (LSH ⊆ exact all-pairs + planted recall) live
+  * spec-side in ExtensionOpsSpec; q30's oracle reimplements the winnowing
   * fingerprint the same way; q25's oracle reimplements the ENTIRE
   * hyperplane-LSH pipeline (plane matrix, buckets, candidates,
   * ranking) in exact DuckDB arithmetic; q34 encodes its sketch error

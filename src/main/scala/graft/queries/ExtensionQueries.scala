@@ -306,11 +306,33 @@ object ExtensionQueries {
       |  SELECT doc_id,
       |         CAST(SUM(CASE WHEN tally > 0 THEN CAST(1 AS UBIGINT) << bit ELSE 0 END) AS UBIGINT) AS sh
       |  FROM bits GROUP BY doc_id
+      |),
+      |-- the engine's pigeonhole candidate generation: 4 rotation blocks
+      |-- of 16 bits ((sh >> 16b) & 0xFFFF); any pair at Hamming <= 3
+      |-- shares an untouched block
+      |blocks AS (
+      |  SELECT doc_id, sh, b.block,
+      |         CAST((sh >> CAST(b.block * 16 AS INTEGER)) & 65535 AS BIGINT) AS block_val
+      |  FROM sims, (SELECT UNNEST(range(0, 4)) AS block) b
+      |),
+      |-- the 256-wide hot-bucket cap, replayed (Dedup.capBuckets on
+      |-- (block, block_val)) — a hot block drops ALL its rows, so the
+      |-- oracle loses exactly the pairs the engine loses
+      |capw AS (SELECT block, block_val, COUNT(*) AS w FROM blocks GROUP BY block, block_val),
+      |capped AS (
+      |  SELECT v.doc_id, v.sh, v.block, v.block_val FROM blocks v
+      |  JOIN capw c ON c.block = v.block AND c.block_val = v.block_val
+      |  WHERE c.w <= 256
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      |  FROM capped a JOIN capped b
+      |    ON a.block = b.block AND a.block_val = b.block_val AND a.doc_id < b.doc_id
       |)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-      |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |SELECT id_a, id_b,
+      |       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(sh_a, sh_b)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
   /** Exact n-gram Jaccard on the planted (original, near-copy) pairs. */

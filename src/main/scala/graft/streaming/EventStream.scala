@@ -29,19 +29,22 @@ private[streaming] case class SessionEvent(user_id: Long, ts_us: Long)
   */
 object EventStream {
 
-  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS), which the
-    * session reads as long nanos under the nanosAsLong flag).
+  /** Raw parquet schema of events. `ts` is parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=0); declaring it TimestampType reads it as a UTC
+    * instant (the session runs with `inferTimestampNTZ` disabled and a
+    * UTC time zone, under which the NTZ and LTZ readings are
+    * value-identical — see [[graft.sources.GraftSession]]).
     */
   val RawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of the events fixture with ts normalized to a
-    * micro-precision timestamp (same truncation as the batch reader).
+  /** Streaming read of the events fixture (micro-precision event-time
+    * `ts`, same decoding as the batch reader).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
@@ -49,8 +52,6 @@ object EventStream {
       // glob, not a bare file path: the file stream source requires a
       // directory (or glob) to monitor for new files
       .parquet(s"$dir/events*.parquet")
-      // integer div: the double-division path loses sub-µs precision
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling daily aggregation with a watermark: the streaming twin
     * of the IBTP daily model (day, event_type, counts/sums). Append

@@ -116,6 +116,17 @@ class ExtensionOpsSpec extends SparkSpecBase {
       s"got ${got.size} pairs, expected ${expected.size}; " +
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
     assert(expected.nonEmpty) // the planted near-dups do produce close pairs
+    // the benched query runs CAPPED (maxBucket=256) while the brute
+    // force above is uncapped — that comparison is only valid if no
+    // (block, block_val) bucket overflows at this scale. Assert the
+    // precondition explicitly so a denser future fixture fails here,
+    // not with a mysterious pair diff.
+    val widths = reps
+      .flatMap { case (_, sh) => (0 until 4).map(b => (b, (sh >>> (b * 16)) & 0xFFFFL)) }
+      .groupBy(identity).map(_._2.size)
+    assert(widths.forall(_ <= 256),
+      s"simhash block bucket overflows the 256 cap at spec scale (max ${widths.max}); " +
+        "the uncapped brute-force comparison above is no longer valid")
   }
 
   test("LSH ANN results are a subset-quality approximation of brute force") {
@@ -166,6 +177,37 @@ class ExtensionOpsSpec extends SparkSpecBase {
     val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
     val n = table("embeddings").count()
     assert(planted >= (n * 0.9).toInt, s"found $planted of $n planted pairs")
+  }
+
+  test("embedding LSH is sound against the exact all-pairs set") {
+    // the q33 spec-side gate (the benched query dropped its exact
+    // all-pairs union — this is where the quadratic ground truth
+    // lives now): every pair the capped 8-plane pipeline emits must
+    // appear in Dedup.allPairsCosine over the content representatives
+    // (soundness — the verify step admits no false positive), and
+    // planted-pair recall must stay ≥ 0.99 so a future cap/plane
+    // change can't silently halve what bucketing finds.
+    val corpus = ExtensionQueries.embeddingCorpusWithNearDups(spark, sfDir)
+    val lsh = Dedup.embeddingNearDupPairs(corpus, planes = 8, threshold = 0.98)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.nonEmpty)
+    // restrict the exact set to content representatives — the pair
+    // contract the operator ranges over (same collapse key)
+    val reps = Dedup.contentRepresentatives(corpus, "vec_id",
+      xxhash64(col("embedding").cast("string")))
+    val exact = Dedup.allPairsCosine(reps, threshold = 0.98)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val falsePositives = lsh.filterNot(exact.contains)
+    assert(falsePositives.isEmpty,
+      s"${falsePositives.length} LSH pairs outside the exact ≥0.98 set: " +
+        falsePositives.take(5).mkString(", "))
+    val n = table("embeddings").count()
+    val planted = lsh.count(p => p._2 == p._1 + 1000000L)
+    assert(planted >= math.floor(n * 0.99).toLong,
+      s"planted-pair recall $planted of $n below 0.99")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("LSH equals the exact pair set (the moved q21 soundness gate)") {

@@ -20,13 +20,13 @@ class StreamingIngestSpec extends SparkSpecBase {
     val ckp = Files.createTempDirectory("ingest_ckp").toString
 
     // stage the fixture as two arriving files, split mid-history
-    // (raw read keeps ts as long nanos — the shape readEvents expects)
+    // (ts reads as TimestampType — the shape readEvents expects; the
+    // rewrite stays micro-precision parquet)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutNanos = java.time.LocalDate.of(2024, 1, 16)
-      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
-    raw.filter(col("ts") < cutNanos).coalesce(1)
+    val cut = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 16))
+    raw.filter(col("ts") < cut).coalesce(1)
       .write.parquet(s"$src/batch0")
-    raw.filter(col("ts") >= cutNanos).coalesce(1)
+    raw.filter(col("ts") >= cut).coalesce(1)
       .write.parquet(s"$src/batch1")
     val f0 = new java.io.File(s"$src/batch0").listFiles()
       .find(_.getName.endsWith(".parquet")).get

@@ -1337,9 +1337,16 @@ object ExtensionQueries {
     */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     // maxDf = 64 is the 100 TB shape (index join bounded at
-    // 64 × corpus shingles — linear); provably non-binding here (the
-    // fixtures' max shingle df is 36 at sf0.1, spec-asserted), so the
-    // capped result is bit-identical to the uncapped exact oracle
+    // 64 × corpus shingles — linear), and the oracle REPLAYS it (the
+    // q21/q22 cap-replay pattern), so the capped result is pinned at
+    // every scale. Where the cap binds depends on the fixture: the
+    // driver corpus is a 31-word vocabulary, so its 3-gram space
+    // (31³ ≈ 29.8k) saturates — max df 36 at sf0.1 (non-binding,
+    // capped ≡ uncapped) but 205 at sf1.0 with 92% of shingles over
+    // cap. That saturation is also why the UNCAPPED index join
+    // measured 48× for 10× data in round 5: its cost is Σ df², and df
+    // grows linearly with corpus size once the space saturates — the
+    // cap is exactly what bounds it.
     val corpus = corpusWithExcerpts(spark, dir)
     scoped(corpus) {
       Dedup.containmentPairs(corpus, "doc_id", "text",
@@ -1350,7 +1357,11 @@ object ExtensionQueries {
 
   /** DuckDB oracle: same corpus token-wise, string-side shingle sets,
     * LIST_INTERSECT-free inverted-index counting (the q23 hash-vs-
-    * string argument), directional division.
+    * string argument), directional division — with the maxDf=64 stop-
+    * shingle exclusion replayed (Dedup.stopShingles → array_except):
+    * over-cap shingles leave the similarity universe BEFORE sizes and
+    * intersections, and docs with no surviving shingles drop out,
+    * exactly like the engine's `filter(size > 0)`.
     */
   val containmentPairsSql: String =
     """WITH corpus AS (
@@ -1366,13 +1377,17 @@ object ExtensionQueries {
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
       |  FROM corpus
       |),
-      |ex AS (SELECT doc_id, UNNEST(sh) AS g FROM sh WHERE LEN(sh) > 0),
+      |ex0 AS (SELECT doc_id, UNNEST(sh) AS g FROM sh WHERE LEN(sh) > 0),
+      |-- the maxDf=64 cap, replayed: df over distinct (doc, shingle)
+      |-- rows, over-cap shingles excluded from sizes AND intersections
+      |dfs AS (SELECT g, COUNT(*) AS df FROM ex0 GROUP BY g),
+      |ex AS (SELECT e.doc_id, e.g FROM ex0 e JOIN dfs d ON d.g = e.g AND d.df <= 64),
       |shared AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |),
-      |sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh)
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id)
       |SELECT s.id_a, s.id_b,
       |       ROUND(s.inter::DOUBLE / la.n, 4) AS cont_a_in_b,
       |       ROUND(s.inter::DOUBLE / lb.n, 4) AS cont_b_in_a

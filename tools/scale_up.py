@@ -22,9 +22,9 @@ driver's all-distinct word salad instead of planting 45 spurious
 near-dup pairs per document. embeddings keep identical vectors per
 copy — exact-duplicate floods are the documented pre-collapse stress.
 
-Schema (including events' TIMESTAMP(NANOS)) is preserved bit-for-bit
-so Spark's nanosAsLong path and DuckDB read the copies exactly like
-driver data.
+Schema (including events' TIMESTAMP(MICROS, isAdjustedToUTC=0)) is
+preserved bit-for-bit so Spark's parquet decoding and DuckDB read the
+copies exactly like driver data.
 
 Usage: python3 tools/scale_up.py /root/testdata/sf0.1 <dst_dir> 10
 """

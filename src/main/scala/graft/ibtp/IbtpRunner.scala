@@ -85,7 +85,19 @@ object IbtpRunner {
         */
       autoPeriod: Boolean = false,
       minChunkRows: Long = PeriodSizing.DefaultMinChunkRows,
-      maxChunkRows: Long = PeriodSizing.DefaultMaxChunkRows)
+      maxChunkRows: Long = PeriodSizing.DefaultMaxChunkRows,
+      /** Opt-in post-loop auto-compaction: after the loop and the
+        * post-hooks, any day-partition in the run window whose file
+        * count exceeds what this target file size calls for is
+        * rewritten in place ([[TargetTable.compact]] — crash-safe,
+        * metadata-only skip when already compact). Scoped to THIS
+        * run's window, so the maintenance cost stays proportional to
+        * the run, not the table: a year of daily runs compacts each
+        * partition as it's written, never re-listing history — file
+        * counts stay bounded without a separate maintenance job.
+        * None (default) = off, preserving the reference's behavior.
+        */
+      autoCompactTargetFileBytes: Option[Long] = None)
 
   def run(
       spark: SparkSession,
@@ -157,6 +169,9 @@ object IbtpRunner {
     val needInit = !target.exists || mode == RunMode.FullRefresh
     val isBackfill = mode.isInstanceOf[RunMode.Backfill]
     var rowsInserted = 0L
+    // earliest partition this run wrote, for the auto-compaction range
+    // (init's period-0 CTAS lands BEFORE the loop's first slice)
+    var initFrom: Option[LocalDate] = None
     if (needInit && !isBackfill) {
       // CTAS from period 0 of the model (init loads period 1 of data,
       // `init.sql:33-37`), or from the schema-sample override query
@@ -168,6 +183,7 @@ object IbtpRunner {
           val b = PeriodBounds(
             Boundaries.periodFrom(period, 0, startDate),
             Boundaries.periodTo(period, 0, startDate, stopDate))
+          initFrom = Some(b.from)
           model.query(spark, b)
       }
       val n = target.init(initDf)
@@ -260,6 +276,23 @@ object IbtpRunner {
     }
 
     params.postHooks.foreach(spark.sql(_).collect()) // run_hooks(post_hooks)
+
+    // opt-in auto-compaction over exactly the partitions this run
+    // could have touched — init's period-0 CTAS included (see the
+    // RunParams scaladoc)
+    params.autoCompactTargetFileBytes.foreach { bytes =>
+      val froms = initFrom.toSeq ++ slices.headOption.map(_.from)
+      (froms.sorted.headOption, slices.lastOption.map(_.to).orElse(initFrom)) match {
+        case (Some(first), Some(stop)) =>
+          val last = stop.minusDays(1)
+          val to = if (last.isBefore(first)) first else last
+          target.compact(Some(first), Some(to), bytes)
+            .foreach(st => log(s"[ibtp] compacted ${st.date}: " +
+              s"${st.filesBefore} -> ${st.filesAfter} files"))
+        case _ => ()
+      }
+    }
+
     log(s"[ibtp] INSERT $rowsInserted")
     IbtpResult(mode, Some(window), slices, rowsInserted, period, sizing)
   }

@@ -20,6 +20,7 @@ import graft.sources.{GraftSession, Tables}
   *   [--guard-period-filter] [--max-concurrent-periods N]
   *   [--pre-hook SQL]... [--post-hook SQL]...   (repeat the flag per statement)
   *   [--sample-schema-sql file.sql] [--compact-after]
+  *   [--auto-compact-bytes N]   (post-loop compaction of the run window)
   *   [--check-unique k1,k2]   (post-load uniqueness gate, README.md:102)
   * }}}
   *
@@ -113,7 +114,11 @@ object IbtpCli {
           minChunkRows = opts.get("min-chunk-rows").map(_.toLong)
             .getOrElse(PeriodSizing.DefaultMinChunkRows),
           maxChunkRows = opts.get("max-chunk-rows").map(_.toLong)
-            .getOrElse(PeriodSizing.DefaultMaxChunkRows)))
+            .getOrElse(PeriodSizing.DefaultMaxChunkRows),
+          // in-loop maintenance, scoped to the run window (vs
+          // --compact-after's whole-table pass)
+          autoCompactTargetFileBytes =
+            opts.get("auto-compact-bytes").map(_.toLong)))
       println(s"[ibtp] done: mode=${res.mode} period=${res.period.name} " +
         s"periods=${res.periodsRun.size} rows=${res.rowsInserted}")
       // post-load integrity gate: the reference's "run without

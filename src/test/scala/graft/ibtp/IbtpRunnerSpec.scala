@@ -463,4 +463,47 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assert(ex2.getMessage.contains("corrupt marker"), ex2.getMessage)
     fs.delete(marker, false)
   }
+
+  test("auto-compaction keeps per-partition file counts bounded across runs") {
+    // a model whose per-day output spans several tasks — without
+    // compaction every day-partition lands multiple small files, the
+    // accumulation that kills listing/planning on a year of daily runs
+    val multiFileModel = IbtpModel.DfModel { (s, from, to) =>
+      table("events")
+        .filter(col("ts") >= from && col("ts") < to)
+        .repartition(4)
+        .select(col("ts").cast("date").cast("timestamp").as("day"),
+          col("event_id"), col("value"))
+    }
+    def fileCounts(target: TargetTable): Map[String, Int] = {
+      val root = new java.io.File(target.path)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+        .map(d => d.getName -> d.listFiles()
+          .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))).toMap
+    }
+    // control: no auto-compaction -> multi-file partitions accumulate
+    val plain = new TargetTable(spark, tmpDir("ibtp_nocompact"), "day")
+    IbtpRunner.run(spark, multiFileModel, plain,
+      IbtpRunner.RunParams(cfg, today = feb1))
+    assert(fileCounts(plain).values.exists(_ > 1),
+      "control run should produce multi-file partitions (fixture too small?)")
+
+    // auto-compacted: same data, every touched partition ends compact
+    val compacted = new TargetTable(spark, tmpDir("ibtp_autocompact"), "day")
+    val mid = LocalDate.of(2024, 1, 15)
+    val p = IbtpRunner.RunParams(cfg, today = feb1,
+      autoCompactTargetFileBytes = Some(128L * 1024 * 1024))
+    // two catch-up runs (first half, then the rest): each run compacts
+    // its own window as it's written — no whole-table maintenance pass
+    IbtpRunner.run(spark, multiFileModel, compacted,
+      p.copy(cliStop = Some(mid)))
+    assert(fileCounts(compacted).values.forall(_ == 1),
+      s"first window not compact: ${fileCounts(compacted)}")
+    IbtpRunner.run(spark, multiFileModel, compacted, p)
+    val counts = fileCounts(compacted)
+    assert(counts.nonEmpty && counts.values.forall(_ == 1),
+      s"partitions not compact after catch-up: $counts")
+    // compaction must not change the data
+    assertSameRows(compacted.read(), plain.read())
+  }
 }

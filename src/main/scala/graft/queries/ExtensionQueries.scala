@@ -121,17 +121,23 @@ object ExtensionQueries {
     }
   }
 
-  val dedupMinhashSql: String = {
-    // exact 64-bit helpers shared with the q22/q25 replay oracles
-    def signed(x: String): String =
-      s"CASE WHEN ($x) >= 9223372036854775808 THEN CAST(($x) - 18446744073709551616 AS BIGINT)" +
-        s" ELSE CAST(($x) AS BIGINT) END"
-    // v_i = (a_i * g + b_i) mod 2^64 with the HUGEINT-split multiply
-    // (a is a column here, so the split rides the g operand)
-    val permHash =
-      "( (CAST(s.g AS HUGEINT) % 4294967296) * p.a" +
-        " + ((CAST(s.g AS HUGEINT) // 4294967296) * p.a % 4294967296) * 4294967296" +
-        " + p.b ) % 18446744073709551616"
+  /** Shared DuckDB replay of the capped MinHash-LSH pipeline: q21's
+    * whole oracle body, reused verbatim as q62's edge generator. Ends
+    * at `vp`, the exact-Jaccard-verified pair set.
+    *
+    * Scale shape: every expensive CTE is referenced AT MOST ONCE
+    * downstream. DuckDB (1.0) inlines CTEs per reference — a stage
+    * referenced twice re-runs its whole upstream pipeline with both
+    * copies' working sets live at once (`AS MATERIALIZED` bounds the
+    * memory but executes the subplan single-threaded, trading a
+    * blow-up for a 30× serial slowdown). The pre-round-7 form's
+    * capw/capped/cand trio re-inlined the 128-permutation signature
+    * build ~4× and needed >160 GB at sf1.0; this single-reference
+    * form (bucket cap via HAVING on the grouped doc list, pairs by
+    * list comprehension) runs the same semantics at sf1.0 in ~110 s
+    * with zero spill.
+    */
+  private val minhashReplayCtes: String = {
     // FNV-1a over the token's characters + splitmix64 finalizer — the
     // engine's TextHashUtil.hashRange, ASCII corpus assumed (q22 note)
     val fnvMix =
@@ -144,7 +150,7 @@ object ExtensionQueries {
          | m1 AS (SELECT ${wrapMulSql("xor(h0, h0 >> 30)", "13787848793156543929")} AS h1 FROM f),
          | m2 AS (SELECT ${wrapMulSql("xor(h1, h1 >> 27)", "10723151780598845931")} AS h2 FROM m1)
          | SELECT xor(h2, h2 >> 31) FROM m2)""".stripMargin
-    s"""WITH corpus0 AS (
+    s"""corpus0 AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 2000000,
@@ -188,11 +194,22 @@ object ExtensionQueries {
        |  FROM (SELECT UNNEST(RANGE(0, 128)) AS i)
        |),
        |-- signature element i = SIGNED min over the doc's shingle
-       |-- hashes of (a_i*g + b_i) mod 2^64 (the engine compares Longs)
+       |-- hashes of (a_i*g + b_i) mod 2^64 (the engine compares Longs);
+       |-- the g operand is split into 32-bit halves ONCE per shingle,
+       |-- and the wraparound product + signed fold evaluate once per
+       |-- (shingle, permutation) row — not re-derived per CASE branch
        |sigv AS (
-       |  SELECT s.doc_id, p.i, MIN(${signed(permHash)}) AS sig
-       |  FROM shd s CROSS JOIN perm p
-       |  GROUP BY s.doc_id, p.i
+       |  SELECT doc_id, i,
+       |         MIN(CASE WHEN v >= 9223372036854775808
+       |                  THEN CAST(v - 18446744073709551616 AS BIGINT)
+       |                  ELSE CAST(v AS BIGINT) END) AS sig
+       |  FROM (SELECT gx.doc_id, p.i,
+       |          (gx.glo * p.a + (gx.ghi * p.a % 4294967296) * 4294967296 + p.b)
+       |            % 18446744073709551616 AS v
+       |        FROM (SELECT doc_id, CAST(g AS HUGEINT) % 4294967296 AS glo,
+       |                     CAST(g AS HUGEINT) // 4294967296 AS ghi FROM shd) gx
+       |        CROSS JOIN perm p)
+       |  GROUP BY doc_id, i
        |),
        |-- 64 two-row bands; band-slice equality ≡ the engine's
        |-- band_hash equality modulo a 2^-64 xxhash64 collision
@@ -200,16 +217,22 @@ object ExtensionQueries {
        |  SELECT doc_id, CAST(i // 2 AS INTEGER) AS band, LIST(sig ORDER BY i) AS bv
        |  FROM sigv GROUP BY doc_id, CAST(i // 2 AS INTEGER)
        |),
-       |capw AS (SELECT band, bv, COUNT(*) AS w FROM bandv GROUP BY band, bv),
-       |capped AS (
-       |  SELECT v.doc_id, v.band, v.bv FROM bandv v
-       |  JOIN capw c ON c.band = v.band AND c.bv = v.bv
-       |  WHERE c.w <= 256
-       |),
+       |-- bucket = the (band, band-value) doc list, built in ONE pass
+       |-- over bandv; the 256-wide hot-bucket cap is the HAVING bound
+       |-- (w = 1 buckets emit no pairs, so excluding them is free),
+       |-- and candidate pairs come from a list comprehension instead
+       |-- of a capw/capped self-join — the self-join form referenced
+       |-- the signature pipeline four times, which DuckDB re-inlines
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  SELECT DISTINCT pr.pair[1] AS id_a, pr.pair[2] AS id_b
+       |  FROM (
+       |    SELECT UNNEST(flatten(list_transform(ds,
+       |             x -> list_transform(list_filter(ds, y -> y > x),
+       |                                 y -> [x, y])))) AS pair
+       |    FROM (SELECT LIST(doc_id) AS ds
+       |          FROM bandv GROUP BY band, bv
+       |          HAVING COUNT(*) BETWEEN 2 AND 256)
+       |  ) pr
        |),
        |-- exact verify of candidates only, string-side shingle sets
        |-- (engine hash-set Jaccard ≡ string-set Jaccard, the q23 note)
@@ -217,17 +240,23 @@ object ExtensionQueries {
        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
        |  FROM tks
-       |)
-       |SELECT c.id_a, c.id_b,
-       |       ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
-       |             (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 4) AS jaccard
-       |FROM cand c
-       |JOIN sh a ON a.doc_id = c.id_a
-       |JOIN sh b ON b.doc_id = c.id_b
-       |WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
-       |      (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |),
+       |vp AS (
+       |  SELECT c.id_a, c.id_b,
+       |         ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
+       |               (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 4) AS jaccard
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b
+       |  WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
+       |        (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.5
+       |)""".stripMargin
   }
+
+  val dedupMinhashSql: String =
+    s"""WITH $minhashReplayCtes
+       |SELECT id_a, id_b, jaccard FROM vp
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup pairs, benched as the PRODUCTION pipeline (the
     * q21 split applied to simhash): 16-bit-block pigeonhole candidate
@@ -388,14 +417,22 @@ object ExtensionQueries {
     * duplicate cluster — the step that turns pairwise near-dup output
     * into a keepable representative set (a~b, b~c ⇒ one cluster).
     *
-    * The DuckDB oracle recomputes ground truth with the EXACT
-    * all-pairs inverted index — that quadratic construction lives
-    * oracle-side only. The bench path still matches it exactly on
-    * these fixtures: every above-0.5 pair measures Jaccard ≥ 0.5 with
-    * the next pair down at 0.16, and 64 two-row bands miss a j ≥ 0.5
-    * pair with probability (1−j²)⁶⁴ ≤ 1e-8 — while requiring a j²
-    * double collision per band keeps false candidates ~1000× below
-    * the one-row-band flood (~36k vs ~1M at sf0.1).
+    * The DuckDB oracle replays the FULL production pipeline (since
+    * round 7): q21's capped-LSH replay CTEs generate the verified
+    * pair edges, exact-copy membership edges come from a text-group
+    * collapse (the engine's [[Dedup.exactMemberEdges]] modulo its
+    * xxhash64 text key), and a recursive transitive-closure CTE
+    * assigns min-reachable-id clusters — so WHICH clusters the capped
+    * scheme produces is pinned at every scale. The earlier exact
+    * all-pairs inverted-index oracle was Σdf² in the saturated
+    * 31-word shingle space (~5 × 10⁹ candidate groups at sf1.0, an
+    * OOM-killed oracle); that quadratic ground truth now lives
+    * spec-side (ComponentsSpec "cluster assignment equals components
+    * over the exact all-pairs edge set"), where the driver still runs
+    * it per round. LSH-vs-exact edge equality itself is separately
+    * pinned by ExtensionOpsSpec's q21 gate: 64 two-row bands miss a
+    * j ≥ 0.5 pair with probability (1−j²)⁶⁴ ≤ 1e-8, and the next
+    * fixture pair below threshold sits at 0.16.
     */
   def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDups(spark, dir)
@@ -410,46 +447,37 @@ object ExtensionQueries {
     }
   }
 
-  /** DuckDB oracle: same string-side exact-Jaccard edges (the q21/q23
-    * formulation), components via a recursive transitive-closure CTE
-    * (UNION-deduped, so it terminates on cycles), cluster = min
-    * reachable id.
+  /** DuckDB oracle: q21's capped-LSH replay pairs as edges, plus
+    * exact-copy membership edges, components via a recursive
+    * transitive-closure CTE (UNION-deduped, so it terminates on
+    * cycles), cluster = min reachable id. Both edge directions come
+    * from ONE scan of each edge source (UNNEST over a two-element
+    * pair list) — `vp` is the whole replay pipeline, and DuckDB
+    * re-inlines a CTE per reference. `edges` is MATERIALIZED: the
+    * recursive fragment re-executes its plan once per iteration, and
+    * an inlined `edges` would rebuild the entire replay pipeline each
+    * time (measured 16 min vs 13 s at sf0.1); the hint computes it
+    * once — and, referenced from a recursive CTE, DuckDB 1.0 still
+    * builds the materialization subplan in parallel.
     */
   val clusterAssignSql: String =
-    """WITH RECURSIVE toksed AS (
-      |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 2000000,
-      |         LIST_SLICE(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1,
-      |                    GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) - 3, 1))
-      |  FROM documents
+    s"""WITH RECURSIVE $minhashReplayCtes,
+      |mem AS (
+      |  SELECT r.rep AS id_a, c.doc_id AS id_b
+      |  FROM corpus0 c
+      |  JOIN (SELECT text, MIN(doc_id) AS rep FROM corpus0 GROUP BY text) r
+      |    USING (text)
+      |  WHERE c.doc_id <> r.rep
       |),
-      |sh AS (
-      |  SELECT doc_id,
-      |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
-      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM toksed
-      |),
-      |ex AS (SELECT doc_id, UNNEST(sh) AS g FROM sh WHERE LEN(sh) > 0),
-      |shared AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |),
-      |sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh),
-      |pairs AS (
-      |  SELECT s.id_a, s.id_b FROM shared s
-      |  JOIN sizes la ON la.doc_id = s.id_a
-      |  JOIN sizes lb ON lb.doc_id = s.id_b
-      |  WHERE s.inter::DOUBLE / (la.n + lb.n - s.inter) >= 0.5
-      |),
-      |edges AS (
-      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |edges AS MATERIALIZED (
+      |  SELECT e.pair[1] AS s, e.pair[2] AS d
+      |  FROM (SELECT UNNEST([[id_a, id_b], [id_b, id_a]]) AS pair FROM vp) e
       |  UNION
-      |  SELECT id_b, id_a FROM pairs
+      |  SELECT m.pair[1], m.pair[2]
+      |  FROM (SELECT UNNEST([[id_a, id_b], [id_b, id_a]]) AS pair FROM mem) m
       |),
       |reach(id, r) AS (
-      |  SELECT doc_id, doc_id FROM toksed
+      |  SELECT doc_id, doc_id FROM corpus0
       |  UNION
       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
       |),

@@ -63,6 +63,28 @@ class ComponentsSpec extends SparkSpecBase {
     assert(inc(30L) == 1L && inc(11L) == 1L && inc(40L) == 40L && inc(20L) == 20L)
   }
 
+  test("cluster assignment equals components over the exact all-pairs edge set") {
+    // the q62 spec-side gate (the benched query's oracle replays the
+    // capped LSH pipeline since round 7 — this is where the quadratic
+    // ground truth lives now): the production funnel (LSH candidates →
+    // exact verify → membership edges → components) must produce the
+    // SAME clusters as components over the exact Σdf² all-pairs edge
+    // set at the same threshold. allPairsJaccard ranges over all docs,
+    // not just content representatives, but any above-threshold pair
+    // between duplicates implies the same-text reps pair at the same
+    // Jaccard, so the two edge sets have identical connectivity.
+    val corpus = graft.queries.ExtensionQueries.corpusWithNearDups(spark, sfDir)
+    val got = graft.queries.ExtensionQueries.clusterAssign(spark, sfDir)
+    val exactPairs = Dedup.allPairsJaccard(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val expected = Components.clusterAssign(corpus, "doc_id",
+      exactPairs.unionAll(Dedup.exactMemberEdges(corpus, "doc_id", "text")),
+      "id_a", "id_b")
+    assertSameRows(got, expected)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("near-dup cluster query: planted copies cluster with originals") {
     val out = graft.queries.ExtensionQueries.clusterAssign(spark, sfDir)
     val byDoc = out.select(col("doc_id"), col("cluster_id"))

@@ -4,10 +4,16 @@ parquet output from Verify, run its oracle SQL in DuckDB over the same
 testdata tables, and compare row sets. Not part of the shipped library
 (the library is pure Scala/Spark); this is local test tooling only.
 
-Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir> [name_regex]
+
+The optional third arg restricts the run to query names matching the
+regex — big-scale sweeps die mid-run (disk-full spill, OOM-killed
+replay oracles) and the rerun should not repay the 60 queries that
+already passed; merge_sweep_logs.py merges partial logs rerun-wins.
 """
 import json
 import math
+import re
 import sys
 
 import duckdb
@@ -25,7 +31,7 @@ def rows_key(rows, names):
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return out
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, name_regex=None):
     con = duckdb.connect()
     # Big-scale sweeps (sf1.0) spill tens of GB on the hash-replay
     # oracles; let the caller size memory and point the spill at a
@@ -41,6 +47,9 @@ def main(out_dir, sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if name_regex:
+        oracles = {k: v for k, v in oracles.items()
+                   if re.search(name_regex, k)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -79,4 +88,5 @@ def main(out_dir, sf_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

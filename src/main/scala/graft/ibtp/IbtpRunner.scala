@@ -169,9 +169,12 @@ object IbtpRunner {
     val needInit = !target.exists || mode == RunMode.FullRefresh
     val isBackfill = mode.isInstanceOf[RunMode.Backfill]
     var rowsInserted = 0L
-    // earliest partition this run wrote, for the auto-compaction range
-    // (init's period-0 CTAS lands BEFORE the loop's first slice)
+    // partition range init wrote, for the auto-compaction range
+    // (init's period-0 CTAS lands BEFORE the loop's first slice, and
+    // when the whole configured range fits in period 0 the loop below
+    // is a no-op — compaction must still cover what init wrote)
     var initFrom: Option[LocalDate] = None
+    var initTo: Option[LocalDate] = None // exclusive, like a slice's `to`
     if (needInit && !isBackfill) {
       // CTAS from period 0 of the model (init loads period 1 of data,
       // `init.sql:33-37`), or from the schema-sample override query
@@ -184,6 +187,7 @@ object IbtpRunner {
             Boundaries.periodFrom(period, 0, startDate),
             Boundaries.periodTo(period, 0, startDate, stopDate))
           initFrom = Some(b.from)
+          initTo = Some(b.to)
           model.query(spark, b)
       }
       val n = target.init(initDf)
@@ -198,9 +202,29 @@ object IbtpRunner {
     val window = Boundaries.runWindow(
       period, startDate, stopDate, targetMax, mode, params.today)
 
+    // opt-in auto-compaction over exactly the partitions this run
+    // could have touched — init's period-0 CTAS included (see the
+    // RunParams scaladoc). `stopExclusive` is a slice-style exclusive
+    // end bound; the inclusive last day is stop - 1.
+    def autoCompact(first: Option[LocalDate], stopExclusive: Option[LocalDate]): Unit =
+      params.autoCompactTargetFileBytes.foreach { bytes =>
+        (first, stopExclusive) match {
+          case (Some(f), Some(stop)) =>
+            val last = stop.minusDays(1)
+            val to = if (last.isBefore(f)) f else last
+            target.compact(Some(f), Some(to), bytes)
+              .foreach(st => log(s"[ibtp] compacted ${st.date}: " +
+                s"${st.filesBefore} -> ${st.filesAfter} files"))
+          case _ => ()
+        }
+      }
+
     if (window.numPeriods <= 0 || !window.start.isBefore(window.stop)) {
       log(s"[ibtp] nothing to do: window ${window.start}..${window.stop}")
       params.postHooks.foreach(spark.sql(_).collect())
+      // an init-only run reaches this return (the resume probe already
+      // sees init's rows) — what init wrote still needs compacting
+      autoCompact(initFrom, initTo)
       return IbtpResult(mode, Some(window), Nil, rowsInserted, period, sizing)
     }
 
@@ -277,21 +301,9 @@ object IbtpRunner {
 
     params.postHooks.foreach(spark.sql(_).collect()) // run_hooks(post_hooks)
 
-    // opt-in auto-compaction over exactly the partitions this run
-    // could have touched — init's period-0 CTAS included (see the
-    // RunParams scaladoc)
-    params.autoCompactTargetFileBytes.foreach { bytes =>
-      val froms = initFrom.toSeq ++ slices.headOption.map(_.from)
-      (froms.sorted.headOption, slices.lastOption.map(_.to).orElse(initFrom)) match {
-        case (Some(first), Some(stop)) =>
-          val last = stop.minusDays(1)
-          val to = if (last.isBefore(first)) first else last
-          target.compact(Some(first), Some(to), bytes)
-            .foreach(st => log(s"[ibtp] compacted ${st.date}: " +
-              s"${st.filesBefore} -> ${st.filesAfter} files"))
-        case _ => ()
-      }
-    }
+    autoCompact(
+      (initFrom.toSeq ++ slices.headOption.map(_.from)).sorted.headOption,
+      slices.lastOption.map(_.to).orElse(initTo))
 
     log(s"[ibtp] INSERT $rowsInserted")
     IbtpResult(mode, Some(window), slices, rowsInserted, period, sizing)

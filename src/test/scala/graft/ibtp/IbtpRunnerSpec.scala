@@ -464,23 +464,25 @@ class IbtpRunnerSpec extends SparkSpecBase {
     fs.delete(marker, false)
   }
 
+  // a model whose per-day output spans several tasks — without
+  // compaction every day-partition lands multiple small files, the
+  // accumulation that kills listing/planning on a year of daily runs
+  private def multiFileModel = IbtpModel.DfModel { (s, from, to) =>
+    table("events")
+      .filter(col("ts") >= from && col("ts") < to)
+      .repartition(4)
+      .select(col("ts").cast("date").cast("timestamp").as("day"),
+        col("event_id"), col("value"))
+  }
+
+  private def fileCounts(target: TargetTable): Map[String, Int] = {
+    val root = new java.io.File(target.path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+      .map(d => d.getName -> d.listFiles()
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))).toMap
+  }
+
   test("auto-compaction keeps per-partition file counts bounded across runs") {
-    // a model whose per-day output spans several tasks — without
-    // compaction every day-partition lands multiple small files, the
-    // accumulation that kills listing/planning on a year of daily runs
-    val multiFileModel = IbtpModel.DfModel { (s, from, to) =>
-      table("events")
-        .filter(col("ts") >= from && col("ts") < to)
-        .repartition(4)
-        .select(col("ts").cast("date").cast("timestamp").as("day"),
-          col("event_id"), col("value"))
-    }
-    def fileCounts(target: TargetTable): Map[String, Int] = {
-      val root = new java.io.File(target.path)
-      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("p_date="))
-        .map(d => d.getName -> d.listFiles()
-          .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))).toMap
-    }
     // control: no auto-compaction -> multi-file partitions accumulate
     val plain = new TargetTable(spark, tmpDir("ibtp_nocompact"), "day")
     IbtpRunner.run(spark, multiFileModel, plain,
@@ -505,5 +507,26 @@ class IbtpRunnerSpec extends SparkSpecBase {
       s"partitions not compact after catch-up: $counts")
     // compaction must not change the data
     assertSameRows(compacted.read(), plain.read())
+  }
+
+  test("auto-compaction covers an init-only run (whole range fits in period 0)") {
+    // month period with stop = Jan 31 (the fixture's events end Jan
+    // 30): init's period-0 CTAS loads EVERYTHING, the resume probe
+    // lands exactly on stop, and the loop takes the nothing-to-do
+    // return — compaction must still cover init's writes (the pre-fix
+    // code only compacted on the loop path)
+    val jan31 = LocalDate.of(2024, 1, 31)
+    val monthCfg = cfg.copy(period = PeriodUnit.Month, stopDate = Some(jan31))
+    val target = new TargetTable(spark, tmpDir("ibtp_initcompact"), "day")
+    val res = IbtpRunner.run(spark, multiFileModel, target,
+      IbtpRunner.RunParams(monthCfg, today = feb1,
+        autoCompactTargetFileBytes = Some(128L * 1024 * 1024)))
+    assert(res.periodsRun.isEmpty, "expected an init-only run")
+    val counts = fileCounts(target)
+    assert(counts.nonEmpty && counts.values.forall(_ == 1),
+      s"init-written partitions not compact: $counts")
+    // compaction must not change the data
+    assertSameRows(target.read(),
+      multiFileModel.query(spark, PeriodBounds(jan1, jan31)))
   }
 }

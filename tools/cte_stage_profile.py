@@ -37,11 +37,12 @@ def strip_comments(sql):
 
 
 def split_ctes(sql):
-    """Return ([(name, body), ...], final_select) from a
-    'WITH [RECURSIVE] a AS (...), b(cols) AS (...) SELECT ...' query.
-    Tracks paren depth; ignores commas inside bodies and nested WITHs
-    inside expressions. A recursive member's name keeps its column
-    list (e.g. 'reach(id, r)')."""
+    """Return ([(name, materialized, body), ...], final_select) from a
+    'WITH [RECURSIVE] a AS (...), b(cols) AS MATERIALIZED (...) SELECT'
+    query. Tracks paren depth; ignores commas inside bodies and nested
+    WITHs inside expressions. A recursive member's name keeps its
+    column list (e.g. 'reach(id, r)'); `materialized` records an
+    'AS MATERIALIZED' hint so tail reconstruction can preserve it."""
     s = strip_comments(sql).strip()
     assert s.upper().startswith("WITH"), "not a WITH query"
     i = 4
@@ -79,9 +80,11 @@ def split_ctes(sql):
         if between == "":  # name directly followed by a column list
             m = skip_parens(k)
             name = s[i:m]  # keep 'name(col, ...)' as the declaration
-            k = s.index("(", s.upper().index("AS", m) + 2)
+            as_at = s.upper().index("AS", m)
+            k = s.index("(", as_at + 2)
+            between = s[as_at:k].strip().upper()
         m = skip_parens(k)
-        ctes.append((name, s[k + 1:m - 1]))
+        ctes.append((name, "MATERIALIZED" in between, s[k + 1:m - 1]))
         i = m
         while i < n and s[i].isspace():
             i += 1
@@ -114,22 +117,31 @@ def main(out_dir, sf_dir, query):
 
     # stage until the first self-referencing (recursive) CTE; it and
     # everything after it run inside the final query, where the staged
-    # temp tables bound what the recursion re-evaluates per iteration
+    # temp tables bound what the recursion re-evaluates per iteration.
+    # Self-reference = the name appears as a RELATION (after FROM or
+    # JOIN) in its own body — a bare word-boundary match would false-
+    # positive on a column alias like '... AS sh' in the sh CTE.
     import re as _re
     cut = len(ctes)
-    for idx, (name, body) in enumerate(ctes):
+    for idx, (name, _, body) in enumerate(ctes):
         base = name.split("(")[0]
-        if _re.search(rf"\b{_re.escape(base)}\b", body):
+        if _re.search(rf"\b(FROM|JOIN)\s+{_re.escape(base)}\b", body,
+                      _re.IGNORECASE):
             cut = idx
             break
-    for name, body in ctes[:cut]:
+    for name, _, body in ctes[:cut]:
+        # temp-table staging IS materialization, so the hint is moot here
         t0 = time.time()
         con.execute(f"CREATE TEMP TABLE {name} AS {body}")
         rows = con.sql(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
         print(f"{name:10s} {time.time()-t0:8.1f}s {rows:>12,} rows "
               f"spill={spill()}MB", flush=True)
     if cut < len(ctes):
-        tail = ",\n".join(f"{n} AS ({b})" for n, b in ctes[cut:])
+        # keep AS MATERIALIZED hints: dropping one from e.g. q62's
+        # `edges` would re-inline the whole pipeline per recursion step
+        tail = ",\n".join(
+            f"{n} AS {'MATERIALIZED ' if mat else ''}({b})"
+            for n, mat, b in ctes[cut:])
         final = f"WITH RECURSIVE {tail}\n{final}"
     t0 = time.time()
     exp_rel = con.sql(final)
@@ -137,27 +149,17 @@ def main(out_dir, sf_dir, query):
     exp = exp_rel.fetchall()
     print(f"{'FINAL':10s} {time.time()-t0:8.1f}s {len(exp):>12,} rows")
     # staged FINAL ≡ the oracle's result set (the CTE split is purely
-    # operational), so compare it against the engine parquet the same
-    # way oracle_check.py would — this makes a staged run a full
-    # adjudication when the monolithic form exceeds the VM.
-    import math
-
-    def norm(v):
-        if isinstance(v, float):
-            return "NaN" if math.isnan(v) else round(v, 9)
-        return v
-
-    def key(rows, names):
-        order = sorted(range(len(names)), key=lambda i: names[i])
-        out = [tuple(norm(r[i]) for i in order) for r in rows]
-        out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-        return out
+    # operational), so compare it against the engine parquet with the
+    # SAME normalization oracle_check.py uses (imported, not copied, so
+    # the two adjudicators cannot drift) — this makes a staged run a
+    # full adjudication when the monolithic form exceeds the VM.
+    from oracle_check import rows_key
 
     got_rel = con.sql(
         f"SELECT * FROM read_parquet('{out_dir}/{query}/*.parquet')")
     got_names = [c.lower() for c in got_rel.columns]
     got = got_rel.fetchall()
-    a, b = key(got, got_names), key(exp, exp_names)
+    a, b = rows_key(got, got_names), rows_key(exp, exp_names)
     if sorted(got_names) != sorted(exp_names):
         print(f"FAIL {query}: columns {sorted(got_names)} != {sorted(exp_names)}")
     elif a != b:

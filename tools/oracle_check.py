@@ -50,6 +50,10 @@ def main(out_dir, sf_dir, name_regex=None):
     if name_regex:
         oracles = {k: v for k, v in oracles.items()
                    if re.search(name_regex, k)}
+        if not oracles:
+            # a typo'd rerun regex must not read as a green sweep
+            print(f"FAIL <filter>: name_regex {name_regex!r} matches no oracle")
+            return 1
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:

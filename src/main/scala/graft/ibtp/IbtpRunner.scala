@@ -164,6 +164,12 @@ object IbtpRunner {
     // untrustworthy range.
     target.repairOrphanedSwap()
     if (target.exists) target.repairOrphanedReplace()
+    // compact orphans were previously healed only by the next compact()
+    // call — with auto-compaction opt-in and off, a crashed CLI
+    // --compact-only run left that day's data dot-hidden indefinitely
+    target.repairOrphanedCompact()
+      .foreach(d => log(s"[ibtp] repaired orphaned compaction of $d"))
+    target.sweepOrphanedStaging()
 
     // ---- init path (`materialization.sql:68-77` → init.sql) ----------
     val needInit = !target.exists || mode == RunMode.FullRefresh

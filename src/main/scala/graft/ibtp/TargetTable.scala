@@ -80,16 +80,26 @@ final class TargetTable(
     */
   def maxPartitionDate: Option[LocalDate] = partitionDates.maxOption
 
-  /** All day-partition values present, from directory names only. */
-  def partitionDates: Set[LocalDate] = {
+  /** All day-partition directories whose value parses as a date, with
+    * their paths. Rows with a NULL timestamp land in Spark's
+    * `__HIVE_DEFAULT_PARTITION__` directory — legitimate data (the
+    * reference inserts NULL-ts rows like any other), but not a date:
+    * it must not crash the resume probe, and like SQL `MAX(ts)` the
+    * frontier ignores NULLs.
+    */
+  private def datePartitions: Seq[(LocalDate, Path)] = {
     val p = new Path(path)
-    if (!fs.exists(p)) Set.empty
+    if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith(s"$PartitionCol="))
-      .map(n => LocalDate.parse(n.stripPrefix(s"$PartitionCol=")))
-      .toSet
+      .filter(_.getPath.getName.startsWith(s"$PartitionCol="))
+      .flatMap { st =>
+        val v = st.getPath.getName.stripPrefix(s"$PartitionCol=")
+        scala.util.Try(LocalDate.parse(v)).toOption.map(_ -> st.getPath)
+      }
   }
+
+  /** All day-partition values present, from directory names only. */
+  def partitionDates: Set[LocalDate] = datePartitions.map(_._1).toSet
 
   /** Metadata-only contiguity probe: the maximal runs of ABSENT
     * day-partitions in [from, toExclusive), coalesced to half-open
@@ -583,7 +593,11 @@ final class TargetTable(
       val widened = full.fields.map { tf =>
         inTypes.get(tf.name) match {
           case Some(inT) if inT != tf.dataType &&
-              SchemaEvolution.canSafelyCast(tf.dataType, inT) =>
+              // the sidecar is the READ schema for every historic file,
+              // so the widening must be a parquet read promotion — the
+              // cast predicate would accept e.g. long→double and brick
+              // the table's history (SchemaEvolution.canPromoteOnRead)
+              SchemaEvolution.canPromoteOnRead(tf.dataType, inT) =>
             changed = true
             tf.copy(dataType = inT)
           case _ => tf
@@ -635,15 +649,20 @@ final class TargetTable(
     * as the load loop); partitions already at target are skipped
     * without reading data (size check is a pure metadata listing).
     * Crash safety: staged files first move INTO the partition under
-    * dot-prefixed names (invisible to Spark's file listing, so readers
-    * see either exactly the old files or exactly the new ones — never
-    * duplicates), originals are deleted only once every staged file is
-    * in place, and the hidden files are then unhidden. An intent
-    * marker recording both name sets brackets the sequence: a crash
-    * before the deletes begin rolls BACK (originals are untouched by
-    * construction), any later crash rolls FORWARD
-    * ([[repairOrphanedCompact]], invoked at every compact start) —
-    * data is never lost, matching `replaceRange`'s state machine.
+    * dot-prefixed names (invisible to Spark's file listing — a reader
+    * never sees old and new rows together), originals are deleted only
+    * once every staged file is in place, and the hidden files are then
+    * unhidden. An intent marker recording both name sets brackets the
+    * sequence: a crash before the deletes begin rolls BACK (originals
+    * are untouched by construction), any later crash rolls FORWARD
+    * ([[repairOrphanedCompact]], invoked at every compact start and by
+    * the runner before each materialization) — data is never lost,
+    * matching `replaceRange`'s state machine. Concurrency caveat: the
+    * delete→unhide window is not atomic for READERS — a scan listing
+    * the partition inside it sees fewer (down to zero) rows for that
+    * day, and a scan planned before it can hit FileNotFoundException;
+    * run compaction when the partition is not being queried, as with
+    * any non-transactional file-level rewrite.
     */
   def compact(
       from: Option[LocalDate] = None,
@@ -651,12 +670,10 @@ final class TargetTable(
       targetFileBytes: Long = 128L * 1024 * 1024): Seq[CompactionStat] = {
     if (!exists) return Nil
     repairOrphanedCompact()
+    sweepOrphanedStaging()
     val userSchema = storedSchema
       .map(s => StructType(s.fields.filterNot(_.name == PartitionCol)))
-    val parts = fs.listStatus(new Path(path)).toSeq
-      .filter(_.getPath.getName.startsWith(s"$PartitionCol="))
-      .map(st => (LocalDate.parse(st.getPath.getName.stripPrefix(s"$PartitionCol=")),
-        st.getPath))
+    val parts = datePartitions
       .filter { case (d, _) =>
         from.forall(f => !d.isBefore(f)) && to.forall(t => !d.isAfter(t)) }
       .sortBy(_._1)
@@ -719,14 +736,20 @@ final class TargetTable(
     * roll back. Returns the repaired partition, if any.
     */
   def repairOrphanedCompact(): Option[LocalDate] =
-    readKv(compactIntentFile, required = Seq("date")).map { kv =>
+    // all three keys required: a marker missing `orig`/`hidden` (manual
+    // edit) must fail loudly with the corrupt-marker remedy — treating
+    // absent `hidden` as "everything landed" would delete the originals
+    // with nothing staged to replace them
+    readKv(compactIntentFile, required = Seq("date", "orig", "hidden")).map { kv =>
       val d   = LocalDate.parse(kv("date"))
       val dir = new Path(path, s"$PartitionCol=${kv("date")}")
       val orig   = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
       val hidden = kv.getOrElse("hidden", "").split(",").filter(_.nonEmpty).toSeq
       if (fs.exists(dir)) {
         TargetTable.log.warn(s"repairing orphaned compaction of $dir")
-        val landed = hidden.forall(h =>
+        // nonEmpty guard: an empty staged set can never "land" — the
+        // vacuous forall would roll FORWARD and delete the originals
+        val landed = hidden.nonEmpty && hidden.forall(h =>
           fs.exists(new Path(dir, h)) || fs.exists(new Path(dir, h.stripPrefix("."))))
         if (landed) {
           orig.foreach { o =>
@@ -747,6 +770,35 @@ final class TargetTable(
       clearCompactIntent()
       d
     }
+
+  /** Delete sibling staging directories (`<target>__compact_<uuid>`,
+    * `<target>__stage_<uuid>`) a process death orphaned — their
+    * in-process `finally` cleanup never ran, and nothing else knows
+    * the UUID names. Safe at any repair point: files still inside a
+    * stage dir were never visible to readers (compact integrates via
+    * renames INTO the partition; appendIsolated renames OUT of the
+    * stage), so removing the leftovers is exactly the cleanup the
+    * crashed process would have done. Call only when no concurrent
+    * write on this target is in flight (the runner sweeps before its
+    * loop starts, alongside the swap/replace/compact repairs).
+    */
+  def sweepOrphanedStaging(): Unit = {
+    val self = new Path(path)
+    val parent = self.getParent
+    if (parent != null && fs.exists(parent)) {
+      val name = self.getName
+      fs.listStatus(parent).toSeq
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(name + "__compact_") || n.startsWith(name + "__stage_")
+        }
+        .foreach { p =>
+          TargetTable.log.warn(s"sweeping orphaned staging dir $p")
+          fs.delete(p, true)
+        }
+    }
+  }
 
   /** Overwrite exactly the day-partitions present in `df`, leaving all
     * other partitions untouched (dynamic partition overwrite). This is
@@ -850,29 +902,71 @@ object TargetTable {
   * incoming side to cast to the target where safe.
   */
 object SchemaEvolution {
-  private val numericOrder: Map[DataType, Int] = Map(
-    ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
-    FloatType -> 4, DoubleType -> 5)
+  private val integralOrder: Map[DataType, Int] = Map(
+    ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
 
-  /** true when `from` can be cast to `to` without losing information
-    * (numeric widening, date→timestamp, anything→string).
+  /** true when a VALUE of `from` casts to `to` without losing
+    * information (the write-side predicate — [[TargetTable.alignToTarget]]
+    * casts incoming columns up to the target's types). The integer→
+    * float boundaries are where a naive "numeric order" lies:
+    * int→float (2³¹ > 2²⁴) and long→float/double (2⁶³ > 2⁵³) silently
+    * round large values, so they are NOT safe; byte/short→float and
+    * byte/short/int→double are exact.
     */
   def canSafelyCast(from: DataType, to: DataType): Boolean = (from, to) match {
     case (a, b) if a == b => true
-    case (a: NumericType, b: NumericType)
-        if numericOrder.contains(a) && numericOrder.contains(b) =>
-      numericOrder(a) <= numericOrder(b)
-    case (_: DecimalType, DoubleType)       => true
-    case (a: NumericType, d: DecimalType)
-        if numericOrder.get(a).exists(_ <= 3) && d.precision - d.scale >= 20 => true
-    case (DateType, TimestampType)          => true
+    case (a, b) if integralOrder.contains(a) && integralOrder.contains(b) =>
+      integralOrder(a) <= integralOrder(b)
+    case (FloatType, DoubleType)            => true
+    case (a, FloatType)
+        if integralOrder.get(a).exists(_ <= 1) => true // byte/short < 2^24
+    case (a, DoubleType)
+        if integralOrder.get(a).exists(_ <= 2) => true // byte/short/int < 2^53
+    case (d: DecimalType, DoubleType) if d.precision <= 15 => true
+    case (a: DecimalType, b: DecimalType)   =>
+      b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+    case (a, d: DecimalType)
+        if integralOrder.contains(a) && d.precision - d.scale >= 20 => true
+    case (DateType, TimestampType)          => true // value-preserving (UTC session)
     case (_, StringType)                    => true
     case _                                  => false
   }
 
-  /** The wider of two types, if one safely contains the other. */
+  /** true when historic parquet files WRITTEN as `from` remain
+    * readable through a schema sidecar widened to `to` — the parquet
+    * vectorized reader's type-promotion set, probed empirically on
+    * this Spark build (4.1.2): integral up-chain, byte/short/int →
+    * double, float → double, integral → decimal with ≥20 integer
+    * digits, decimal growth at same-or-wider scale. The reader
+    * REJECTS promotions that a cast would allow — int→float,
+    * long→double, decimal→double, date→timestamp, anything→string all
+    * throw SchemaColumnConvertNotSupportedException — which is why
+    * sidecar-affecting widenings need this predicate, not
+    * [[canSafelyCast]] (using the cast predicate here once let an
+    * incoming float "widen" a long target and brick every read of the
+    * table's history).
+    */
+  def canPromoteOnRead(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (a, b) if integralOrder.contains(a) && integralOrder.contains(b) =>
+      integralOrder(a) <= integralOrder(b)
+    case (FloatType, DoubleType)            => true
+    case (a, DoubleType)
+        if integralOrder.get(a).exists(_ <= 2) => true
+    case (a: DecimalType, b: DecimalType)   =>
+      b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+    case (a, d: DecimalType)
+        if integralOrder.contains(a) && d.precision - d.scale >= 20 => true
+    case _                                  => false
+  }
+
+  /** The type a target column should hold when its current type is `a`
+    * (with historic files on disk written as `a`) and data now arrives
+    * as `b`: the first of {incoming, current} that historic files can
+    * still be READ through and the incoming values can be CAST into.
+    * None = genuinely incompatible (e.g. long vs double — double can't
+    * hold long losslessly and the reader can't promote long files).
+    */
   def widen(a: DataType, b: DataType): Option[DataType] =
-    if (canSafelyCast(a, b)) Some(b)
-    else if (canSafelyCast(b, a)) Some(a)
-    else None
+    Seq(b, a).find(t => canPromoteOnRead(a, t) && canSafelyCast(b, t))
 }

@@ -330,6 +330,44 @@ class IbtpRunnerSpec extends SparkSpecBase {
     }
   }
 
+  test("the runner heals a crashed compaction before materializing") {
+    // a --compact-only CLI run that dies post-delete leaves the day's
+    // data dot-hidden; with auto-compaction off, nothing used to
+    // repair it — ordinary runner materializations must now heal it
+    // like swap and replace orphans
+    val target = new TargetTable(spark, tmpDir("ibtp_runnerheal"), "day")
+    runner(target)
+    target.append(oneShot(jan1, feb1)) // ≥2 files per partition
+    val before = target.read().collect().map(_.toString).sorted
+    target.failCompactAt = 2 // originals deleted, staged still hidden
+    intercept[IllegalStateException] { target.compact() }
+    target.failCompactAt = 0
+    runner(target) // caught-up no-op run — repairs happen before the probe
+    val after = target.read().collect().map(_.toString).sorted
+    assert(before.sameElements(after),
+      "runner must roll the orphaned compaction forward")
+    assert(!new java.io.File(target.path).listFiles().exists(
+      _.getName == TargetTable.CompactIntentFile))
+  }
+
+  test("rows with a NULL timestamp don't break the resume probe or compaction") {
+    // NULL-ts rows are legitimate data (the reference inserts them like
+    // any other); they land in __HIVE_DEFAULT_PARTITION__, which must
+    // not crash the date parse behind maxPartitionDate/compact, and —
+    // like SQL MAX(ts) — must not advance the resume frontier
+    val target = new TargetTable(spark, tmpDir("ibtp_nullts"), "day")
+    runner(target)
+    val maxBefore = target.maxPartitionDate
+    val rows = target.read().count()
+    target.append(target.read().limit(1)
+      .withColumn("day", lit(null).cast("timestamp")))
+    assert(target.maxPartitionDate == maxBefore,
+      "NULL-ts rows must not move the resume frontier")
+    assert(target.read().count() == rows + 1, "the NULL-ts row is real data")
+    target.compact() // must skip the default partition without throwing
+    assert(target.read().filter(col("day").isNull).count() == 1)
+  }
+
   test("concurrent-append failure hole: contiguity probe detects it, repair matches the uninterrupted build") {
     val holeDay = LocalDate.of(2024, 1, 10)
     @volatile var failOnce = true

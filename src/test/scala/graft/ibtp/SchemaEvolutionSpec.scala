@@ -104,8 +104,67 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(!canSafelyCast(DoubleType, FloatType))
     assert(canSafelyCast(DateType, TimestampType))
     assert(canSafelyCast(LongType, StringType))
+    // the int/float boundaries a naive numeric order gets wrong:
+    // int→float rounds above 2^24, long→float/double above 2^53
+    assert(!canSafelyCast(IntegerType, FloatType))
+    assert(!canSafelyCast(LongType, FloatType))
+    assert(!canSafelyCast(LongType, DoubleType))
+    assert(canSafelyCast(IntegerType, DoubleType))
+    assert(canSafelyCast(ShortType, FloatType))
     assert(widen(IntegerType, LongType).contains(LongType))
     assert(widen(LongType, IntegerType).contains(LongType))
     assert(widen(StringType, LongType).contains(StringType))
+    assert(widen(IntegerType, DoubleType).contains(DoubleType))
+    // genuinely incompatible: double can't hold long losslessly AND
+    // the parquet reader can't promote long files to double
+    assert(widen(LongType, DoubleType).isEmpty)
+  }
+
+  test("read-promotion matrix matches what the parquet reader accepts") {
+    import SchemaEvolution._
+    // the sidecar is the READ schema for historic files, so widenings
+    // that affect it must come from the reader's probed promotion set
+    assert(canPromoteOnRead(IntegerType, LongType))
+    assert(canPromoteOnRead(IntegerType, DoubleType))
+    assert(canPromoteOnRead(FloatType, DoubleType))
+    assert(canPromoteOnRead(DecimalType(10, 2), DecimalType(20, 2)))
+    assert(canPromoteOnRead(IntegerType, DecimalType(22, 2)))
+    // cast-safe but reader-rejected — each of these as a sidecar type
+    // throws SchemaColumnConvertNotSupportedException over old files
+    assert(!canPromoteOnRead(LongType, DoubleType))
+    assert(!canPromoteOnRead(IntegerType, FloatType))
+    assert(!canPromoteOnRead(LongType, StringType))
+    assert(!canPromoteOnRead(DateType, TimestampType))
+    assert(!canPromoteOnRead(DecimalType(10, 2), DoubleType))
+    assert(!canPromoteOnRead(DecimalType(10, 2), DecimalType(12, 1)))
+  }
+
+  test("expandTargetColumnTypes refuses sidecar changes historic files can't be read with") {
+    // pre-fix, an incoming DOUBLE column "widened" a LONG target via
+    // the cast predicate, and every subsequent read of the table threw
+    // on the historic INT64 files
+    val t = new TargetTable(spark, tmpDir("se_brick"), "day")
+    t.init(Seq((java.sql.Date.valueOf("2024-01-01"), "a", 1L))
+      .toDF("day", "k", "v"))
+    val incoming = Seq((java.sql.Date.valueOf("2024-01-02"), "b", 0.5))
+      .toDF("day", "k", "v")
+    t.expandTargetColumnTypes(incoming.schema)
+    assert(t.read().schema("v").dataType == LongType,
+      "long→double is not a parquet read promotion; the sidecar must not change")
+    // historic data still reads
+    assert(t.read().count() == 1)
+    // and the genuinely incompatible append fails loudly instead of
+    // silently rounding large longs through a double
+    assertThrows[IllegalArgumentException] { t.append(incoming) }
+    // an int→long incoming still widens (the probe-verified promotion)
+    val t2 = new TargetTable(spark, tmpDir("se_widen_ok"), "day")
+    t2.init(Seq((java.sql.Date.valueOf("2024-01-01"), "a", 1))
+      .toDF("day", "k", "v"))
+    val longer = Seq((java.sql.Date.valueOf("2024-01-02"), "b", 2L))
+      .toDF("day", "k", "v")
+    t2.expandTargetColumnTypes(longer.schema)
+    t2.append(longer)
+    assert(t2.read().schema("v").dataType == LongType)
+    assert(t2.read().orderBy(col("day")).collect().map(_.getLong(2)).toSeq == Seq(1L, 2L))
   }
 }

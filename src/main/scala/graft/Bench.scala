@@ -60,8 +60,14 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)
     catch { case _: Throwable => () }
     spark.stop()
-    // print LAST, after shutdown: Spark logs go to stderr, so the JSON
-    // is the final stdout line for last-line parsers
+    // print after shutdown: Spark logs go to stderr, so the JSON lines
+    // are the final stdout lines for last-line parsers
     println(line)
+    // The full blob can exceed a log collector's tail window (BENCH_r07
+    // lost q01-q23 and its leading "value" field to exactly that), so the
+    // verdict-relevant numbers also go on a SHORT final line that no tail
+    // capture can truncate; the per-query detail lives in BENCH_LAST.json
+    // and in the full line above.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_sec":$total,"n_queries":${results.size},"errors":$nErr,"queries_file":"BENCH_LAST.json"}""")
   }
 }

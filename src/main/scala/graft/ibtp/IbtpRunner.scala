@@ -219,7 +219,7 @@ object IbtpRunner {
             val last = stop.minusDays(1)
             val to = if (last.isBefore(f)) f else last
             target.compact(Some(f), Some(to), bytes)
-              .foreach(st => log(s"[ibtp] compacted ${st.date}: " +
+              .foreach(st => log(s"[ibtp] compacted ${st.partitionLabel}: " +
                 s"${st.filesBefore} -> ${st.filesAfter} files"))
           case _ => ()
         }

@@ -4,7 +4,7 @@ import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -94,7 +94,19 @@ final class TargetTable(
       .filter(_.getPath.getName.startsWith(s"$PartitionCol="))
       .flatMap { st =>
         val v = st.getPath.getName.stripPrefix(s"$PartitionCol=")
-        scala.util.Try(LocalDate.parse(v)).toOption.map(_ -> st.getPath)
+        val parsed = scala.util.Try(LocalDate.parse(v)).toOption
+        // Only the NULL-ts directory is EXPECTED to be unparseable. Any
+        // other non-date value is a corrupted/renamed partition dir; if it
+        // silently vanished from the frontier the resume probe would
+        // re-append that day's rows and duplicate data with no signal, so
+        // it must fail loud rather than be invisibly excluded.
+        if (parsed.isEmpty && v != HiveDefaultPartition)
+          throw new IllegalStateException(
+            s"unparseable partition directory '${st.getPath.getName}' under " +
+              s"$path: not a date and not $HiveDefaultPartition — repair or " +
+              "remove it before resuming (a silently-skipped partition would " +
+              "corrupt the resume frontier)")
+        parsed.map(_ -> st.getPath)
       }
   }
 
@@ -563,7 +575,11 @@ final class TargetTable(
             case Some(curF) =>
               val t = SchemaEvolution.widen(curF.dataType, inF.dataType).getOrElse(
                 throw new IllegalStateException(
-                  s"column ${inF.name}: incompatible ${curF.dataType} vs ${inF.dataType}"))
+                  s"column ${inF.name}: cannot evolve ${curF.dataType} to " +
+                    s"${inF.dataType} in place — historic parquet files cannot " +
+                    "be read through the widened type (stricter than the " +
+                    "reference's warehouse ALTER, which rewrites storage); " +
+                    "rebuild via full-refresh to apply this change"))
               StructField(inF.name, t, nullable = true)
             case None => inF
           }
@@ -629,11 +645,41 @@ final class TargetTable(
           case Some(inF) =>
             require(SchemaEvolution.canSafelyCast(inF.dataType, tf.dataType),
               s"column ${tf.name}: cannot narrow ${inF.dataType} to ${tf.dataType}")
-            col(tf.name).cast(tf.dataType).as(tf.name)
+            alignExpr(col(tf.name), inF.dataType, tf.dataType).as(tf.name)
           case None => lit(null).cast(tf.dataType).as(tf.name)
         }
       }
       df.select(cols.toIndexedSeq: _*)
+    }
+
+  /** The nested cast-up expression behind [[alignToTarget]]. Spark's
+    * own struct cast is POSITIONAL (same arity, field-by-index), so an
+    * evolved struct target — a field added, or a nested leaf widened —
+    * needs the restructure built by name: target fields pull the
+    * incoming child by name (NULL when absent), arrays/maps rewrap via
+    * `transform`/`transform_keys`/`transform_values`, leaves cast.
+    * All built-in expressions → stays inside whole-stage codegen.
+    */
+  private def alignExpr(c: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (a, b) if a == b => c
+      case (a: StructType, b: StructType) =>
+        val kids = b.fields.map { bf =>
+          a.fields.find(_.name == bf.name) match {
+            case Some(af) =>
+              alignExpr(c.getField(af.name), af.dataType, bf.dataType).as(bf.name)
+            case None => lit(null).cast(bf.dataType).as(bf.name)
+          }
+        }
+        // a NULL struct must stay NULL, not become a struct of NULLs
+        when(c.isNull, lit(null).cast(b)).otherwise(struct(kids.toIndexedSeq: _*))
+      case (ArrayType(e1, _), ArrayType(e2, _)) =>
+        transform(c, x => alignExpr(x, e1, e2))
+      case (MapType(k1, v1, _), MapType(k2, v2, _)) =>
+        transform_values(
+          transform_keys(c, (k, _) => alignExpr(k, k1, k2)),
+          (_, v) => alignExpr(v, v1, v2))
+      case _ => c.cast(to)
     }
 
   /** Per-partition small-file compaction — the operational counterpart
@@ -670,13 +716,24 @@ final class TargetTable(
       targetFileBytes: Long = 128L * 1024 * 1024): Seq[CompactionStat] = {
     if (!exists) return Nil
     repairOrphanedCompact()
-    sweepOrphanedStaging()
+    // age-gated: a standalone --compact-only run may race a live writer
+    // whose appendIsolated stage dir looks orphaned; only dirs idle past
+    // the gate are truly dead (the runner's start-of-run sweep, at the
+    // single-writer point, uses no gate)
+    sweepOrphanedStaging(olderThanMillis = StagingSweepAgeMs)
     val userSchema = storedSchema
       .map(s => StructType(s.fields.filterNot(_.name == PartitionCol)))
-    val parts = datePartitions
+    // the NULL-ts partition holds legitimate data outside the date
+    // frontier; exempting it from compaction would let its small files
+    // grow unboundedly across runs, so it is always a candidate (date
+    // bounds cannot apply to it — it has no date)
+    val defaultDir = new Path(path, s"$PartitionCol=$HiveDefaultPartition")
+    val parts: Seq[(Option[LocalDate], Path)] = datePartitions
       .filter { case (d, _) =>
         from.forall(f => !d.isBefore(f)) && to.forall(t => !d.isAfter(t)) }
       .sortBy(_._1)
+      .map { case (d, p) => (Some(d), p) } ++
+      (if (fs.exists(defaultDir)) Seq((None, defaultDir)) else Nil)
     parts.flatMap { case (d, dir) =>
       val files = fs.listStatus(dir).toSeq
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
@@ -698,7 +755,7 @@ final class TargetTable(
             .map(_.getPath)
           val hiddenNames = staged.map("." + _.getName)
           writeMarker(compactIntentFile,
-            s"date=${fmt.format(d)}\n" +
+            s"date=${d.fold(HiveDefaultPartition)(fmt.format)}\n" +
               s"orig=${files.map(_.getPath.getName).mkString(",")}\n" +
               s"hidden=${hiddenNames.mkString(",")}\n")
           staged.zip(hiddenNames).foreach { case (s, h) =>
@@ -735,14 +792,18 @@ final class TargetTable(
     * originals are untouched by construction and the hidden leftovers
     * roll back. Returns the repaired partition, if any.
     */
-  def repairOrphanedCompact(): Option[LocalDate] =
+  def repairOrphanedCompact(): Option[String] =
     // all three keys required: a marker missing `orig`/`hidden` (manual
     // edit) must fail loudly with the corrupt-marker remedy — treating
     // absent `hidden` as "everything landed" would delete the originals
     // with nothing staged to replace them
     readKv(compactIntentFile, required = Seq("date", "orig", "hidden")).map { kv =>
-      val d   = LocalDate.parse(kv("date"))
-      val dir = new Path(path, s"$PartitionCol=${kv("date")}")
+      // `date` is the raw partition value: an ISO date, or the NULL-ts
+      // partition's sentinel (validated here so a corrupt marker still
+      // fails loudly instead of repairing a nonsense directory)
+      val d = kv("date")
+      if (d != HiveDefaultPartition) LocalDate.parse(d)
+      val dir = new Path(path, s"$PartitionCol=$d")
       val orig   = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
       val hidden = kv.getOrElse("hidden", "").split(",").filter(_.nonEmpty).toSeq
       if (fs.exists(dir)) {
@@ -778,24 +839,37 @@ final class TargetTable(
     * stage dir were never visible to readers (compact integrates via
     * renames INTO the partition; appendIsolated renames OUT of the
     * stage), so removing the leftovers is exactly the cleanup the
-    * crashed process would have done. Call only when no concurrent
-    * write on this target is in flight (the runner sweeps before its
-    * loop starts, alongside the swap/replace/compact repairs).
+    * crashed process would have done. Call with no age gate only when
+    * no concurrent write on this target is in flight (the runner sweeps
+    * before its loop starts, at the single-writer point, alongside the
+    * swap/replace/compact repairs); other callers — `compact()` run
+    * standalone — pass `olderThanMillis` so a live writer's
+    * recently-modified stage dir is never mistaken for an orphan.
     */
-  def sweepOrphanedStaging(): Unit = {
+  def sweepOrphanedStaging(olderThanMillis: Long = 0L): Unit = {
     val self = new Path(path)
     val parent = self.getParent
     if (parent != null && fs.exists(parent)) {
       val name = self.getName
+      val cutoff = System.currentTimeMillis() - olderThanMillis
       fs.listStatus(parent).toSeq
-        .map(_.getPath)
-        .filter { p =>
-          val n = p.getName
+        .filter { st =>
+          val n = st.getPath.getName
           n.startsWith(name + "__compact_") || n.startsWith(name + "__stage_")
         }
-        .foreach { p =>
-          TargetTable.log.warn(s"sweeping orphaned staging dir $p")
-          fs.delete(p, true)
+        .foreach { st =>
+          // modification time of the dir AND its files: a writer
+          // streaming into the stage touches file mtimes, not
+          // necessarily the dir's
+          val newest = (st.getModificationTime +:
+            fs.listStatus(st.getPath).toSeq.map(_.getModificationTime)).max
+          if (newest <= cutoff) {
+            TargetTable.log.warn(s"sweeping orphaned staging dir ${st.getPath}")
+            fs.delete(st.getPath, true)
+          } else if (olderThanMillis > 0L)
+            TargetTable.log.warn(
+              s"skipping recently-active staging dir ${st.getPath} " +
+                "(possible live writer); it will be swept once idle")
         }
     }
   }
@@ -859,13 +933,24 @@ final class TargetTable(
   }
 }
 
-/** One partition's compaction outcome. */
+/** One partition's compaction outcome. `date` is None for the NULL-ts
+  * (`__HIVE_DEFAULT_PARTITION__`) partition, which is compacted like any
+  * other but has no date.
+  */
 final case class CompactionStat(
-    date: LocalDate, filesBefore: Int, filesAfter: Int, bytes: Long)
+    date: Option[LocalDate], filesBefore: Int, filesAfter: Int, bytes: Long) {
+  def partitionLabel: String =
+    date.fold(TargetTable.HiveDefaultPartition)(_.toString)
+}
 
 object TargetTable {
   /** Internal day-partition column added next to the user's columns. */
   val PartitionCol = "p_date"
+
+  /** Spark's directory name for NULL partition values — where NULL-ts
+    * rows land; legitimate data, but not part of the date frontier.
+    */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** Underscore-prefixed so Spark's file listing treats it as metadata. */
   val SchemaFile = "_graft_schema.json"
@@ -892,6 +977,13 @@ object TargetTable {
     * target (compaction never renames the target directory).
     */
   val CompactIntentFile = "_graft_compact_intent"
+
+  /** Age gate for [[TargetTable.sweepOrphanedStaging]] when invoked from
+    * `compact()` (a possibly-concurrent standalone run): stage dirs idle
+    * longer than this are orphans; anything younger may be a live
+    * writer's in-flight `appendIsolated` stage.
+    */
+  val StagingSweepAgeMs: Long = 15L * 60 * 1000
 
   private[ibtp] val log = org.slf4j.LoggerFactory.getLogger(classOf[TargetTable])
 }
@@ -929,6 +1021,22 @@ object SchemaEvolution {
         if integralOrder.contains(a) && d.precision - d.scale >= 20 => true
     case (DateType, TimestampType)          => true // value-preserving (UTC session)
     case (_, StringType)                    => true
+    // Nested types recurse on the leaf rules. Struct fields match by
+    // NAME, not position — [[TargetTable.alignToTarget]] builds the
+    // nested restructure expression itself (Spark's own struct cast is
+    // positional and can't add fields), so name-matched semantics are
+    // what actually executes. A `from` field absent from `to` would be
+    // silently dropped → not safe; a `to` field absent from `from` must
+    // be nullable (it fills with NULL).
+    case (a: StructType, b: StructType) =>
+      a.fields.forall(af => b.fields.find(_.name == af.name)
+        .exists(bf => canSafelyCast(af.dataType, bf.dataType))) &&
+      b.fields.forall(bf =>
+        a.fields.exists(_.name == bf.name) || bf.nullable)
+    case (ArrayType(e1, n1), ArrayType(e2, n2)) =>
+      (n2 || !n1) && canSafelyCast(e1, e2)
+    case (MapType(k1, v1, n1), MapType(k2, v2, n2)) =>
+      (n2 || !n1) && canSafelyCast(k1, k2) && canSafelyCast(v1, v2)
     case _                                  => false
   }
 
@@ -957,16 +1065,66 @@ object SchemaEvolution {
       b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
     case (a, d: DecimalType)
         if integralOrder.contains(a) && d.precision - d.scale >= 20 => true
+    // Nested: the parquet reader resolves nested fields by name and
+    // promotes leaves by the same scalar rules, so recursion is exact.
+    // A struct field ADDED in the read schema reads as NULL from
+    // historic files (it must be nullable); a field REMOVED from the
+    // read schema would silently hide historic data → not a promotion.
+    case (a: StructType, b: StructType) =>
+      a.fields.forall(af => b.fields.find(_.name == af.name)
+        .exists(bf => canPromoteOnRead(af.dataType, bf.dataType))) &&
+      b.fields.forall(bf =>
+        a.fields.exists(_.name == bf.name) || bf.nullable)
+    case (ArrayType(e1, n1), ArrayType(e2, n2)) =>
+      (n2 || !n1) && canPromoteOnRead(e1, e2)
+    case (MapType(k1, v1, n1), MapType(k2, v2, n2)) =>
+      (n2 || !n1) && canPromoteOnRead(k1, k2) && canPromoteOnRead(v1, v2)
     case _                                  => false
   }
 
   /** The type a target column should hold when its current type is `a`
     * (with historic files on disk written as `a`) and data now arrives
-    * as `b`: the first of {incoming, current} that historic files can
-    * still be READ through and the incoming values can be CAST into.
-    * None = genuinely incompatible (e.g. long vs double — double can't
-    * hold long losslessly and the reader can't promote long files).
+    * as `b`: a type that historic files can still be READ through and
+    * the incoming values can be CAST into. Scalars pick the first of
+    * {incoming, current} that satisfies both predicates; structs merge
+    * recursively (field union — a field present on only one side stays,
+    * nullable, so `{x:int}` current + `{x:long, y:string}` incoming
+    * widens to `{x:long, y:string}` and historic rows read y as NULL);
+    * arrays/maps widen their element/key/value types. None = genuinely
+    * incompatible (e.g. long vs double — double can't hold long
+    * losslessly and the reader can't promote long files).
+    *
+    * Deliberately STRICTER than the reference's warehouse-side
+    * `expand_target_column_types`/ALTER: changes that are cast-safe but
+    * reader-rejected for historic parquet (date→timestamp,
+    * anything→string, long→double) return None here, because accepting
+    * them would brick every read of the table's history. The remedy for
+    * such a change is a full-refresh rebuild, and
+    * [[TargetTable.evolveSchema]]'s error says so.
     */
-  def widen(a: DataType, b: DataType): Option[DataType] =
-    Seq(b, a).find(t => canPromoteOnRead(a, t) && canSafelyCast(b, t))
+  def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case (as: StructType, bs: StructType) =>
+      val names = as.fields.map(_.name) ++
+        bs.fields.map(_.name).filterNot(as.fieldNames.contains)
+      val merged = names.map { n =>
+        (as.fields.find(_.name == n), bs.fields.find(_.name == n)) match {
+          case (Some(af), Some(bf)) =>
+            widen(af.dataType, bf.dataType)
+              .map(t => StructField(n, t, nullable = true))
+          // union semantics need nullability: a one-sided field is NULL
+          // for the other side's rows
+          case (Some(af), None) => Some(af.copy(nullable = true))
+          case (None, Some(bf)) => Some(bf.copy(nullable = true))
+          case (None, None)     => None // unreachable
+        }
+      }
+      if (merged.forall(_.isDefined)) Some(StructType(merged.flatten.toIndexedSeq))
+      else None
+    case (ArrayType(e1, n1), ArrayType(e2, n2)) =>
+      widen(e1, e2).map(t => ArrayType(t, n1 || n2))
+    case (MapType(k1, v1, n1), MapType(k2, v2, n2)) =>
+      for { k <- widen(k1, k2); v <- widen(v1, v2) } yield MapType(k, v, n1 || n2)
+    case _ =>
+      Seq(b, a).find(t => canPromoteOnRead(a, t) && canSafelyCast(b, t))
+  }
 }

@@ -58,7 +58,7 @@ object IbtpCli {
           targetFileBytes = opts.get("target-file-bytes").map(_.toLong)
             .getOrElse(128L * 1024 * 1024))
         stats.foreach(st => println(
-          s"[ibtp] compacted ${st.date}: ${st.filesBefore} -> ${st.filesAfter} files"))
+          s"[ibtp] compacted ${st.partitionLabel}: ${st.filesBefore} -> ${st.filesAfter} files"))
         if (stats.isEmpty) println("[ibtp] compact: nothing to do")
         return
       }
@@ -130,7 +130,7 @@ object IbtpCli {
       // post-load maintenance: rewrite small-file day-partitions
       if (opts.contains("compact-after"))
         target.compact().foreach(st => println(
-          s"[ibtp] compacted ${st.date}: ${st.filesBefore} -> ${st.filesAfter} files"))
+          s"[ibtp] compacted ${st.partitionLabel}: ${st.filesBefore} -> ${st.filesAfter} files"))
     } finally spark.stop()
   }
 

@@ -364,8 +364,73 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assert(target.maxPartitionDate == maxBefore,
       "NULL-ts rows must not move the resume frontier")
     assert(target.read().count() == rows + 1, "the NULL-ts row is real data")
-    target.compact() // must skip the default partition without throwing
+    target.compact() // default partition participates without throwing
     assert(target.read().filter(col("day").isNull).count() == 1)
+  }
+
+  test("the NULL-ts partition is compacted like any other") {
+    // pre-fix, compact() only iterated date partitions, so the default
+    // partition's small files accumulated unboundedly across runs
+    val target = new TargetTable(spark, tmpDir("ibtp_nulltscompact"), "day")
+    runner(target)
+    val one = target.read().limit(1)
+      .withColumn("day", lit(null).cast("timestamp")).cache()
+    (1 to 3).foreach(_ => target.append(one))
+    one.unpersist()
+    val defDir = new java.io.File(target.path,
+      s"p_date=${TargetTable.HiveDefaultPartition}")
+    def defFiles: Int =
+      defDir.listFiles().count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(defFiles >= 3)
+    val before = target.read().collect().map(_.toString).sorted
+    val stats = target.compact()
+    assert(stats.exists(_.date.isEmpty),
+      "the default partition must appear in the compaction stats")
+    assert(stats.find(_.date.isEmpty).get.partitionLabel ==
+      TargetTable.HiveDefaultPartition)
+    assert(defFiles == 1)
+    val after = target.read().collect().map(_.toString).sorted
+    assert(before.sameElements(after), "NULL-ts compaction must not change data")
+    assert(target.read().filter(col("day").isNull).count() == 3)
+  }
+
+  test("standalone compact age-gates the staging sweep; the runner's sweep doesn't") {
+    // a live writer's fresh appendIsolated stage dir must survive a
+    // concurrent --compact-only run (pre-fix it was deleted mid-write);
+    // the runner sweeps at its single-writer start-of-run point with no
+    // gate, so true orphans still die there
+    val target = new TargetTable(spark, tmpDir("ibtp_sweepgate"), "day")
+    runner(target)
+    val stage = new java.io.File(target.path + "__stage_livewriter")
+    assert(stage.mkdir())
+    val f = new java.io.File(stage, "part-00000")
+    java.nio.file.Files.writeString(f.toPath, "in-flight")
+    target.compact()
+    assert(stage.exists(), "fresh stage dir must survive a standalone compact")
+    // once idle past the gate, the same compact path sweeps it
+    val old = System.currentTimeMillis() - TargetTable.StagingSweepAgeMs - 60000
+    f.setLastModified(old); stage.setLastModified(old)
+    target.compact()
+    assert(!stage.exists(), "idle stage dir is an orphan and must be swept")
+    // and the runner's ungated sweep removes even a fresh one
+    val stage2 = new java.io.File(target.path + "__stage_orphan")
+    assert(stage2.mkdir())
+    target.sweepOrphanedStaging()
+    assert(!stage2.exists())
+  }
+
+  test("an unparseable partition directory fails the frontier loudly") {
+    // a corrupted/renamed date dir silently excluded from the frontier
+    // would let a rerun re-append that day's rows; it must fail instead
+    val target = new TargetTable(spark, tmpDir("ibtp_corruptpart"), "day")
+    runner(target)
+    val good = new java.io.File(target.path, "p_date=2024-01-05")
+    val bad  = new java.io.File(target.path, "p_date=2024-01-05x")
+    assert(good.renameTo(bad))
+    val e = intercept[IllegalStateException] { target.maxPartitionDate }
+    assert(e.getMessage.contains("p_date=2024-01-05x"))
+    assert(bad.renameTo(good)) // repair → probe works again
+    assert(target.maxPartitionDate.nonEmpty)
   }
 
   test("concurrent-append failure hole: contiguity probe detects it, repair matches the uninterrupted build") {

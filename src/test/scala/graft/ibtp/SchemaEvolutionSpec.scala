@@ -139,6 +139,82 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(!canPromoteOnRead(DecimalType(10, 2), DecimalType(12, 1)))
   }
 
+  test("nested widening matrix: struct add/widen, array elements, maps") {
+    import SchemaEvolution._
+    val s1 = StructType(Seq(StructField("x", IntegerType)))
+    val s2 = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
+    // struct-widen + struct-add: historic files promote x and read y NULL
+    assert(canPromoteOnRead(s1, s2))
+    assert(canSafelyCast(s1, s2))
+    assert(widen(s1, s2).contains(s2))
+    // merge when each side has a field the other lacks
+    val a = StructType(Seq(StructField("x", IntegerType), StructField("old", StringType)))
+    val b = StructType(Seq(StructField("x", LongType), StructField("neu", DoubleType)))
+    val m = widen(a, b).get.asInstanceOf[StructType]
+    assert(m.fieldNames.toSeq == Seq("x", "old", "neu"))
+    assert(m("x").dataType == LongType)
+    // dropping a field is NOT a read promotion (it would hide history)
+    assert(!canPromoteOnRead(s2, s1))
+    // a reader-rejected leaf poisons the whole nested type
+    val bad = StructType(Seq(StructField("x", DoubleType)))
+    val sL  = StructType(Seq(StructField("x", LongType)))
+    assert(!canPromoteOnRead(sL, bad) && widen(sL, bad).isEmpty)
+    // arrays and maps recurse on element/key/value
+    assert(canPromoteOnRead(ArrayType(IntegerType), ArrayType(LongType)))
+    assert(!canPromoteOnRead(ArrayType(LongType), ArrayType(DoubleType)))
+    assert(widen(ArrayType(IntegerType), ArrayType(LongType))
+      .contains(ArrayType(LongType)))
+    assert(canPromoteOnRead(MapType(StringType, IntegerType),
+      MapType(StringType, LongType)))
+    // non-nullable containers can widen to nullable, not the reverse
+    assert(canPromoteOnRead(ArrayType(IntegerType, containsNull = false),
+      ArrayType(LongType, containsNull = true)))
+    assert(!canPromoteOnRead(ArrayType(IntegerType, containsNull = true),
+      ArrayType(LongType, containsNull = false)))
+  }
+
+  test("sync_all_columns evolves nested structs end-to-end") {
+    // struct column gains a field AND widens a leaf; historic rows must
+    // still read (nested parquet promotion) and NULL-fill the new field
+    val t = new TargetTable(spark, tmpDir("se_nested"), "day")
+    t.init(
+      Seq((java.sql.Date.valueOf("2024-01-01"), "a", (1, "p")))
+        .toDF("day", "k", "meta")
+        .withColumn("meta", struct(
+          col("meta._1").cast("int").as("x"), col("meta._2").as("tag"))))
+    val incoming = Seq((java.sql.Date.valueOf("2024-01-02"), "b", (2L, "q", 0.5)))
+      .toDF("day", "k", "meta")
+      .withColumn("meta", struct(
+        col("meta._1").as("x"), col("meta._2").as("tag"),
+        col("meta._3").as("score")))
+    t.evolveSchema(incoming.schema, OnSchemaChange.SyncAllColumns)
+    t.append(incoming)
+    val out = t.read().orderBy(col("day"))
+    val mt = out.schema("meta").dataType.asInstanceOf[StructType]
+    assert(mt("x").dataType == LongType, "nested leaf widened int->long")
+    assert(mt.fieldNames.contains("score"), "nested field added")
+    val rows = out.select(col("meta.x"), col("meta.tag"), col("meta.score")).collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "p" && rows(0).isNullAt(2),
+      "historic row reads through the evolved nested schema")
+    assert(rows(1).getLong(0) == 2L && rows(1).getString(1) == "q" && rows(1).getDouble(2) == 0.5)
+    // and an array column whose ELEMENT type widens
+    val t2 = new TargetTable(spark, tmpDir("se_nested_arr"), "day")
+    t2.init(Seq((java.sql.Date.valueOf("2024-01-01"), Seq(1, 2)))
+      .toDF("day", "xs"))
+    val inc2 = Seq((java.sql.Date.valueOf("2024-01-02"), Seq(3L))).toDF("day", "xs")
+    t2.evolveSchema(inc2.schema, OnSchemaChange.SyncAllColumns)
+    t2.append(inc2)
+    assert(t2.read().schema("xs").dataType == ArrayType(LongType))
+    assert(t2.read().orderBy(col("day")).select(explode(col("xs")))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // incompatible nested change fails with the full-refresh remedy
+    val incBad = Seq((java.sql.Date.valueOf("2024-01-03"), Seq(0.5))).toDF("day", "xs")
+    val e = intercept[IllegalStateException] {
+      t2.evolveSchema(incBad.schema, OnSchemaChange.SyncAllColumns)
+    }
+    assert(e.getMessage.contains("full-refresh"))
+  }
+
   test("expandTargetColumnTypes refuses sidecar changes historic files can't be read with") {
     // pre-fix, an incoming DOUBLE column "widened" a LONG target via
     // the cast predicate, and every subsequent read of the table threw

@@ -99,12 +99,30 @@ object IbtpRunner {
         */
       autoCompactTargetFileBytes: Option[Long] = None)
 
+  /** One materialization run, serialized per target by the writer
+    * lease: the crash repairs below and the loop's intent-marker state
+    * machines assume a single writer (the reference gets the same
+    * guarantee from warehouse transactions, `loop.sql:134`), so a
+    * second concurrent run of the same target fails fast instead of
+    * destructively "repairing" this one's in-flight work. The lease
+    * heartbeats once per period; a run that died without releasing goes
+    * stale after [[TargetTable.LeaseStaleMs]] and the next run takes
+    * over.
+    */
   def run(
       spark: SparkSession,
       model: IbtpModel,
       target: TargetTable,
       params: RunParams,
-      sources: Map[String, DataFrame] = Map.empty): IbtpResult = {
+      sources: Map[String, DataFrame] = Map.empty): IbtpResult =
+    target.withWriterLease() { runLocked(spark, model, target, params, sources) }
+
+  private def runLocked(
+      spark: SparkSession,
+      model: IbtpModel,
+      target: TargetTable,
+      params: RunParams,
+      sources: Map[String, DataFrame]): IbtpResult = {
     val cfg  = params.config
     val mode = params.mode
     val log  = params.log
@@ -256,6 +274,7 @@ object IbtpRunner {
     }
 
     def runSlice(s: Boundaries.PeriodSlice, isolated: Boolean): Long = {
+      target.heartbeatLease() // per-period: a live loop never goes stale
       val periodDf = model.query(spark, PeriodBounds(s.from, s.to))
       val n = mode match {
         case _: RunMode.Backfill =>
@@ -339,22 +358,28 @@ object IbtpRunner {
       model: IbtpModel,
       target: TargetTable,
       params: RunParams,
-      sources: Map[String, DataFrame] = Map.empty): Seq[(LocalDate, LocalDate)] = {
-    val cfg = params.config
-    val effectiveCfg = cfg.copy(
-      startDate = params.cliStart.orElse(cfg.startDate),
-      stopDate = params.cliStop.orElse(cfg.stopDate))
-    target.repairOrphanedSwap()
-    if (!target.exists) return Nil
-    target.repairOrphanedReplace()
-    val (startDate, _) = Boundaries.resolveStartStop(spark, effectiveCfg, sources)
-    target.maxPartitionDate.toSeq.flatMap { frontier =>
-      val holes = target.missingDayRanges(startDate, frontier)
-      holes.foreach { case (f, t) =>
-        params.log(s"[ibtp] repairing contiguity hole [$f, $t)")
-        target.replaceRange(model.query(spark, PeriodBounds(f, t)), f, t)
+      sources: Map[String, DataFrame] = Map.empty): Seq[(LocalDate, LocalDate)] =
+    // a writer like any run: repairs + range replays must not interleave
+    // with a live materialization of the same target
+    target.withWriterLease() {
+      val cfg = params.config
+      val effectiveCfg = cfg.copy(
+        startDate = params.cliStart.orElse(cfg.startDate),
+        stopDate = params.cliStop.orElse(cfg.stopDate))
+      target.repairOrphanedSwap()
+      if (!target.exists) Nil
+      else {
+        target.repairOrphanedReplace()
+        val (startDate, _) = Boundaries.resolveStartStop(spark, effectiveCfg, sources)
+        target.maxPartitionDate.toSeq.flatMap { frontier =>
+          val holes = target.missingDayRanges(startDate, frontier)
+          holes.foreach { case (f, t) =>
+            params.log(s"[ibtp] repairing contiguity hole [$f, $t)")
+            target.heartbeatLease()
+            target.replaceRange(model.query(spark, PeriodBounds(f, t)), f, t)
+          }
+          holes
+        }
       }
-      holes
     }
-  }
 }

@@ -483,6 +483,112 @@ final class TargetTable(
   private def clearWrittenSidecar(): Unit =
     if (fs.exists(writtenSidecarFile)) fs.delete(writtenSidecarFile, false)
 
+  // ---- single-writer lease ---------------------------------------------
+  // Every crash-repair state machine here (swap, replace, compact intent
+  // markers, the orphan-staging sweep) assumes it is the ONLY process
+  // mutating this target — two concurrent runners would "repair" each
+  // other's in-flight work destructively. The reference gets this
+  // serialization free from warehouse transactions
+  // (`insert_by_timeperiod_loop.sql:134`); here a lease file provides
+  // it: `IbtpRunner.run` and standalone `compact()` acquire it for the
+  // duration, heartbeat it per period / per partition, and a second
+  // writer FAILS FAST while the heartbeat is fresh. A holder that dies
+  // without releasing goes stale after [[TargetTable.LeaseStaleMs]] and
+  // is taken over with a logged warning. Creation uses
+  // create(overwrite=false), which is atomic on HDFS-like stores; on a
+  // plain local FS the existence check has a tiny TOCTOU window —
+  // acceptable for a guard whose job is stopping OPERATIONAL double
+  // runs, not adversarial races.
+
+  private def leaseFile = new Path(path + LeaseSuffix)
+
+  /** Lease id held by THIS instance, making [[withWriterLease]]
+    * reentrant: the runner holds the lease across the loop, and its
+    * own auto-compaction call must not self-deadlock.
+    */
+  @volatile private var heldLeaseId: Option[String] = None
+
+  def withWriterLease[T](staleAfterMillis: Long = LeaseStaleMs)(body: => T): T =
+    if (heldLeaseId.isDefined) body
+    else {
+      val id = acquireWriterLease(staleAfterMillis)
+      try body
+      finally releaseWriterLease(id)
+    }
+
+  private def leaseContent(id: String): String = {
+    val holder = s"${ProcessHandle.current().pid()}@" +
+      scala.util.Try(java.net.InetAddress.getLocalHost.getHostName).getOrElse("unknown")
+    s"holder=$holder\nlease_id=$id\nheartbeat=${System.currentTimeMillis()}\n"
+  }
+
+  private[ibtp] def acquireWriterLease(
+      staleAfterMillis: Long = LeaseStaleMs): String = {
+    val id = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(leaseFile, false) // no overwrite: atomic claim
+        try out.write(leaseContent(id).getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      // lenient read: a holder heartbeating concurrently may expose a
+      // mid-rewrite file for an instant — treat unreadable as "held,
+      // age unknown" (fail fast), never as corrupt-marker fatal
+      val kv = scala.util.Try(
+        readKv(leaseFile, required = Seq("holder", "lease_id", "heartbeat")))
+        .toOption.flatten.getOrElse(Map.empty)
+      val age = kv.get("heartbeat").flatMap(h => h.toLongOption)
+        .map(System.currentTimeMillis() - _)
+      // takeover ONLY on a provably stale heartbeat; unknown age (race
+      // or transient unreadability) fails fast like a fresh lease
+      if (!age.exists(_ > staleAfterMillis))
+        throw new IllegalStateException(
+          s"target $path is locked by writer ${kv.getOrElse("holder", "?")} " +
+            s"(heartbeat ${age.fold("unknown")(a => s"${a / 1000}s")} ago): " +
+            "concurrent materializations of one target are unsafe (crash " +
+            "repairs assume a single writer). " +
+            s"If that process is dead, the lease goes stale after " +
+            s"${staleAfterMillis / 1000}s and the next run takes over.")
+      TargetTable.log.warn(
+        s"taking over stale writer lease on $path " +
+          s"(holder ${kv.getOrElse("holder", "?")}, heartbeat ${
+            age.fold("unknown")(a => s"${a / 1000}s")} ago)")
+      fs.delete(leaseFile, false)
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"target $path: lost the lease takeover race — another writer " +
+            "claimed it first; retry once it completes")
+    }
+    heldLeaseId = Some(id)
+    id
+  }
+
+  /** Refresh the held lease's heartbeat (no-op when not held). Cheap —
+    * one small marker rewrite — and called once per period load /
+    * compacted partition, far inside the staleness window.
+    */
+  def heartbeatLease(): Unit = synchronized {
+    // synchronized: concurrent period threads share this instance and
+    // the delete+rename pair below must not interleave
+    heldLeaseId.foreach { id =>
+      // writeMarker renames tmp -> dst and rename onto an existing file
+      // fails on HDFS-like stores; the delete-first window is covered by
+      // acquire's lenient read (unknown age -> fail fast, never takeover)
+      fs.delete(leaseFile, false)
+      writeMarker(leaseFile, leaseContent(id))
+    }
+  }
+
+  private[ibtp] def releaseWriterLease(id: String): Unit =
+    if (heldLeaseId.contains(id)) {
+      // only delete OUR lease: a takeover may have replaced the file
+      val owned = readKv(leaseFile, required = Seq("lease_id"))
+        .exists(_.get("lease_id").contains(id))
+      if (owned) fs.delete(leaseFile, false)
+      heldLeaseId = None
+    }
+
   /** Unique-key upsert — reference B13+B14 (`loop.sql:100-107`):
     * `DELETE FROM target WHERE (uk) IN (SELECT (uk) FROM tmp)` then
     * insert. Parquet has no in-place DELETE, so:
@@ -713,13 +819,23 @@ final class TargetTable(
   def compact(
       from: Option[LocalDate] = None,
       to: Option[LocalDate] = None,
-      targetFileBytes: Long = 128L * 1024 * 1024): Seq[CompactionStat] = {
-    if (!exists) return Nil
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[CompactionStat] =
+    // compaction is a writer: its repairs and rewrites must not
+    // interleave with a live materialization (reentrant when the runner
+    // calls it under its own lease)
+    if (!exists) Nil
+    else withWriterLease() { compactLocked(from, to, targetFileBytes) }
+
+  private def compactLocked(
+      from: Option[LocalDate],
+      to: Option[LocalDate],
+      targetFileBytes: Long): Seq[CompactionStat] = {
     repairOrphanedCompact()
-    // age-gated: a standalone --compact-only run may race a live writer
-    // whose appendIsolated stage dir looks orphaned; only dirs idle past
-    // the gate are truly dead (the runner's start-of-run sweep, at the
-    // single-writer point, uses no gate)
+    // age-gated: even under the lease, a writer that predates the lease
+    // discipline (or a manual API user) could have a live appendIsolated
+    // stage dir; only dirs idle past the gate are truly dead (the
+    // runner's start-of-run sweep, at the single-writer point, uses no
+    // gate)
     sweepOrphanedStaging(olderThanMillis = StagingSweepAgeMs)
     val userSchema = storedSchema
       .map(s => StructType(s.fields.filterNot(_.name == PartitionCol)))
@@ -742,6 +858,7 @@ final class TargetTable(
       val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       if (files.size <= targetFiles) None
       else {
+        heartbeatLease() // one rewrite per partition keeps the lease fresh
         val stage = new Path(path + s"__compact_${java.util.UUID.randomUUID().toString.take(8)}")
         try {
           val reader = userSchema.fold(spark.read)(s => spark.read.schema(s))
@@ -984,6 +1101,18 @@ object TargetTable {
     * writer's in-flight `appendIsolated` stage.
     */
   val StagingSweepAgeMs: Long = 15L * 60 * 1000
+
+  /** Single-writer lease file — a SIBLING of the target path (the swap
+    * path renames the target directory itself, and the lease must
+    * survive that).
+    */
+  val LeaseSuffix = "__writer_lease"
+
+  /** A lease whose heartbeat is older than this is held by a dead
+    * process and may be taken over. Writers heartbeat once per period /
+    * per compacted partition, so a live holder is always far fresher.
+    */
+  val LeaseStaleMs: Long = 10L * 60 * 1000
 
   private[ibtp] val log = org.slf4j.LoggerFactory.getLogger(classOf[TargetTable])
 }

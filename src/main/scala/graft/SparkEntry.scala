@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQueries, TemporalQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, IbtpQueries, StreamingQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -125,6 +125,7 @@ object SparkEntry {
     "q80_table_profile" -> (CurationQueries.tableProfile _),
     "q81_bpe_merges" -> (ExtensionQueries.bpeMerges _),
     "q82_lm_perplexity" -> (ExtensionQueries.lmPerplexity _),
+    "q83_stream_catchup" -> (StreamingQueries.streamCatchup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -208,5 +209,6 @@ object SparkEntry {
     "q80_table_profile" -> CurationQueries.tableProfileSql,
     "q81_bpe_merges" -> ExtensionQueries.bpeMergesSql,
     "q82_lm_perplexity" -> ExtensionQueries.lmPerplexitySql,
+    "q83_stream_catchup" -> StreamingQueries.streamCatchupSql,
   )
 }

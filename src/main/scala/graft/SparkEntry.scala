@@ -126,6 +126,7 @@ object SparkEntry {
     "q81_bpe_merges" -> (ExtensionQueries.bpeMerges _),
     "q82_lm_perplexity" -> (ExtensionQueries.lmPerplexity _),
     "q83_stream_catchup" -> (StreamingQueries.streamCatchup _),
+    "q84_period_autosize" -> (IbtpQueries.loopAutoSized _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -210,5 +211,6 @@ object SparkEntry {
     "q81_bpe_merges" -> ExtensionQueries.bpeMergesSql,
     "q82_lm_perplexity" -> ExtensionQueries.lmPerplexitySql,
     "q83_stream_catchup" -> StreamingQueries.streamCatchupSql,
+    "q84_period_autosize" -> IbtpQueries.loopOracleSql,
   )
 }

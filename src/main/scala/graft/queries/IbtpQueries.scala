@@ -62,6 +62,38 @@ object IbtpQueries {
   def loopMonthly(spark: SparkSession, dir: String): DataFrame =
     runLoop(spark, dir, PeriodUnit.Month)
 
+  /** Engine-chosen period (`--period auto`): no explicit start/stop/
+    * period at all — the boundary probe resolves the window from the
+    * source (reference `get_start_stop_dates`) and [[PeriodSizing]]
+    * picks the finest period whose expected chunk reaches the band
+    * minimum (`/root/reference/README.md:104`'s 6–60M guidance as
+    * behavior; the band here is scaled to the fixtures). The band is
+    * chosen so the DECISION varies with scale — ~33 rows/day/sf0.001
+    * gives Month at sf0.001, Week at sf0.01, Day at sf0.1+ — yet the
+    * loop ≡ one-shot oracle holds for whichever tiling the engine
+    * picked, which is exactly what makes auto-sizing safe to trust.
+    */
+  def loopAutoSized(spark: SparkSession, dir: String): DataFrame = {
+    // window like the other loop queries (probed max + 1 day — the
+    // engine's stop is an exclusive clamp); the PERIOD is what stays
+    // unset and engine-chosen here
+    val cfg0 = IbtpConfig(timestampField = "day", dateSourceModels = Seq("__events"))
+    val (minD, maxD) = Boundaries.resolveStartStop(
+      spark, cfg0.copy(timestampField = "ts"),
+      Map("__events" -> Tables.events(spark, dir)))
+    val cfg = IbtpConfig(timestampField = "ts",
+      startDate = Some(minD), stopDate = Some(maxD.get.plusDays(1)),
+      dateSourceModels = Seq("__events"))
+    val targetDir = Files.createTempDirectory("ibtp_q_autosize").toString
+    val target = new TargetTable(spark, targetDir, "day", countRows = false)
+    val res = IbtpRunner.run(spark, dailyModel(dir), target,
+      IbtpRunner.RunParams(cfg, autoPeriod = true,
+        minChunkRows = 1000, maxChunkRows = 100000, maxConcurrentPeriods = 8),
+      sources = Map("__events" -> Tables.events(spark, dir)))
+    require(res.sizing.nonEmpty, "auto sizing must have made a choice")
+    target.read().orderBy(col("day"), col("event_type"))
+  }
+
   /** Full build, then an idempotent backfill of a mid-history window
     * with the same model — the final table must STILL equal the
     * one-shot oracle. Puts the delete-then-insert replacement path

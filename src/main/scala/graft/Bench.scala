@@ -36,7 +36,12 @@ object Bench {
         catch { case t: Throwable => Some(t.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // optional arg: regex filtering query names — dev-side scale probes
+    // over a subset (the driver passes no args and benches everything)
+    val nameFilter = args.headOption.map(_.r)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => nameFilter.forall(_.findFirstIn(n).isDefined))
+    val results = selected.map { name =>
       val (t1, e1) = timed(name)
       if (e1.isDefined) (name, t1, e1)
       else {

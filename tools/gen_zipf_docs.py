@@ -18,7 +18,13 @@ genuine positives to find; all other pairs are unrelated draws.
 n_chars is recomputed to LENGTH(text) (the invariant queries rely on).
 Other tables are copied byte-for-byte from the source dir.
 
-Usage: python3 tools/gen_zipf_docs.py <src_dir> <dst_dir> [vocab=12000] [s=1.07]
+An optional replication `factor` tiles the template doc list N times
+(doc_id offset 10M per copy — clear of every query-fixture synthetic
+offset) before generating, for decade probes past the largest template
+(the sf10 spot-sweep). Texts stay per-doc_id deterministic, so copies
+are fresh Zipf draws, not near-duplicates of each other.
+
+Usage: python3 tools/gen_zipf_docs.py <src> <dst> [vocab=12000] [s=1.07] [factor=1]
 """
 import os
 import shutil
@@ -52,26 +58,34 @@ def gen_texts(doc_ids, tok_counts, vocab, s):
     return texts
 
 
-def main(src, dst, vocab=12000, s=1.07):
+def main(src, dst, vocab=12000, s=1.07, factor=1):
     os.makedirs(dst, exist_ok=True)
     for f in os.listdir(src):
         if f.endswith(".parquet") and f != "documents.parquet":
             shutil.copyfile(f"{src}/{f}", f"{dst}/{f}")
     t = pq.read_table(f"{src}/documents.parquet")
-    doc_ids = t.column("doc_id").to_pylist()
-    tok_counts = [max(4, len(v.split(" "))) for v in
-                  t.column("text").to_pylist()]
-    texts = gen_texts(doc_ids, tok_counts, vocab, s)
-    cols = []
-    for field in t.schema:
-        if field.name == "text":
-            cols.append(pa.array(texts, type=field.type))
-        elif field.name == "n_chars":
-            cols.append(pa.array([len(x) for x in texts], type=field.type))
-        else:
-            cols.append(t.column(field.name))
-    pq.write_table(pa.table(cols, schema=t.schema),
-                   f"{dst}/documents.parquet", version="2.6")
+    base_ids = t.column("doc_id").to_pylist()
+    base_counts = [max(4, len(v.split(" "))) for v in
+                   t.column("text").to_pylist()]
+    copies = []
+    for k in range(factor):
+        doc_ids = [d + k * 10_000_000 for d in base_ids]
+        texts = gen_texts(doc_ids, base_counts, vocab, s)
+        cols = []
+        for field in t.schema:
+            if field.name == "doc_id":
+                cols.append(pa.array(doc_ids, type=field.type))
+            elif field.name == "text":
+                cols.append(pa.array(texts, type=field.type))
+            elif field.name == "n_chars":
+                cols.append(pa.array([len(x) for x in texts],
+                                     type=field.type))
+            else:
+                cols.append(t.column(field.name))
+        copies.append(pa.table(cols, schema=t.schema))
+    out = pa.concat_tables(copies)
+    pq.write_table(out, f"{dst}/documents.parquet", version="2.6")
+    texts = [v.as_py() for v in out.column("text").combine_chunks()]
     # regime report: shingle df head vs the dedup pipelines' caps
     import collections
     df = collections.Counter()
@@ -92,4 +106,5 @@ def main(src, dst, vocab=12000, s=1.07):
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
          int(sys.argv[3]) if len(sys.argv) > 3 else 12000,
-         float(sys.argv[4]) if len(sys.argv) > 4 else 1.07)
+         float(sys.argv[4]) if len(sys.argv) > 4 else 1.07,
+         int(sys.argv[5]) if len(sys.argv) > 5 else 1)

@@ -127,6 +127,7 @@ object SparkEntry {
     "q82_lm_perplexity" -> (ExtensionQueries.lmPerplexity _),
     "q83_stream_catchup" -> (StreamingQueries.streamCatchup _),
     "q84_period_autosize" -> (IbtpQueries.loopAutoSized _),
+    "q85_rewrite_widen" -> (IbtpQueries.loopRewriteWiden _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -212,5 +213,6 @@ object SparkEntry {
     "q82_lm_perplexity" -> ExtensionQueries.lmPerplexitySql,
     "q83_stream_catchup" -> StreamingQueries.streamCatchupSql,
     "q84_period_autosize" -> IbtpQueries.loopOracleSql,
+    "q85_rewrite_widen" -> IbtpQueries.loopRewriteWidenSql,
   )
 }

@@ -97,7 +97,18 @@ object IbtpRunner {
         * counts stay bounded without a separate maintenance job.
         * None (default) = off, preserving the reference's behavior.
         */
-      autoCompactTargetFileBytes: Option[Long] = None)
+      autoCompactTargetFileBytes: Option[Long] = None,
+      /** Opt-in storage-rewrite widening under sync_all_columns: a
+        * type change that is value-preserving but unreadable through a
+        * widened sidecar over historic parquet (date→timestamp,
+        * x→string) rewrites the table's storage through the cast —
+        * crash-safe via the init backup swap — instead of failing with
+        * the full-refresh remedy. Off by default: the rewrite is a
+        * full-table pass, which at scale should be a deliberate choice
+        * (the reference's warehouse ALTER does the same rewrite
+        * server-side, silently).
+        */
+      rewriteWidening: Boolean = false)
 
   /** One materialization run, serialized per target by the writer
     * lease: the crash repairs below and the loop's intent-marker state
@@ -265,7 +276,8 @@ object IbtpRunner {
       else effectiveCfg.onSchemaChange
     slices.headOption.foreach { s =>
       val probe = model.query(spark, PeriodBounds(s.from, s.to))
-      target.evolveSchema(probe.schema, schemaMode) // df.schema is free pre-execution
+      // df.schema is free pre-execution
+      target.evolveSchema(probe.schema, schemaMode, params.rewriteWidening)
       // the reference widens target column types UNCONDITIONALLY each
       // iteration (`loop.sql:78-79`), independent of on_schema_change —
       // an int column becoming long mid-history widens the target

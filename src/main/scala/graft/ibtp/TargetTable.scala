@@ -659,7 +659,8 @@ final class TargetTable(
     * (the reference likewise alters the table, not the rows). Call
     * before the first write of a run.
     */
-  def evolveSchema(incoming: StructType, mode: OnSchemaChange): Unit = {
+  def evolveSchema(incoming: StructType, mode: OnSchemaChange,
+      rewriteWidening: Boolean = false): Unit = {
     if (!exists) return
     val current = read().schema
     val curNames = current.fields.map(_.name).toSet
@@ -676,22 +677,70 @@ final class TargetTable(
         if (extra.nonEmpty)
           writeSchemaSidecar(StructType(current.fields ++ extra))
       case OnSchemaChange.SyncAllColumns =>
+        var needsRewrite = false
         val widened = incoming.fields.filterNot(_.name == PartitionCol).map { inF =>
           current.fields.find(_.name == inF.name) match {
             case Some(curF) =>
-              val t = SchemaEvolution.widen(curF.dataType, inF.dataType).getOrElse(
-                throw new IllegalStateException(
+              val t = SchemaEvolution.widen(curF.dataType, inF.dataType)
+                .orElse {
+                  // reader-rejected but value-preserving change
+                  // (date→timestamp, x→string, …): with the opt-in, the
+                  // historic storage is rewritten through the cast — the
+                  // Spark analogue of the warehouse ALTER the reference
+                  // relies on, which rewrites storage server-side
+                  if (rewriteWidening)
+                    SchemaEvolution.widenByRewrite(curF.dataType, inF.dataType)
+                      .map { t => needsRewrite = true; t }
+                  else None
+                }
+                .getOrElse(throw new IllegalStateException(
                   s"column ${inF.name}: cannot evolve ${curF.dataType} to " +
                     s"${inF.dataType} in place — historic parquet files cannot " +
                     "be read through the widened type (stricter than the " +
                     "reference's warehouse ALTER, which rewrites storage); " +
-                    "rebuild via full-refresh to apply this change"))
+                    (if (SchemaEvolution.widenByRewrite(
+                        curF.dataType, inF.dataType).isDefined)
+                      "opt into RunParams.rewriteWidening to rewrite historic " +
+                        "storage through the cast, or rebuild via full-refresh"
+                    else
+                      "no common type holds both losslessly — rebuild via " +
+                        "full-refresh to apply this change")))
               StructField(inF.name, t, nullable = true)
             case None => inF
           }
         }
-        writeSchemaSidecar(StructType(widened))
+        if (needsRewrite) rewriteTo(StructType(widened))
+        else writeSchemaSidecar(StructType(widened))
     }
+  }
+
+  /** Storage-rewrite widening — reads every historic row, casts it to
+    * the desired user schema (nested restructure by name, same
+    * expression layer as [[alignToTarget]]), and re-inits through the
+    * crash-safe backup swap, so every crash point repairs exactly like
+    * a full-refresh init's ([[repairOrphanedSwap]]). Partition values
+    * are preserved: `p_date = CAST(timestampField AS DATE)` recomputes
+    * to the same day (a widened timestampField is value-preserving by
+    * [[SchemaEvolution.canSafelyCast]]), and NULL-ts rows re-land in
+    * the default partition. Cost is a FULL-TABLE rewrite — at 100 TB
+    * prefer types that stay inside the parquet reader's promotion set
+    * (metadata-only [[evolveSchema]]); this is the escape hatch the
+    * caller must opt into per run.
+    */
+  private def rewriteTo(desired: StructType): Unit = {
+    val cur      = read()
+    val curField = cur.schema.fields.map(f => f.name -> f).toMap
+    val cols = desired.fields.map { tf =>
+      curField.get(tf.name) match {
+        case Some(cf) => alignExpr(col(cf.name), cf.dataType, tf.dataType).as(tf.name)
+        case None     => lit(null).cast(tf.dataType).as(tf.name)
+      }
+    }
+    TargetTable.log.warn(
+      s"rewriteWidening: rewriting all historic storage of $path to apply a " +
+        "reader-incompatible type change (full-table rewrite)")
+    init(cur.select(cols.toIndexedSeq: _*))
+    ()
   }
 
   /** Unconditional target type-widening — the reference calls
@@ -1228,32 +1277,60 @@ object SchemaEvolution {
     * reader-rejected for historic parquet (date→timestamp,
     * anything→string, long→double) return None here, because accepting
     * them would brick every read of the table's history. The remedy for
-    * such a change is a full-refresh rebuild, and
+    * such a change is a full-refresh rebuild or the opt-in
+    * storage-rewrite path ([[widenByRewrite]] under
+    * `RunParams.rewriteWidening` — the Spark analogue of the
+    * warehouse ALTER, which rewrites storage server-side), and
     * [[TargetTable.evolveSchema]]'s error says so.
     */
-  def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
-    case (as: StructType, bs: StructType) =>
-      val names = as.fields.map(_.name) ++
-        bs.fields.map(_.name).filterNot(as.fieldNames.contains)
-      val merged = names.map { n =>
-        (as.fields.find(_.name == n), bs.fields.find(_.name == n)) match {
-          case (Some(af), Some(bf)) =>
-            widen(af.dataType, bf.dataType)
-              .map(t => StructField(n, t, nullable = true))
-          // union semantics need nullability: a one-sided field is NULL
-          // for the other side's rows
-          case (Some(af), None) => Some(af.copy(nullable = true))
-          case (None, Some(bf)) => Some(bf.copy(nullable = true))
-          case (None, None)     => None // unreachable
+  def widen(a: DataType, b: DataType): Option[DataType] =
+    merge(a, b)((x, y) =>
+      Seq(y, x).find(t => canPromoteOnRead(x, t) && canSafelyCast(y, t)))
+
+  /** The type a target column can reach when historic STORAGE IS
+    * REWRITTEN (every on-disk value cast, [[TargetTable]]'s rewrite
+    * path) rather than read through a widened sidecar: both the
+    * historic type and the incoming type need only CAST safely into
+    * the result. Strictly more permissive than [[widen]] — it accepts
+    * the reader-rejected-but-value-preserving set (date→timestamp,
+    * anything→string, decimal(≤15,s)→double). None = no common type
+    * holds both sides losslessly (e.g. long vs double) — only a
+    * full-refresh (recompute from source) can change those.
+    */
+  def widenByRewrite(a: DataType, b: DataType): Option[DataType] =
+    merge(a, b)((x, y) =>
+      Seq(y, x).find(t => canSafelyCast(x, t) && canSafelyCast(y, t)))
+
+  /** Shared recursion for the widening matrices: structs merge by
+    * field-name union (a one-sided field stays, nullable — NULL for
+    * the other side's rows), arrays/maps widen element/key/value,
+    * scalars resolve through `leaf`.
+    */
+  private def merge(a: DataType, b: DataType)(
+      leaf: (DataType, DataType) => Option[DataType]): Option[DataType] =
+    (a, b) match {
+      case (as: StructType, bs: StructType) =>
+        val names = as.fields.map(_.name) ++
+          bs.fields.map(_.name).filterNot(as.fieldNames.contains)
+        val merged = names.map { n =>
+          (as.fields.find(_.name == n), bs.fields.find(_.name == n)) match {
+            case (Some(af), Some(bf)) =>
+              merge(af.dataType, bf.dataType)(leaf)
+                .map(t => StructField(n, t, nullable = true))
+            case (Some(af), None) => Some(af.copy(nullable = true))
+            case (None, Some(bf)) => Some(bf.copy(nullable = true))
+            case (None, None)     => None // unreachable
+          }
         }
-      }
-      if (merged.forall(_.isDefined)) Some(StructType(merged.flatten.toIndexedSeq))
-      else None
-    case (ArrayType(e1, n1), ArrayType(e2, n2)) =>
-      widen(e1, e2).map(t => ArrayType(t, n1 || n2))
-    case (MapType(k1, v1, n1), MapType(k2, v2, n2)) =>
-      for { k <- widen(k1, k2); v <- widen(v1, v2) } yield MapType(k, v, n1 || n2)
-    case _ =>
-      Seq(b, a).find(t => canPromoteOnRead(a, t) && canSafelyCast(b, t))
-  }
+        if (merged.forall(_.isDefined)) Some(StructType(merged.flatten.toIndexedSeq))
+        else None
+      case (ArrayType(e1, n1), ArrayType(e2, n2)) =>
+        merge(e1, e2)(leaf).map(t => ArrayType(t, n1 || n2))
+      case (MapType(k1, v1, n1), MapType(k2, v2, n2)) =>
+        for {
+          k <- merge(k1, k2)(leaf)
+          v <- merge(v1, v2)(leaf)
+        } yield MapType(k, v, n1 || n2)
+      case _ => leaf(a, b)
+    }
 }

@@ -225,6 +225,73 @@ object IbtpQueries {
     target.read().orderBy(col("day"), col("event_type"))
   }
 
+  /** Build the first half of history with `last_seen` as DATE, then
+    * resume with the model emitting TIMESTAMP under
+    * `on_schema_change=sync_all_columns` + the opt-in
+    * [[IbtpRunner.RunParams.rewriteWidening]]. DATE→TIMESTAMP is
+    * value-preserving but NOT a parquet read promotion, so the
+    * metadata-only widening path must refuse it; the rewrite path
+    * instead rewrites historic storage through the cast (the Spark
+    * analogue of the warehouse-side ALTER behind the reference's
+    * `expand_target_column_types`, `insert_by_timeperiod_loop.sql:78-79`,
+    * which rewrites storage server-side). The oracle replays the
+    * regime split: days built in phase one carry the midnight cast of
+    * their old DATE value, later days the true MAX(ts).
+    */
+  def loopRewriteWiden(spark: SparkSession, dir: String): DataFrame = {
+    val cfg0 = IbtpConfig(timestampField = "day", dateSourceModels = Seq("__events"))
+    val (minD, maxD) = Boundaries.resolveStartStop(
+      spark, cfg0.copy(timestampField = "ts"),
+      Map("__events" -> Tables.events(spark, dir)))
+    val stop = maxD.get.plusDays(1)
+    val mid = minD.plusDays(15)
+    def model(tsTyped: Boolean): IbtpModel = new IbtpModel {
+      def query(s: SparkSession, b: PeriodBounds): DataFrame =
+        Tables.eventsRange(s, dir, b.from, b.to)
+          .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            (if (tsTyped) max(col("ts")) else max(col("ts")).cast("date"))
+              .as("last_seen"))
+    }
+    val cfg = IbtpConfig(timestampField = "day",
+      startDate = Some(minD), stopDate = Some(stop), period = PeriodUnit.Week,
+      onSchemaChange = OnSchemaChange.SyncAllColumns)
+    val targetDir = Files.createTempDirectory("ibtp_q_rewiden").toString
+    val target = new TargetTable(spark, targetDir, "day", countRows = false)
+    // first half lands with last_seen as DATE
+    IbtpRunner.run(spark, model(tsTyped = false), target,
+      IbtpRunner.RunParams(cfg.copy(stopDate = Some(mid)), maxConcurrentPeriods = 8))
+    require(target.read().schema("last_seen").dataType ==
+      org.apache.spark.sql.types.DateType)
+    // resume with TIMESTAMP: sync_all_columns + rewriteWidening rewrites
+    // the historic storage through the cast, then the loop continues
+    IbtpRunner.run(spark, model(tsTyped = true), target,
+      IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8, rewriteWidening = true))
+    require(target.read().schema("last_seen").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    target.read().orderBy(col("day"), col("event_type"))
+  }
+
+  /** Replays [[loopRewriteWiden]]'s regime split: phase-one days carry
+    * the midnight cast of the old DATE value (`CAST(day AS TIMESTAMP)`
+    * — the storage rewrite's cast of `CAST(MAX(ts) AS DATE)`), later
+    * days the true MAX(ts).
+    */
+  val loopRewriteWidenSql: String =
+    """WITH bounds AS (
+      |  SELECT MIN(CAST(ts AS DATE)) + 15 AS mid FROM events
+      |),
+      |agg AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         COUNT(*) AS n_events, MAX(ts) AS max_ts
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT day, event_type, n_events,
+      |       CASE WHEN day < b.mid THEN CAST(day AS TIMESTAMP)
+      |            ELSE max_ts END AS last_seen
+      |FROM agg, bounds b
+      |ORDER BY day, event_type""".stripMargin
+
   /** The reference's recommended integrity workflow as a query: build
     * WITHOUT a unique key (`/root/reference/README.md:102` — key-driven
     * deletes are slow; "test for uniqueness only"), deliberately

@@ -17,6 +17,8 @@ import graft.sources.{GraftSession, Tables}
   *   [--min-chunk-rows N] [--max-chunk-rows N]   (auto-period band)
   *   [--full-refresh] [--backfill] [--sf-dir /root/testdata/sf0.001]
   *   [--on-schema-change ignore|fail|append_new_columns|sync_all_columns]
+  *   [--rewrite-widening]   (sync_all_columns: allow full-storage rewrite
+  *                           for reader-incompatible but cast-safe types)
   *   [--guard-period-filter] [--max-concurrent-periods N]
   *   [--pre-hook SQL]... [--post-hook SQL]...   (repeat the flag per statement)
   *   [--sample-schema-sql file.sql] [--compact-after]
@@ -118,7 +120,8 @@ object IbtpCli {
           // in-loop maintenance, scoped to the run window (vs
           // --compact-after's whole-table pass)
           autoCompactTargetFileBytes =
-            opts.get("auto-compact-bytes").map(_.toLong)))
+            opts.get("auto-compact-bytes").map(_.toLong),
+          rewriteWidening = opts.contains("rewrite-widening")))
       println(s"[ibtp] done: mode=${res.mode} period=${res.period.name} " +
         s"periods=${res.periodsRun.size} rows=${res.rowsInserted}")
       // post-load integrity gate: the reference's "run without

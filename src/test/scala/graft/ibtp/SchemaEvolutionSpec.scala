@@ -215,6 +215,88 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(e.getMessage.contains("full-refresh"))
   }
 
+  test("widenByRewrite matrix: reader-rejected but value-preserving set") {
+    import SchemaEvolution._
+    // accepted by rewrite (every on-disk value is cast) though the
+    // sidecar-only path rejects them
+    assert(widen(DateType, TimestampType).isEmpty)
+    assert(widenByRewrite(DateType, TimestampType).contains(TimestampType))
+    assert(widen(LongType, StringType).isEmpty)
+    assert(widenByRewrite(LongType, StringType).contains(StringType))
+    assert(widenByRewrite(DecimalType(10, 2), DoubleType).contains(DoubleType))
+    // still impossible even with a rewrite: no common lossless type
+    assert(widenByRewrite(LongType, DoubleType).isEmpty)
+    assert(widenByRewrite(LongType, IntegerType).contains(LongType)) // narrower incoming casts up
+    // nested leaf through the rewrite matrix
+    val sD = StructType(Seq(StructField("at", DateType)))
+    val sT = StructType(Seq(StructField("at", TimestampType)))
+    assert(widen(sD, sT).isEmpty)
+    assert(widenByRewrite(sD, sT).contains(sT))
+  }
+
+  test("sync_all_columns rewriteWidening: storage rewrite applies reader-rejected widenings") {
+    val t = new TargetTable(spark, tmpDir("se_rewrite"), "day")
+    t.init(Seq((java.sql.Date.valueOf("2024-01-01"), "a", 1L))
+      .toDF("day", "k", "v"))
+    val datesBefore = t.partitionDates
+    // v goes long -> string: value-preserving, but historic INT64 files
+    // cannot be READ as string, so the metadata-only path must refuse
+    // and point at the opt-in
+    val incoming = Seq((java.sql.Date.valueOf("2024-01-02"), "b", "two"))
+      .toDF("day", "k", "v")
+    val e = intercept[IllegalStateException] {
+      t.evolveSchema(incoming.schema, OnSchemaChange.SyncAllColumns)
+    }
+    assert(e.getMessage.contains("rewriteWidening"))
+    assert(t.read().schema("v").dataType == LongType, "refusal left the table intact")
+    // with the opt-in, history is rewritten through the cast
+    t.evolveSchema(incoming.schema, OnSchemaChange.SyncAllColumns,
+      rewriteWidening = true)
+    assert(t.read().schema("v").dataType == StringType)
+    assert(t.partitionDates == datesBefore, "rewrite preserves day-partitions")
+    t.append(incoming)
+    val out = t.read().orderBy(col("day")).collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("1", "two"),
+      "historic value cast in storage; new row appended under the new type")
+    // genuinely incompatible still refuses WITH the opt-in, naming full-refresh
+    val bad = Seq((java.sql.Date.valueOf("2024-01-03"), "c", 0.5))
+      .toDF("day", "k", "v2").withColumnRenamed("v2", "v")
+    val t2 = new TargetTable(spark, tmpDir("se_rewrite_bad"), "day")
+    t2.init(Seq((java.sql.Date.valueOf("2024-01-01"), "a", 1L)).toDF("day", "k", "v"))
+    val e2 = intercept[IllegalStateException] {
+      t2.evolveSchema(bad.schema, OnSchemaChange.SyncAllColumns,
+        rewriteWidening = true)
+    }
+    assert(e2.getMessage.contains("full-refresh"))
+  }
+
+  test("runner-level rewriteWidening: date column becomes timestamp mid-history") {
+    val t = new TargetTable(spark, tmpDir("se_rewrite_run"), "day")
+    val jan1 = LocalDate.of(2024, 1, 1)
+    def model(tsTyped: Boolean): IbtpModel = IbtpModel.DfModel { (s, from, to) =>
+      val base = table("events")
+        .filter(col("ts") >= from && col("ts") < to)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(max(col("ts")).as("seen"))
+      if (tsTyped) base else base.withColumn("seen", col("seen").cast("date"))
+    }
+    val cfg = IbtpConfig("day", Some(jan1), Some(jan1.plusDays(4)),
+      onSchemaChange = OnSchemaChange.SyncAllColumns)
+    IbtpRunner.run(spark, model(false), t,
+      IbtpRunner.RunParams(cfg, today = jan1.plusDays(4)))
+    assert(t.read().schema("seen").dataType == DateType)
+    // catch-up run upgrades seen from DATE to TIMESTAMP via the opt-in
+    val cfg2 = cfg.copy(stopDate = Some(jan1.plusDays(8)))
+    IbtpRunner.run(spark, model(true), t,
+      IbtpRunner.RunParams(cfg2, today = jan1.plusDays(8),
+        rewriteWidening = true))
+    val out = t.read()
+    assert(out.schema("seen").dataType == TimestampType)
+    assert(out.count() == 8)
+    // historic days carry the midnight-preserving cast of their old DATE
+    assert(out.filter(col("seen").cast("date") === col("day")).count() == 8)
+  }
+
   test("expandTargetColumnTypes refuses sidecar changes historic files can't be read with") {
     // pre-fix, an incoming DOUBLE column "widened" a LONG target via
     // the cast predicate, and every subsequent read of the table threw

@@ -508,6 +508,27 @@ final class TargetTable(
     */
   @volatile private var heldLeaseId: Option[String] = None
 
+  /** Background heartbeat daemon for the held lease's lifetime. The
+    * explicit per-period / per-partition [[heartbeatLease]] calls are
+    * kept (they also surface a lost lease at each commit boundary),
+    * but they alone cannot cover long SINGLE steps — the init CTAS, a
+    * [[rewriteTo]] full-table pass, or one period materialization
+    * longer than [[TargetTable.LeaseStaleMs]] would otherwise look
+    * stale mid-flight and invite a takeover exactly when it is most
+    * destructive. The daemon beats every [[TargetTable.LeaseHeartbeatMs]]
+    * (clamped far inside the staleness window) regardless of what the
+    * main thread is doing.
+    */
+  @volatile private var heartbeatDaemon: Option[Thread] = None
+
+  /** Set when a heartbeat discovers the lease now belongs to someone
+    * else (a takeover while we looked stale). The daemon cannot abort
+    * the main thread directly; instead every explicit
+    * [[heartbeatLease]] call rethrows this, so the run fails at its
+    * next commit boundary instead of writing alongside the new holder.
+    */
+  @volatile private var leaseLost: Option[Throwable] = None
+
   def withWriterLease[T](staleAfterMillis: Long = LeaseStaleMs)(body: => T): T =
     if (heldLeaseId.isDefined) body
     else {
@@ -540,6 +561,16 @@ final class TargetTable(
         .toOption.flatten.getOrElse(Map.empty)
       val age = kv.get("heartbeat").flatMap(h => h.toLongOption)
         .map(System.currentTimeMillis() - _)
+        .orElse {
+          // unreadable lease: usually a torn read of a live holder's
+          // in-place heartbeat rewrite (→ mtime is fresh → fail fast
+          // below), but a holder that DIED mid-rewrite leaves a corrupt
+          // file forever — without this mtime fallback it would block
+          // takeover permanently instead of going stale
+          scala.util.Try(fs.getFileStatus(leaseFile).getModificationTime)
+            .toOption.filter(_ > 0)
+            .map(System.currentTimeMillis() - _)
+        }
       // takeover ONLY on a provably stale heartbeat; unknown age (race
       // or transient unreadability) fails fast like a fresh lease
       if (!age.exists(_ > staleAfterMillis))
@@ -554,39 +585,131 @@ final class TargetTable(
         s"taking over stale writer lease on $path " +
           s"(holder ${kv.getOrElse("holder", "?")}, heartbeat ${
             age.fold("unknown")(a => s"${a / 1000}s")} ago)")
-      fs.delete(leaseFile, false)
+      // atomic takeover claim: rename the stale file aside instead of
+      // deleting it. Two contenders that both observed the stale
+      // heartbeat race here — rename-of-a-missing-source fails, so
+      // exactly one wins; with delete-then-create the slower delete
+      // would remove the WINNER's fresh lease and both would acquire.
+      val aside = new Path(path + LeaseSuffix + s".stale-${id.take(8)}")
+      val claimed =
+        try fs.rename(leaseFile, aside)
+        catch { case _: java.io.IOException => false }
+      if (!claimed)
+        throw new IllegalStateException(
+          s"target $path: lost the lease takeover race — another writer " +
+            "claimed it first; retry once it completes")
+      fs.delete(aside, false)
       if (!tryCreate())
+        throw new IllegalStateException(
+          s"target $path: lost the lease takeover race — another writer " +
+            "claimed it first; retry once it completes")
+      // belt-and-braces for stores where create(overwrite=false) is not
+      // a true atomic claim (plain local FS): confirm the file we now
+      // read back is OURS before acting as the single writer
+      val mine = scala.util.Try(readKv(leaseFile, required = Seq("lease_id")))
+        .toOption.flatten.exists(_.get("lease_id").contains(id))
+      if (!mine)
         throw new IllegalStateException(
           s"target $path: lost the lease takeover race — another writer " +
             "claimed it first; retry once it completes")
     }
     heldLeaseId = Some(id)
+    leaseLost = None
+    startHeartbeatDaemon(staleAfterMillis)
     id
   }
 
+  private def startHeartbeatDaemon(staleAfterMillis: Long): Unit = {
+    val interval = math.max(200L, math.min(LeaseHeartbeatMs, staleAfterMillis / 4))
+    val t = new Thread(() => {
+      try {
+        while (heldLeaseId.isDefined && leaseLost.isEmpty) {
+          Thread.sleep(interval)
+          if (heldLeaseId.isDefined)
+            try heartbeatLease()
+            catch {
+              case _: InterruptedException => throw new InterruptedException
+              case e: IllegalStateException if leaseLost.isDefined => throw e
+              case e: Exception =>
+                // transient FS hiccup: the next beat retries; staleness
+                // only bites after many consecutive failures
+                TargetTable.log.warn(
+                  s"lease heartbeat on $path failed transiently: $e")
+            }
+        }
+      } catch { case _: InterruptedException | _: IllegalStateException => () }
+    }, s"graft-lease-heartbeat-${new Path(path).getName}")
+    t.setDaemon(true)
+    heartbeatDaemon = Some(t)
+    t.start()
+  }
+
+  private def stopHeartbeatDaemon(): Unit = {
+    heartbeatDaemon.foreach { t =>
+      t.interrupt()
+      t.join(5000)
+    }
+    heartbeatDaemon = None
+  }
+
   /** Refresh the held lease's heartbeat (no-op when not held). Cheap —
-    * one small marker rewrite — and called once per period load /
-    * compacted partition, far inside the staleness window.
+    * one small in-place rewrite — fired continuously by the background
+    * daemon and explicitly at each period load / compacted partition
+    * (the explicit calls are the points where a lost lease aborts the
+    * run). Throws if the lease turned out to belong to someone else.
+    *
+    * The rewrite is create(overwrite=true) IN PLACE, never
+    * delete-then-write: the lease file must not blink out of existence
+    * even for an instant, or a contender's create(overwrite=false)
+    * claim would succeed while this holder is alive. A reader that
+    * catches the truncate-write mid-flight lands on acquire's lenient
+    * path (unreadable → "held, age unknown" → fail fast). Ownership is
+    * verified both before and after the rewrite: a takeover that
+    * replaced the file (because WE looked stale) is detected and the
+    * run fails rather than silently stomping the new holder's lease
+    * and running alongside it.
     */
   def heartbeatLease(): Unit = synchronized {
-    // synchronized: concurrent period threads share this instance and
-    // the delete+rename pair below must not interleave
+    // synchronized: the daemon and concurrent period threads share this
+    // instance; the verify/rewrite/verify sequence must not interleave
+    leaseLost.foreach(e => throw e)
     heldLeaseId.foreach { id =>
-      // writeMarker renames tmp -> dst and rename onto an existing file
-      // fails on HDFS-like stores; the delete-first window is covered by
-      // acquire's lenient read (unknown age -> fail fast, never takeover)
-      fs.delete(leaseFile, false)
-      writeMarker(leaseFile, leaseContent(id))
+      // readable-and-someone-else's → lost; unreadable/absent is
+      // INCONCLUSIVE (a torn read of our own rewrite) → proceed: only
+      // we rewrite this file while we own it
+      def stillOurs(): Boolean =
+        scala.util.Try(readKv(leaseFile, required = Seq("lease_id")))
+          .toOption.flatten
+          .forall(_.get("lease_id").contains(id))
+      def lost(): Nothing = {
+        val e = new IllegalStateException(
+          s"target $path: writer lease lost — another writer took over " +
+            "(this holder's heartbeat went stale); aborting rather than " +
+            "running two writers' crash-repairs concurrently")
+        leaseLost = Some(e)
+        heldLeaseId = None
+        throw e
+      }
+      if (!stillOurs()) lost()
+      val out = fs.create(leaseFile, true) // in place: file never vanishes
+      try out.write(leaseContent(id).getBytes("UTF-8")) finally out.close()
+      if (!stillOurs()) lost()
     }
   }
 
   private[ibtp] def releaseWriterLease(id: String): Unit =
-    if (heldLeaseId.contains(id)) {
-      // only delete OUR lease: a takeover may have replaced the file
-      val owned = readKv(leaseFile, required = Seq("lease_id"))
-        .exists(_.get("lease_id").contains(id))
+    if (heldLeaseId.contains(id) || leaseLost.isDefined) {
+      stopHeartbeatDaemon()
+      // lenient read, like acquire: release runs in withWriterLease's
+      // finally, and a strict corrupt-marker throw here would mask the
+      // run's real result/exception. Unreadable → treat as not-owned
+      // (skip the delete — a takeover's half-written heartbeat must not
+      // be deleted by the OLD holder).
+      val owned = scala.util.Try(readKv(leaseFile, required = Seq("lease_id")))
+        .toOption.flatten.exists(_.get("lease_id").contains(id))
       if (owned) fs.delete(leaseFile, false)
       heldLeaseId = None
+      leaseLost = None
     }
 
   /** Unique-key upsert — reference B13+B14 (`loop.sql:100-107`):
@@ -709,8 +832,22 @@ final class TargetTable(
             case None => inF
           }
         }
-        if (needsRewrite) rewriteTo(StructType(widened))
-        else writeSchemaSidecar(StructType(widened))
+        if (needsRewrite) {
+          // sync_all_columns' contract for DROPPED columns is sidecar-
+          // only hiding: the bytes stay on disk, recoverable by re-
+          // adding the column. A full-table rewrite through `widened`
+          // (incoming fields only) would silently make the drop
+          // PHYSICAL — a model that transiently omits a column while
+          // rewriteWidening is set would destroy that column's history
+          // as a side effect of an unrelated type change. So the
+          // rewrite carries current-only columns through unchanged, and
+          // the sidecar written afterwards hides them like the
+          // metadata-only path does.
+          val currentOnly = current.fields.filterNot(f =>
+            inNames.contains(f.name) || f.name == PartitionCol)
+          rewriteTo(StructType(widened ++ currentOnly))
+          if (currentOnly.nonEmpty) writeSchemaSidecar(StructType(widened))
+        } else writeSchemaSidecar(StructType(widened))
     }
   }
 
@@ -1158,10 +1295,18 @@ object TargetTable {
   val LeaseSuffix = "__writer_lease"
 
   /** A lease whose heartbeat is older than this is held by a dead
-    * process and may be taken over. Writers heartbeat once per period /
-    * per compacted partition, so a live holder is always far fresher.
+    * process and may be taken over. A live holder's background daemon
+    * beats every [[LeaseHeartbeatMs]] regardless of what the main
+    * thread is doing, so staleness genuinely means a dead process —
+    * not a long CTAS, full-table rewrite, or slow period.
     */
   val LeaseStaleMs: Long = 10L * 60 * 1000
+
+  /** Background heartbeat cadence — an order of magnitude inside
+    * [[LeaseStaleMs]], so a holder survives many consecutive transient
+    * heartbeat failures before looking stale.
+    */
+  val LeaseHeartbeatMs: Long = 60L * 1000
 
   private[ibtp] val log = org.slf4j.LoggerFactory.getLogger(classOf[TargetTable])
 }

@@ -38,21 +38,33 @@ object StreamingIngest {
     * First non-empty batch on a fresh target runs init (CTAS + schema
     * sidecar); every batch after that overwrites its own partitions.
     */
-  def catchUp(transformed: DataFrame, target: TargetTable, checkpoint: String): Unit = {
-    val q = transformed.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          if (!target.exists) target.init(batch)
-          else target.overwritePartitions(batch)
+  def catchUp(transformed: DataFrame, target: TargetTable, checkpoint: String): Unit =
+    // The stream writes through the SAME crash-repair machinery as the
+    // batch loop (init swap, dynamic partition overwrite), so it is a
+    // writer like any other and must hold the single-writer lease for
+    // the query's lifetime — a batch run interleaving with a live
+    // catch-up would "repair" its in-flight state destructively, the
+    // exact class the lease serializes (reference warehouse txn,
+    // `insert_by_timeperiod_loop.sql:134`). `foreachBatch` runs on the
+    // driver, so the explicit per-micro-batch heartbeat surfaces a
+    // lost lease at the next batch boundary (the daemon keeps the
+    // lease fresh between batches regardless of batch duration).
+    target.withWriterLease() {
+      val q = transformed.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          target.heartbeatLease()
+          if (!batch.isEmpty) {
+            if (!target.exists) target.init(batch)
+            else target.overwritePartitions(batch)
+          }
+          ()
         }
-        ()
-      }
-      .start()
-    q.awaitTermination()
-  }
+        .start()
+      q.awaitTermination()
+    }
 
   /** Streaming incremental near-dup dedup: each micro-batch of
     * documents is checked against everything indexed so far (a

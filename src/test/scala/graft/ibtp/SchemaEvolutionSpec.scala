@@ -270,6 +270,34 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("full-refresh"))
   }
 
+  test("rewriteWidening does not destroy columns sync_all_columns drops") {
+    // sync_all_columns' drop is sidecar-only HIDING (bytes stay on disk,
+    // recoverable by re-adding the column). A model that transiently
+    // omits a column while also triggering a storage rewrite must not
+    // have that column's history physically destroyed as a side effect:
+    // the rewrite carries it through, the sidecar hides it.
+    val t = new TargetTable(spark, tmpDir("se_rewrite_drop"), "day")
+    t.init(Seq((java.sql.Date.valueOf("2024-01-01"), "a", 1L, 42L))
+      .toDF("day", "k", "v", "extra"))
+    // incoming widens v long->string (storage rewrite) AND omits extra
+    val incoming = Seq((java.sql.Date.valueOf("2024-01-02"), "b", "two"))
+      .toDF("day", "k", "v")
+    t.evolveSchema(incoming.schema, OnSchemaChange.SyncAllColumns,
+      rewriteWidening = true)
+    assert(t.read().columns.toSeq == Seq("day", "k", "v"),
+      "dropped column hidden from the projected schema")
+    assert(t.read().schema("v").dataType == StringType)
+    // recovery: the model re-adds the column -> historic values resurface
+    val back = Seq((java.sql.Date.valueOf("2024-01-03"), "c", "three", 7L))
+      .toDF("day", "k", "v", "extra")
+    t.evolveSchema(back.schema, OnSchemaChange.SyncAllColumns)
+    t.append(back)
+    val out = t.read().orderBy(col("day")).collect()
+    assert(out.map(r => Option(r.get(3)).map(_.toString).orNull).toSeq ==
+      Seq("42", "7"),
+      "pre-rewrite history of the transiently dropped column survived the rewrite")
+  }
+
   test("runner-level rewriteWidening: date column becomes timestamp mid-history") {
     val t = new TargetTable(spark, tmpDir("se_rewrite_run"), "day")
     val jan1 = LocalDate.of(2024, 1, 1)

@@ -100,4 +100,152 @@ class WriterLeaseSpec extends SparkSpecBase {
     t.compact()
     assert(!leaseFile(path).exists())
   }
+
+  // ---- heartbeat-window failure injection -------------------------------
+
+  test("a contender can never acquire through a heartbeat (in-place rewrite)") {
+    // regression for the delete-then-rename heartbeat: in the window
+    // where the old code had DELETED the lease file, a contender's
+    // create(overwrite=false) succeeded and two live writers ran. The
+    // in-place rewrite never removes the file, so a contender hammering
+    // acquire while the holder heartbeats in a tight loop must be
+    // rejected on every single attempt.
+    val path = tmpDir("lease_hb_hammer") + "/tbl"
+    val t1 = new TargetTable(spark, path, "day")
+    val id = t1.acquireWriterLease()
+    @volatile var acquired = 0
+    @volatile var stop = false
+    val contender = new Thread(() => {
+      val t2 = new TargetTable(spark, path, "day")
+      while (!stop)
+        try { t2.acquireWriterLease(); acquired += 1; stop = true }
+        catch { case _: IllegalStateException => () }
+    })
+    contender.start()
+    try (1 to 300).foreach(_ => t1.heartbeatLease())
+    finally { stop = true; contender.join(10000) }
+    assert(acquired == 0,
+      "a contender acquired the lease mid-heartbeat — the file blinked out")
+    t1.releaseWriterLease(id)
+    assert(!leaseFile(path).exists())
+  }
+
+  test("two contenders racing a stale takeover: exactly one wins") {
+    // regression for delete-then-create takeover: both contenders
+    // observe the stale heartbeat, both delete — the slower delete
+    // removes the winner's FRESH lease and both acquire. The
+    // rename-aside claim is atomic: one rename succeeds, the loser
+    // throws.
+    val path = tmpDir("lease_takeover_race") + "/tbl"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.writeString(leaseFile(path).toPath,
+      s"holder=0@dead\nlease_id=deadbeef\nheartbeat=${
+        System.currentTimeMillis() - TargetTable.LeaseStaleMs - 60000}\n")
+    val ready = new java.util.concurrent.CountDownLatch(2)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (1 to 2).map { _ =>
+      val t = new TargetTable(spark, path, "day")
+      val th = new Thread(() => {
+        ready.countDown(); go.await()
+        try { val i = t.acquireWriterLease(); wins.incrementAndGet(); t.releaseWriterLease(i) }
+        catch { case _: IllegalStateException => losses.incrementAndGet(); () }
+      })
+      th.start(); th
+    }
+    ready.await(); go.countDown()
+    ts.foreach(_.join(30000))
+    assert(wins.get() == 1 && losses.get() == 1,
+      s"stale takeover must have exactly one winner, got ${wins.get()} wins")
+  }
+
+  test("a takeover while the holder looked stale aborts the holder's next beat") {
+    val path = tmpDir("lease_lost") + "/tbl"
+    val t1 = new TargetTable(spark, path, "day")
+    val id = t1.acquireWriterLease()
+    // simulate a completed takeover (we looked stale, someone replaced
+    // us) — written through the Hadoop FS so its checksum sidecar stays
+    // consistent, as a real second process's write would be
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(
+      new org.apache.hadoop.fs.Path(path + TargetTable.LeaseSuffix), true)
+    try out.write(
+      s"holder=1@other\nlease_id=cafebabe\nheartbeat=${System.currentTimeMillis()}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] { t1.heartbeatLease() }
+    assert(e.getMessage.contains("writer lease lost"))
+    // the old holder must NOT delete or overwrite the new holder's lease
+    t1.releaseWriterLease(id)
+    val content = java.nio.file.Files.readString(leaseFile(path).toPath)
+    assert(content.contains("lease_id=cafebabe"),
+      "release after a lost lease must leave the new holder's file intact")
+    leaseFile(path).delete()
+  }
+
+  test("a corrupt lease (holder died mid-heartbeat) goes stale by mtime") {
+    val path = tmpDir("lease_corrupt") + "/tbl"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    // torn write: no parseable heartbeat at all
+    java.nio.file.Files.writeString(leaseFile(path).toPath, "holder=0@dead\nlea")
+    val t = new TargetTable(spark, path, "day")
+    // fresh mtime: could be a live holder's rewrite caught mid-flight -> fail fast
+    val e = intercept[IllegalStateException] { t.acquireWriterLease() }
+    assert(e.getMessage.contains("locked by writer"))
+    // old mtime: the writer died mid-rewrite long ago -> takeover, not deadlock
+    assert(leaseFile(path).setLastModified(
+      System.currentTimeMillis() - TargetTable.LeaseStaleMs - 60000))
+    val id = t.acquireWriterLease()
+    t.releaseWriterLease(id)
+    assert(!leaseFile(path).exists())
+  }
+
+  test("streaming catch-up holds the lease; a batch run is rejected mid-stream") {
+    import graft.streaming.{EventStream, StreamingIngest}
+    val src = tmpDir("lease_stream_src")
+    val ckp = tmpDir("lease_stream_ckp")
+    val path = tmpDir("lease_stream_tgt") + "/tbl"
+    spark.read.parquet(s"$sfDir/events.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/stage")
+    val f = new java.io.File(s"$src/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$src/events0.parquet"))
+    val target = new TargetTable(spark, path, "ts")
+    @volatile var streamDone = false
+    @volatile var streamErr: Option[Throwable] = None
+    val streamer = new Thread(() => {
+      try StreamingIngest.catchUp(
+        EventStream.readEvents(spark, src), target, ckp)
+      catch { case e: Throwable => streamErr = Some(e) }
+      finally streamDone = true
+    })
+    streamer.start()
+    // the stream acquires the lease BEFORE starting the query, so the
+    // file must appear; a batch contender at that moment is rejected
+    val deadline = System.currentTimeMillis() + 60000
+    while (!leaseFile(path).exists() && !streamDone &&
+      System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(leaseFile(path).exists() || !streamDone,
+      "stream finished without the lease file ever appearing")
+    if (leaseFile(path).exists()) {
+      val t2 = new TargetTable(spark, path, "ts")
+      try {
+        val i2 = t2.acquireWriterLease()
+        // acquire succeeded: only legitimate if the stream had already
+        // finished and released
+        assert(streamDone, "batch writer acquired the lease mid-stream")
+        t2.releaseWriterLease(i2)
+      } catch {
+        case e: IllegalStateException =>
+          assert(e.getMessage.contains("locked by writer"))
+      }
+    }
+    streamer.join(120000)
+    assert(streamErr.isEmpty, s"stream failed: $streamErr")
+    assert(!leaseFile(path).exists(), "stream must release the lease")
+    assert(target.read().count() > 0)
+  }
 }

@@ -199,6 +199,9 @@ object IbtpRunner {
     target.repairOrphanedCompact()
       .foreach(d => log(s"[ibtp] repaired orphaned compaction of $d"))
     target.sweepOrphanedStaging()
+    // reap retention-expired compaction leftovers (start-of-run is the
+    // single-writer point, like the staging sweep above)
+    target.vacuum()
 
     // ---- init path (`materialization.sql:68-77` → init.sql) ----------
     val needInit = !target.exists || mode == RunMode.FullRefresh

@@ -140,10 +140,34 @@ final class TargetTable(
     * Schema comes from the sidecar written at init — robust for targets
     * holding zero data files (schema-sample init, `init.sql:9-19`) and
     * skips footer-sampling schema inference on wide tables.
+    *
+    * Plans against the latest committed manifest when one exists: the
+    * scan's file set is the last COMMIT's, atomically, regardless of
+    * what a concurrent mutation has half-moved into the directory
+    * (staged compaction output, trash-parked replaced files, a
+    * mid-flight append). `basePath` keeps day-partition values (and
+    * pruning) derived from the file paths exactly as a directory read
+    * would. Pre-manifest tables fall back to directory listing until
+    * their first mutation commits a manifest.
     */
-  private def readRaw(): DataFrame = storedSchema match {
-    case Some(s) => spark.read.option("basePath", path).schema(s).parquet(path)
-    case None    => spark.read.option("basePath", path).parquet(path)
+  private def readRaw(): DataFrame = {
+    val reader = storedSchema
+      .fold(spark.read)(s => spark.read.schema(s))
+      .option("basePath", path)
+    latestManifest() match {
+      case Some(files) if files.nonEmpty =>
+        reader.parquet(files.map(rel => new Path(path, rel).toString): _*)
+      case Some(_) =>
+        // empty manifest: zero live files. The sidecar alone carries the
+        // schema (schema-sample init); an empty relation, NOT a dir read
+        // (stray staged/parked files must stay invisible).
+        storedSchema match {
+          case Some(s) =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          case None => reader.parquet(path)
+        }
+      case None => reader.parquet(path)
+    }
   }
 
   private def schemaSidecar = new Path(path, SchemaFile)
@@ -204,6 +228,10 @@ final class TargetTable(
     writeFullSidecar(full)
     if (fs.exists(backup)) fs.delete(backup, true)
     clearSwapIntent()
+    // fresh directory, fresh manifest history (readers pinned to the
+    // pre-refresh manifest are invalidated by the swap — a full refresh
+    // is a rebuild, not a snapshot-isolated mutation; see README)
+    commitManifestRelist()
     n
   }
 
@@ -277,6 +305,7 @@ final class TargetTable(
             "(target, staging, and backup all absent) — re-run the full refresh")
       }
       clearSwapIntent()
+      commitManifestRelist() // repaired directory is the new truth
       true
   }
 
@@ -284,7 +313,35 @@ final class TargetTable(
     * their own day-partitions; no shuffle beyond the model's own plan.
     */
   def append(df: DataFrame): Long =
-    writeCounted(withPartitionCol(alignToTarget(df)), path, "append")
+    writeObservedAppend(withPartitionCol(alignToTarget(df)))
+
+  /** Append to the target with the touched-partition set riding the
+    * write's observed metrics (like [[writeDynamicOverwrite]]), so the
+    * manifest commit afterwards re-lists only the partitions this
+    * write touched. `collect_set` skips NULLs, so NULL-ts rows are
+    * counted separately to cover their `__HIVE_DEFAULT_PARTITION__`
+    * directory.
+    */
+  private def writeObservedAppend(df: DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_app_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.observe(obs, count(lit(1)).as("n"),
+        collect_set(col(PartitionCol)).as("dates"),
+        count(when(col(PartitionCol).isNull, lit(1))).as("nulls"))
+      .write.mode("append").partitionBy(PartitionCol).parquet(path)
+    val m = obs.get
+    val touched = touchedDirs(m)
+    if (touched.nonEmpty) commitManifestTouched(touched)
+    if (countRows) m("n").asInstanceOf[Long] else -1L
+  }
+
+  private def touchedDirs(m: Map[String, Any]): Set[String] = {
+    val dates = m("dates").asInstanceOf[scala.collection.Seq[java.sql.Date]]
+      .map(d => s"$PartitionCol=${fmt.format(d.toLocalDate)}").toSet
+    if (m("nulls").asInstanceOf[Long] > 0L)
+      dates + s"$PartitionCol=$HiveDefaultPartition"
+    else dates
+  }
 
   /** Append safe under CONCURRENT callers: two Spark jobs appending to
     * one directory share the committer's `_temporary` staging and can
@@ -299,14 +356,23 @@ final class TargetTable(
       val n = writeCounted(withPartitionCol(alignToTarget(df)), stage.toString, "overwrite")
       val dst = new Path(path)
       if (!fs.exists(dst)) fs.mkdirs(dst)
-      fs.listStatus(stage).filter(_.getPath.getName.startsWith(s"$PartitionCol="))
-        .foreach { st =>
-          val dest = new Path(dst, st.getPath.getName)
-          if (!fs.exists(dest)) fs.rename(st.getPath, dest)
-          else // partition already present (e.g. init chunk): move files in
-            fs.listStatus(st.getPath).foreach(f =>
-              fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
-        }
+      val moved = fs.listStatus(stage).toSeq
+        .filter(_.getPath.getName.startsWith(s"$PartitionCol="))
+        .map(_.getPath.getName)
+      moved.foreach { name =>
+        val src = new Path(stage, name)
+        val dest = new Path(dst, name)
+        if (!fs.exists(dest)) fs.rename(src, dest)
+        else // partition already present (e.g. init chunk): move files in
+          fs.listStatus(src).foreach(f =>
+            fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+      }
+      // concurrent-period callers write DISJOINT partitions, so each
+      // call's touched-set relist only re-reads its own directories; a
+      // relist racing another call's half-moved partition is the same
+      // exposure a directory-listing reader had, now bounded to the
+      // moving partition instead of the whole table
+      if (moved.nonEmpty) commitManifestTouched(moved.toSet)
       n
     } finally if (fs.exists(stage)) fs.delete(stage, true)
   }
@@ -712,6 +778,194 @@ final class TargetTable(
       leaseLost = None
     }
 
+  // ---- reader-snapshot manifest ----------------------------------------
+  // A versioned file listing inside the target (`_graft_manifest/
+  // v<N>.list`, one relative data-file path per line, committed by
+  // atomic tmp→rename of a FRESH name) makes the live file set a
+  // single atomic pointer — the parquet-native analogue of a table
+  // format's commit log. [[read]] plans against the latest committed
+  // manifest instead of a directory listing, so a reader planning
+  // while a mutation is in flight sees the file set of the last commit
+  // — never a partial one. Replaced files are not deleted in place but
+  // parked on a trash list ([[vacuum]] reaps them after
+  // [[TargetTable.TrashRetentionMs]]), giving already-planned scans a
+  // grace window before their files disappear — the same
+  // retained-then-vacuumed discipline table formats use.
+  //
+  // Remaining windows, documented rather than closed (see README
+  // "Reader visibility"): the full-refresh backup swap and
+  // rewrite-widening replace the whole directory (a rebuild is not a
+  // snapshot-isolated operation here, exactly as the reference's
+  // rename-based full refresh is not), and Spark's own dynamic
+  // partition overwrite commit deletes replaced files at job-commit
+  // time (the manifest recommits immediately after, so only a scan
+  // planned INSIDE that commit instant can still hit a vanished file
+  // — it fails loudly, never returns partial rows silently).
+  //
+  // Scale note: a commit rewrites the full manifest (O(live files)
+  // text I/O) but LISTS only the touched partitions
+  // ([[commitManifestTouched]]) — at 100 TB the object-store LIST
+  // calls, not the manifest bytes, are the expensive part. A
+  // delta-log with periodic checkpoints is the production extension
+  // if single-file rewrites ever dominate.
+
+  private def manifestDir = new Path(path, ManifestDirName)
+  private def trashDir    = new Path(path, TrashDirName)
+
+  private def manifestVersions(): Seq[(Long, Path)] =
+    if (!fs.exists(manifestDir)) Nil
+    else fs.listStatus(manifestDir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".list"))
+        n.stripPrefix("v").stripSuffix(".list").toLongOption.map(_ -> st.getPath)
+      else None
+    }
+
+  private def readLines(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Relative live-file paths of the latest committed manifest, if this
+    * target has one (tables written before the manifest era read via
+    * directory listing until their next mutation commits one).
+    */
+  private[ibtp] def latestManifest(): Option[Seq[String]] =
+    manifestVersions().maxByOption(_._1).map { case (_, p) => readLines(p) }
+
+  /** Commit `files` as the next manifest version: write to a tmp name,
+    * rename to the fresh versioned name (atomic — readers see the old
+    * or the new version, never a torn one), prune old versions beyond
+    * [[TargetTable.ManifestKeep]]. Mutators run under the writer lease;
+    * `synchronized` additionally serializes in-process concurrent
+    * period appends sharing this instance.
+    */
+  private def commitManifest(files: Seq[String]): Unit = synchronized {
+    if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
+    val content = files.distinct.sorted.mkString("", "\n", "\n")
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val next = manifestVersions().map(_._1).maxOption.getOrElse(0L) + 1
+      val tmp = new Path(manifestDir,
+        s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      done = fs.rename(tmp, new Path(manifestDir, f"v$next%020d.list"))
+      if (!done) {
+        fs.delete(tmp, false)
+        if (attempts >= 5) throw new IllegalStateException(
+          s"could not commit manifest v$next under $manifestDir after " +
+            s"$attempts attempts — is another writer running without the lease?")
+      }
+    }
+    val vs = manifestVersions().sortBy(_._1)
+    vs.dropRight(ManifestKeep).foreach { case (_, p) => fs.delete(p, false) }
+  }
+
+  private def isDataFileName(n: String): Boolean =
+    !n.startsWith("_") && !n.startsWith(".")
+
+  private def allPartitionDirs(): Seq[Path] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(s"$PartitionCol="))
+  }
+
+  /** List current data files of `dirs` as relative paths, excluding
+    * trash-parked replacements (still on disk for pinned readers, no
+    * longer live).
+    */
+  private def listLiveFiles(dirs: Seq[Path], trashed: Set[String]): Seq[String] =
+    dirs.flatMap { d =>
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isFile && isDataFileName(st.getPath.getName))
+        .map(st => s"${d.getName}/${st.getPath.getName}")
+        .filterNot(trashed.contains)
+    }
+
+  private def trashedFiles(): Set[String] =
+    if (!fs.exists(trashDir)) Set.empty
+    else fs.listStatus(trashDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
+      .flatMap(st => readLines(st.getPath)).toSet
+
+  /** Commit a manifest refreshing only the `touched` partition
+    * directories (names like `p_date=2024-01-01`), carrying the prior
+    * manifest's entries for every untouched partition — O(touched)
+    * listing, not O(table). Falls back to a full re-list when no
+    * manifest exists yet (pre-manifest table upgrade).
+    */
+  private def commitManifestTouched(touched: Set[String]): Unit = synchronized {
+    // synchronized around the whole read-modify-write: two concurrent
+    // period appends each basing their commit on the same prior version
+    // would have the second drop the first's files from the manifest
+    // a crashed compaction's staged-but-uncommitted files must not be
+    // absorbed into a fresh listing as if they were live rows
+    if (fs.exists(compactIntentFile)) repairOrphanedCompact()
+    latestManifest() match {
+      case None => commitManifestRelist()
+      case Some(prev) =>
+        val kept = prev.filterNot(f => touched.contains(f.takeWhile(_ != '/')))
+        val fresh = listLiveFiles(
+          touched.toSeq.map(new Path(path, _)), trashedFiles())
+        commitManifest(kept ++ fresh)
+    }
+  }
+
+  /** Full re-list commit — init, repairs, and first-manifest upgrades. */
+  private def commitManifestRelist(): Unit = synchronized {
+    if (fs.exists(compactIntentFile)) repairOrphanedCompact()
+    commitManifest(listLiveFiles(allPartitionDirs(), trashedFiles()))
+  }
+
+  /** Park replaced files for deferred deletion: a `.list` of relative
+    * paths under `_graft_trash/`, named by park time. The files stay
+    * at their original paths (a reader that planned against an older
+    * manifest keeps scanning them) until [[vacuum]] reaps entries older
+    * than the retention.
+    */
+  private def writeTrash(files: Seq[String]): Unit = if (files.nonEmpty) {
+    if (!fs.exists(trashDir)) fs.mkdirs(trashDir)
+    writeMarker(
+      new Path(trashDir,
+        s"${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}.list"),
+      files.mkString("", "\n", "\n"))
+  }
+
+  /** Physically delete trash-parked files older than the retention.
+    * Safe to run any time: trash entries are by construction absent
+    * from every manifest committed after they were parked, and part-
+    * file names are job-unique so a parked name can never be re-created
+    * live. Readers planned more than `olderThanMillis` ago may lose
+    * their files — size the retention to the longest scan you serve
+    * (the same contract as a table format's vacuum).
+    */
+  def vacuum(olderThanMillis: Long = TrashRetentionMs): Int =
+    if (!fs.exists(trashDir)) 0
+    else {
+      val cutoff = System.currentTimeMillis() - olderThanMillis
+      var removed = 0
+      fs.listStatus(trashDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
+        .foreach { st =>
+          val parked = st.getPath.getName.takeWhile(_ != '_').toLongOption
+          if (parked.exists(_ <= cutoff)) {
+            readLines(st.getPath).foreach { rel =>
+              val p = new Path(path, rel)
+              if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
+            }
+            fs.delete(st.getPath, false)
+          }
+        }
+      removed
+    }
+
   /** Unique-key upsert — reference B13+B14 (`loop.sql:100-107`):
     * `DELETE FROM target WHERE (uk) IN (SELECT (uk) FROM tmp)` then
     * insert. Parquet has no in-place DELETE, so:
@@ -760,7 +1014,7 @@ final class TargetTable(
           affected.diff(keptDates).foreach(deletePartition)
         }
       }
-      writeCounted(fresh, path, "append")
+      writeObservedAppend(fresh)
     } finally fresh.unpersist()
   }
 
@@ -986,21 +1240,24 @@ final class TargetTable(
     * independent job (resumable, bounded working set — the same design
     * as the load loop); partitions already at target are skipped
     * without reading data (size check is a pure metadata listing).
-    * Crash safety: staged files first move INTO the partition under
-    * dot-prefixed names (invisible to Spark's file listing — a reader
-    * never sees old and new rows together), originals are deleted only
-    * once every staged file is in place, and the hidden files are then
-    * unhidden. An intent marker recording both name sets brackets the
-    * sequence: a crash before the deletes begin rolls BACK (originals
-    * are untouched by construction), any later crash rolls FORWARD
-    * ([[repairOrphanedCompact]], invoked at every compact start and by
-    * the runner before each materialization) — data is never lost,
-    * matching `replaceRange`'s state machine. Concurrency caveat: the
-    * delete→unhide window is not atomic for READERS — a scan listing
-    * the partition inside it sees fewer (down to zero) rows for that
-    * day, and a scan planned before it can hit FileNotFoundException;
-    * run compaction when the partition is not being queried, as with
-    * any non-transactional file-level rewrite.
+    * Crash safety AND reader safety come from the manifest: staged
+    * files move into the partition (invisible to manifest readers —
+    * the manifest is the visibility layer, not the directory listing),
+    * ONE atomic manifest commit switches the partition from the
+    * original file set to the compacted one, and the originals are
+    * parked on the trash list (physically deleted by [[vacuum]] after
+    * the retention) instead of deleted in place. A reader planning at
+    * ANY instant sees the pre-compaction or post-compaction file set,
+    * never a partial one; a reader planned BEFORE the commit keeps
+    * scanning the originals until the retention expires. An intent
+    * marker recording both name sets brackets the sequence: before the
+    * manifest commit a crash rolls BACK (delete the staged copies —
+    * originals and manifest are untouched by construction), after it
+    * the crash rolls FORWARD (park the originals, clear the marker) —
+    * [[repairOrphanedCompact]] decides by whether the latest manifest
+    * contains the staged set. Data is never lost: originals leave the
+    * live set only via the same commit that publishes their
+    * replacement, and leave the DISK only via [[vacuum]].
     */
   def compact(
       from: Option[LocalDate] = None,
@@ -1023,6 +1280,10 @@ final class TargetTable(
     // runner's start-of-run sweep, at the single-writer point, uses no
     // gate)
     sweepOrphanedStaging(olderThanMillis = StagingSweepAgeMs)
+    vacuum() // reap prior compactions' retention-expired originals
+    // the manifest is compaction's visibility layer: ensure one exists
+    // BEFORE staging anything, so readers are pinned through the switch
+    if (latestManifest().isEmpty) commitManifestRelist()
     val userSchema = storedSchema
       .map(s => StructType(s.fields.filterNot(_.name == PartitionCol)))
     // the NULL-ts partition holds legitimate data outside the date
@@ -1037,9 +1298,15 @@ final class TargetTable(
       .map { case (d, p) => (Some(d), p) } ++
       (if (fs.exists(defaultDir)) Seq((None, defaultDir)) else Nil)
     parts.flatMap { case (d, dir) =>
+      // LIVE files only, from the manifest: trash-parked originals of a
+      // prior compaction are still in the directory within the
+      // retention and must be neither re-read (double rows) nor
+      // re-counted toward the file-count trigger
+      val live = latestManifest().getOrElse(Nil)
+        .filter(_.startsWith(dir.getName + "/"))
+        .map(_.stripPrefix(dir.getName + "/")).toSet
       val files = fs.listStatus(dir).toSeq
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
-          && !f.getPath.getName.startsWith("."))
+        .filter(f => f.isFile && live.contains(f.getPath.getName))
       val bytes = files.map(_.getLen).sum
       val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       if (files.size <= targetFiles) None
@@ -1048,26 +1315,27 @@ final class TargetTable(
         val stage = new Path(path + s"__compact_${java.util.UUID.randomUUID().toString.take(8)}")
         try {
           val reader = userSchema.fold(spark.read)(s => spark.read.schema(s))
-          reader.parquet(dir.toString)
+          reader.parquet(files.map(_.getPath.toString): _*)
             .coalesce(targetFiles)
             .write.mode("overwrite").parquet(stage.toString)
           // staged part files get fresh job UUIDs — no collision with
-          // the originals' names, so hidden/unhidden moves are safe
+          // the originals' names, so moving them in is collision-free
           val staged = fs.listStatus(stage).toSeq
             .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
             .map(_.getPath)
-          val hiddenNames = staged.map("." + _.getName)
           writeMarker(compactIntentFile,
             s"date=${d.fold(HiveDefaultPartition)(fmt.format)}\n" +
               s"orig=${files.map(_.getPath.getName).mkString(",")}\n" +
-              s"hidden=${hiddenNames.mkString(",")}\n")
-          staged.zip(hiddenNames).foreach { case (s, h) =>
-            fs.rename(s, new Path(dir, h)) }
-          failCompactPoint(1)
-          files.foreach(f => fs.delete(f.getPath, false))
-          failCompactPoint(2)
-          hiddenNames.foreach { h =>
-            fs.rename(new Path(dir, h), new Path(dir, h.stripPrefix("."))) }
+              s"staged=${staged.map(_.getName).mkString(",")}\n")
+          staged.foreach(s => fs.rename(s, new Path(dir, s.getName)))
+          failCompactPoint(1) // staged in place; manifest still pre-compaction
+          val origRel   = files.map(f => s"${dir.getName}/${f.getPath.getName}")
+          val stagedRel = staged.map(s => s"${dir.getName}/${s.getName}")
+          commitManifest( // THE atomic switch: old set -> new set
+            latestManifest().getOrElse(Nil).filterNot(origRel.toSet) ++ stagedRel)
+          failCompactPoint(2) // manifest switched; originals still on disk
+          writeTrash(origRel)
+          failCompactPoint(3) // originals parked; marker not yet cleared
           clearCompactIntent()
           Some(CompactionStat(d, files.size, targetFiles, bytes))
         } finally if (fs.exists(stage)) fs.delete(stage, true)
@@ -1075,8 +1343,9 @@ final class TargetTable(
     }
   }
 
-  /** Test hook: throw after compact phase `n` (1 = staged files hidden
-    * in place, 2 = originals deleted).
+  /** Test hook: throw after compact phase `n` (1 = staged files moved
+    * in, manifest not yet committed; 2 = manifest committed, originals
+    * not yet trash-parked; 3 = originals parked, marker not cleared).
     */
   private[ibtp] var failCompactAt: Int = 0
   private def failCompactPoint(n: Int): Unit =
@@ -1089,45 +1358,48 @@ final class TargetTable(
     if (fs.exists(compactIntentFile)) fs.delete(compactIntentFile, false)
 
   /** Heal a partition compaction orphaned by a crash (see [[compact]]).
-    * Forward iff every staged file reached the partition (hidden or
-    * already unhidden) — originals may then be partially deleted, so
-    * finishing the swap is the only safe direction; otherwise the
-    * originals are untouched by construction and the hidden leftovers
-    * roll back. Returns the repaired partition, if any.
+    * The latest manifest decides the direction — it is the one atomic
+    * commit in the sequence: if it contains the staged set, the switch
+    * happened and the repair rolls FORWARD (park the originals on the
+    * trash list, idempotently); if not, the switch never happened and
+    * the repair rolls BACK (delete the staged copies — originals and
+    * manifest are untouched by construction, so readers never noticed).
+    * Returns the repaired partition, if any.
     */
   def repairOrphanedCompact(): Option[String] =
-    // all three keys required: a marker missing `orig`/`hidden` (manual
-    // edit) must fail loudly with the corrupt-marker remedy — treating
-    // absent `hidden` as "everything landed" would delete the originals
-    // with nothing staged to replace them
-    readKv(compactIntentFile, required = Seq("date", "orig", "hidden")).map { kv =>
+    // all three keys required: a marker missing `orig`/`staged` (manual
+    // edit) must fail loudly with the corrupt-marker remedy — guessing
+    // either set could park originals with nothing published to replace
+    // them
+    readKv(compactIntentFile, required = Seq("date", "orig", "staged")).map { kv =>
       // `date` is the raw partition value: an ISO date, or the NULL-ts
       // partition's sentinel (validated here so a corrupt marker still
       // fails loudly instead of repairing a nonsense directory)
       val d = kv("date")
       if (d != HiveDefaultPartition) LocalDate.parse(d)
-      val dir = new Path(path, s"$PartitionCol=$d")
+      val dirName = s"$PartitionCol=$d"
+      val dir = new Path(path, dirName)
       val orig   = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
-      val hidden = kv.getOrElse("hidden", "").split(",").filter(_.nonEmpty).toSeq
+      val staged = kv.getOrElse("staged", "").split(",").filter(_.nonEmpty).toSeq
       if (fs.exists(dir)) {
         TargetTable.log.warn(s"repairing orphaned compaction of $dir")
-        // nonEmpty guard: an empty staged set can never "land" — the
-        // vacuous forall would roll FORWARD and delete the originals
-        val landed = hidden.nonEmpty && hidden.forall(h =>
-          fs.exists(new Path(dir, h)) || fs.exists(new Path(dir, h.stripPrefix("."))))
-        if (landed) {
-          orig.foreach { o =>
-            val p = new Path(dir, o)
-            if (fs.exists(p)) fs.delete(p, false)
-          }
-          hidden.foreach { h =>
-            val hp = new Path(dir, h)
-            if (fs.exists(hp)) fs.rename(hp, new Path(dir, h.stripPrefix(".")))
-          }
+        val manifest = latestManifest().getOrElse(Nil).toSet
+        // nonEmpty guard: an empty staged set can never have been
+        // committed — the vacuous forall would park the originals with
+        // nothing published in their place
+        val committed = staged.nonEmpty &&
+          staged.forall(s => manifest.contains(s"$dirName/$s"))
+        if (committed) {
+          // forward: the commit published the staged set; parking the
+          // originals (and clearing) is all that remained. writeTrash
+          // may double-park on re-crash — vacuum tolerates absent files.
+          writeTrash(orig.map(o => s"$dirName/$o")
+            .filter(rel => fs.exists(new Path(path, rel))))
         } else {
-          hidden.foreach { h =>
-            val hp = new Path(dir, h)
-            if (fs.exists(hp)) fs.delete(hp, false)
+          // back: the staged copies were never published — remove them
+          staged.foreach { s =>
+            val p = new Path(dir, s)
+            if (fs.exists(p)) fs.delete(p, false)
           }
         }
       }
@@ -1190,8 +1462,12 @@ final class TargetTable(
   // -------------------------------------------------------------------
 
   private def deletePartition(d: LocalDate): Unit = {
-    val p = new Path(path, s"$PartitionCol=${fmt.format(d)}")
-    if (fs.exists(p)) fs.delete(p, true)
+    val name = s"$PartitionCol=${fmt.format(d)}"
+    val p = new Path(path, name)
+    if (fs.exists(p)) {
+      fs.delete(p, true)
+      commitManifestTouched(Set(name))
+    }
   }
 
   /** Append/overwrite write that also returns the row count. The
@@ -1224,12 +1500,16 @@ final class TargetTable(
   private def writeDynamicOverwrite(df: DataFrame): (Long, Set[LocalDate]) = {
     val obs = org.apache.spark.sql.Observation(
       s"graft_dates_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.observe(obs, count(lit(1)).as("n"), collect_set(col(PartitionCol)).as("dates"))
+    df.observe(obs, count(lit(1)).as("n"),
+        collect_set(col(PartitionCol)).as("dates"),
+        count(when(col(PartitionCol).isNull, lit(1))).as("nulls"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(PartitionCol)
       .parquet(path)
     val m = obs.get
+    val touched = touchedDirs(m)
+    if (touched.nonEmpty) commitManifestTouched(touched)
     val dates = m("dates").asInstanceOf[scala.collection.Seq[java.sql.Date]]
       .map(_.toLocalDate).toSet
     (if (countRows) m("n").asInstanceOf[Long] else -1L, dates)
@@ -1287,6 +1567,28 @@ object TargetTable {
     * writer's in-flight `appendIsolated` stage.
     */
   val StagingSweepAgeMs: Long = 15L * 60 * 1000
+
+  /** Versioned live-file manifests (reader snapshots); underscore-
+    * prefixed so Spark's listing treats it as metadata.
+    */
+  val ManifestDirName = "_graft_manifest"
+
+  /** Deferred-deletion parking lot for files replaced by compaction —
+    * still on disk for readers pinned to an older manifest, reaped by
+    * [[TargetTable.vacuum]].
+    */
+  val TrashDirName = "_graft_trash"
+
+  /** Manifest versions retained for in-flight readers; older versions
+    * are pruned at commit.
+    */
+  val ManifestKeep = 5
+
+  /** How long replaced files stay on disk after compaction before
+    * [[TargetTable.vacuum]] deletes them — the grace window for scans
+    * planned against a pre-compaction manifest.
+    */
+  val TrashRetentionMs: Long = 15L * 60 * 1000
 
   /** Single-writer lease file — a SIBLING of the target path (the swap
     * path renames the target directory itself, and the lease must

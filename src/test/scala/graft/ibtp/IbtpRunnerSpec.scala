@@ -257,6 +257,9 @@ class IbtpRunnerSpec extends SparkSpecBase {
     val stats = target.compact()
     assert(stats.nonEmpty)
     assert(stats.forall(s => s.filesAfter < s.filesBefore))
+    // replaced originals stay trash-parked for pinned readers until
+    // vacuumed; the LIVE set is already compact
+    target.vacuum(0L)
     assert(filesIn("2024-01-05") == 1)
     val after = target.read().collect().map(_.toString).sorted
     assert(before.sameElements(after), "compaction must not change data")
@@ -305,24 +308,33 @@ class IbtpRunnerSpec extends SparkSpecBase {
     def filesIn(t: TargetTable, d: String): Seq[String] =
       new java.io.File(t.path, s"p_date=$d").listFiles().toSeq
         .map(_.getName).filter(_.startsWith("part-"))
-    for (phase <- Seq(1, 2)) {
+    for (phase <- Seq(1, 2, 3)) {
       val target = build(s"ibtp_compcrash$phase")
       val before = target.read().collect().map(_.toString).sorted
       target.failCompactAt = phase
       intercept[IllegalStateException] { target.compact() }
       target.failCompactAt = 0
-      // phase 1 crashed after hiding the staged files (originals
-      // intact, readers see only them); phase 2 crashed after deleting
-      // the originals (readers see nothing — the window under test);
-      // either way the NEXT compact run repairs first, then finishes
-      // every partition, and the data hash is identical
+      // a crash at EVERY point must leave readers on a complete file
+      // set: phase 1 died with staged copies in the dir but the
+      // manifest un-switched (readers still see the originals); phase 2
+      // died after the atomic manifest switch (readers see the
+      // compacted set, originals still parked on disk); phase 3 died
+      // with originals trash-parked but the marker not cleared. In all
+      // cases read() is identical, and the NEXT compact repairs first
+      // (back for 1, forward for 2-3) then finishes every partition.
+      val mid = target.read().collect().map(_.toString).sorted
+      assert(before.sameElements(mid),
+        s"phase $phase: a crashed compaction must not change what readers see")
       val stats = target.compact()
       assert(stats.nonEmpty, s"phase $phase: compaction must complete after repair")
       val after = target.read().collect().map(_.toString).sorted
       assert(before.sameElements(after),
         s"phase $phase: repair + compaction must not change data")
+      // replaced originals are retention-parked, not deleted in place;
+      // vacuum(0) reaps them and exactly the compacted file remains
+      target.vacuum(0L)
       assert(filesIn(target, "2024-01-05").size == 1)
-      // no hidden leftovers, no marker
+      // no staged leftovers, no marker
       assert(!new java.io.File(target.path).listFiles().exists(
         _.getName == TargetTable.CompactIntentFile))
       assert(new java.io.File(target.path, "p_date=2024-01-05").listFiles()
@@ -339,7 +351,7 @@ class IbtpRunnerSpec extends SparkSpecBase {
     runner(target)
     target.append(oneShot(jan1, feb1)) // ≥2 files per partition
     val before = target.read().collect().map(_.toString).sorted
-    target.failCompactAt = 2 // originals deleted, staged still hidden
+    target.failCompactAt = 2 // manifest switched, originals not yet parked
     intercept[IllegalStateException] { target.compact() }
     target.failCompactAt = 0
     runner(target) // caught-up no-op run — repairs happen before the probe
@@ -388,6 +400,7 @@ class IbtpRunnerSpec extends SparkSpecBase {
       "the default partition must appear in the compaction stats")
     assert(stats.find(_.date.isEmpty).get.partitionLabel ==
       TargetTable.HiveDefaultPartition)
+    target.vacuum(0L) // reap the trash-parked originals before counting
     assert(defFiles == 1)
     val after = target.read().collect().map(_.toString).sorted
     assert(before.sameElements(after), "NULL-ts compaction must not change data")
@@ -602,9 +615,11 @@ class IbtpRunnerSpec extends SparkSpecBase {
     // its own window as it's written — no whole-table maintenance pass
     IbtpRunner.run(spark, multiFileModel, compacted,
       p.copy(cliStop = Some(mid)))
+    compacted.vacuum(0L) // count the LIVE set, not trash-parked originals
     assert(fileCounts(compacted).values.forall(_ == 1),
       s"first window not compact: ${fileCounts(compacted)}")
     IbtpRunner.run(spark, multiFileModel, compacted, p)
+    compacted.vacuum(0L)
     val counts = fileCounts(compacted)
     assert(counts.nonEmpty && counts.values.forall(_ == 1),
       s"partitions not compact after catch-up: $counts")
@@ -625,6 +640,7 @@ class IbtpRunnerSpec extends SparkSpecBase {
       IbtpRunner.RunParams(monthCfg, today = feb1,
         autoCompactTargetFileBytes = Some(128L * 1024 * 1024)))
     assert(res.periodsRun.isEmpty, "expected an init-only run")
+    target.vacuum(0L) // count the LIVE set, not trash-parked originals
     val counts = fileCounts(target)
     assert(counts.nonEmpty && counts.values.forall(_ == 1),
       s"init-written partitions not compact: $counts")

@@ -1,0 +1,147 @@
+package graft.ibtp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Reader-snapshot manifest scenarios: `read()` plans against the
+  * latest committed manifest (`_graft_manifest/v<N>.list`), so a
+  * reader planning at ANY instant of a maintenance operation sees the
+  * pre- or post-operation file set — never a partial one — and
+  * replaced files stay on disk (trash-parked) until [[TargetTable
+  * .vacuum]] reaps them, giving already-planned scans a grace window.
+  * The reference gets all of this from warehouse transactions; the
+  * manifest is its parquet-native analogue.
+  */
+class ReaderSnapshotSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def day(d: String) = java.sql.Date.valueOf(d)
+
+  /** Target with two files in each of two day-partitions. */
+  private def build(prefix: String): TargetTable = {
+    val t = new TargetTable(spark, tmpDir(prefix), "day")
+    t.init(Seq((day("2024-01-01"), "a", 1), (day("2024-01-02"), "b", 2))
+      .toDF("day", "k", "v"))
+    t.append(Seq((day("2024-01-01"), "c", 3), (day("2024-01-02"), "d", 4))
+      .toDF("day", "k", "v"))
+    t
+  }
+
+  private def fileNames(files: Array[String]): Set[String] =
+    files.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+
+  test("a reader at any instant of a compaction sees old or new files, never partial") {
+    for (phase <- Seq(1, 2, 3)) {
+      val t = build(s"snap_phase$phase")
+      val beforeRows = t.read().collect().map(_.toString).sorted
+      // per-partition file names the scan reads (part names are job-unique)
+      def scanned(dir: String): Set[String] =
+        fileNames(t.read().inputFiles.filter(_.contains(dir)))
+      val before01 = scanned("p_date=2024-01-01")
+      val before02 = scanned("p_date=2024-01-02")
+      t.failCompactAt = phase
+      intercept[IllegalStateException] { t.compact() }
+      t.failCompactAt = 0
+      assert(beforeRows.sameElements(t.read().collect().map(_.toString).sorted),
+        s"phase $phase: rows changed under a crashed compaction")
+      // the crash hit the FIRST candidate partition (2024-01-01): the
+      // scan's files for it must be EXACTLY the originals (phase 1: the
+      // manifest never switched, so the staged copies sitting in the
+      // directory are invisible) or EXACTLY the compacted set (phases
+      // 2-3: the atomic switch happened) — never a mix; the partition
+      // the crash never reached always keeps its originals
+      val mid01 = scanned("p_date=2024-01-01")
+      if (phase == 1)
+        assert(mid01 == before01,
+          s"phase $phase: scan must still read the pre-compaction set")
+      else {
+        assert(mid01.nonEmpty && mid01.intersect(before01).isEmpty,
+          s"phase $phase: crashed partition must read ONLY compacted files")
+      }
+      assert(scanned("p_date=2024-01-02") == before02,
+        s"phase $phase: untouched partition must keep its original files")
+    }
+  }
+
+  test("replaced originals are retention-parked; vacuum reaps them") {
+    val t = build("snap_vacuum")
+    val before = t.read().collect().map(_.toString).sorted
+    val origFiles = fileNames(t.read().inputFiles)
+    val stats = t.compact()
+    assert(stats.nonEmpty)
+    // rows identical through the switch; scan now reads the compacted set
+    assert(t.read().collect().map(_.toString).sorted.sameElements(before))
+    val newFiles = fileNames(t.read().inputFiles)
+    assert(newFiles.intersect(origFiles).isEmpty,
+      "post-compaction scan must not read any original file")
+    // the originals are still on DISK for readers pinned to the old
+    // manifest (the grace window)...
+    val dir = new java.io.File(t.path, "p_date=2024-01-01")
+    val onDisk = dir.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+    assert(origFiles.exists(onDisk.contains),
+      "originals must stay on disk within the retention window")
+    // ...a young vacuum keeps them; vacuum(0) reaps them
+    assert(t.vacuum() == 0, "retention-young trash must survive vacuum")
+    assert(t.vacuum(0L) > 0, "vacuum(0) must reap the parked originals")
+    val afterVacuum = dir.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+    assert(afterVacuum.intersect(origFiles.filter(onDisk.contains)).isEmpty,
+      "vacuumed originals must be gone from disk")
+    assert(t.read().collect().map(_.toString).sorted.sameElements(before),
+      "vacuum must not change what readers see")
+  }
+
+  test("a scan planned before a compaction still reads during the grace window") {
+    val t = build("snap_grace")
+    val pinned = t.read() // planned against the pre-compaction manifest
+    val expect = pinned.count()
+    t.compact()
+    // the pinned plan's files are trash-parked but present: the old
+    // reader completes (this is what the retention buys)
+    assert(pinned.count() == expect)
+    assert(t.read().count() == expect)
+  }
+
+  test("stray files in a partition dir are invisible to manifest readers") {
+    val t = build("snap_stray")
+    val before = t.read().count()
+    // simulate debris: copy a live file to a fresh name in the same dir
+    val dir = new java.io.File(t.path, "p_date=2024-01-01")
+    val live = dir.listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(live.toPath,
+      new java.io.File(dir, "part-stray-copy.parquet").toPath)
+    assert(t.read().count() == before,
+      "a file never committed to the manifest must not be scanned")
+    assert(!fileNames(t.read().inputFiles).contains("part-stray-copy.parquet"))
+  }
+
+  test("pre-manifest tables read via directory listing and upgrade on first mutation") {
+    val t = build("snap_upgrade")
+    val before = t.read().collect().map(_.toString).sorted
+    // simulate a table written before the manifest era
+    val mdir = new java.io.File(t.path, TargetTable.ManifestDirName)
+    mdir.listFiles().foreach(_.delete()); mdir.delete()
+    assert(t.read().collect().map(_.toString).sorted.sameElements(before),
+      "directory-listing fallback must serve pre-manifest tables")
+    // first mutation commits a manifest covering the WHOLE table
+    t.append(Seq((day("2024-01-03"), "e", 5)).toDF("day", "k", "v"))
+    assert(new java.io.File(t.path, TargetTable.ManifestDirName).exists())
+    val rows = t.read().collect().map(_.toString).sorted
+    assert(rows.length == before.length + 1)
+    // and the manifest covers the old partitions too, not just the touched one
+    assert(t.read().inputFiles.exists(_.contains("p_date=2024-01-01")))
+  }
+
+  test("manifest versions are pruned but the latest always wins") {
+    val t = build("snap_prune")
+    (1 to 8).foreach { i =>
+      t.append(Seq((day("2024-01-04"), s"x$i", i)).toDF("day", "k", "v"))
+    }
+    val versions = new java.io.File(t.path, TargetTable.ManifestDirName)
+      .listFiles().map(_.getName).filter(_.endsWith(".list")).sorted
+    assert(versions.length <= TargetTable.ManifestKeep,
+      s"old manifest versions must be pruned, found ${versions.length}")
+    // the latest manifest sees every append
+    assert(t.read().filter(col("k").startsWith("x")).count() == 8)
+  }
+}

@@ -30,6 +30,8 @@ import graft.sources.{GraftSession, Tables}
   * {{{
   * runMain graft.tools.IbtpCli --compact-only --target /path/tbl \
   *   --timestamp-field day [--target-file-bytes N]
+  * runMain graft.tools.IbtpCli --vacuum-only --target /path/tbl \
+  *   --timestamp-field day [--retention-ms N]   (reap trash-parked files)
   * runMain graft.tools.IbtpCli --repair-holes --sql model.sql \
   *   --target /path/tbl --timestamp-field day --start-date D
   * }}}
@@ -62,6 +64,17 @@ object IbtpCli {
         stats.foreach(st => println(
           s"[ibtp] compacted ${st.partitionLabel}: ${st.filesBefore} -> ${st.filesAfter} files"))
         if (stats.isEmpty) println("[ibtp] compact: nothing to do")
+        return
+      }
+
+      // standalone vacuum: physically delete compaction leftovers whose
+      // retention has expired (size --retention-ms to the longest scan
+      // served against this target; 0 forces an immediate reap)
+      if (opts.contains("vacuum-only")) {
+        val t = new TargetTable(spark, req("target"), req("timestamp-field"))
+        val n = t.vacuum(opts.get("retention-ms").map(_.toLong)
+          .getOrElse(TargetTable.TrashRetentionMs))
+        println(s"[ibtp] vacuum: removed $n trash-parked files")
         return
       }
 

@@ -80,34 +80,47 @@ final class TargetTable(
     */
   def maxPartitionDate: Option[LocalDate] = partitionDates.maxOption
 
-  /** All day-partition directories whose value parses as a date, with
-    * their paths. Rows with a NULL timestamp land in Spark's
-    * `__HIVE_DEFAULT_PARTITION__` directory — legitimate data (the
-    * reference inserts NULL-ts rows like any other), but not a date:
-    * it must not crash the resume probe, and like SQL `MAX(ts)` the
-    * frontier ignores NULLs.
+  /** All day-partitions holding LIVE data whose value parses as a
+    * date, with their directory paths. Post-manifest-era this comes
+    * from the latest committed manifest, not a directory listing: a
+    * partition whose files were all replaced away (its directory
+    * lingers holding only trash-parked files until [[vacuum]]) must
+    * drop out of the resume frontier the instant the replace commits.
+    * Pre-manifest tables fall back to directory names. Rows with a
+    * NULL timestamp land in Spark's `__HIVE_DEFAULT_PARTITION__`
+    * directory — legitimate data (the reference inserts NULL-ts rows
+    * like any other), but not a date: it must not crash the resume
+    * probe, and like SQL `MAX(ts)` the frontier ignores NULLs.
     */
   private def datePartitions: Seq[(LocalDate, Path)] = {
     val p = new Path(path)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(_.getPath.getName.startsWith(s"$PartitionCol="))
-      .flatMap { st =>
-        val v = st.getPath.getName.stripPrefix(s"$PartitionCol=")
-        val parsed = scala.util.Try(LocalDate.parse(v)).toOption
-        // Only the NULL-ts directory is EXPECTED to be unparseable. Any
-        // other non-date value is a corrupted/renamed partition dir; if it
-        // silently vanished from the frontier the resume probe would
-        // re-append that day's rows and duplicate data with no signal, so
-        // it must fail loud rather than be invisibly excluded.
-        if (parsed.isEmpty && v != HiveDefaultPartition)
-          throw new IllegalStateException(
-            s"unparseable partition directory '${st.getPath.getName}' under " +
-              s"$path: not a date and not $HiveDefaultPartition — repair or " +
-              "remove it before resuming (a silently-skipped partition would " +
-              "corrupt the resume frontier)")
-        parsed.map(_ -> st.getPath)
-      }
+    def parse(dirName: String): Option[LocalDate] = {
+      val v = dirName.stripPrefix(s"$PartitionCol=")
+      val parsed = scala.util.Try(LocalDate.parse(v)).toOption
+      // Only the NULL-ts directory is EXPECTED to be unparseable. Any
+      // other non-date value is a corrupted/renamed partition dir; if it
+      // silently vanished from the frontier the resume probe would
+      // re-append that day's rows and duplicate data with no signal, so
+      // it must fail loud rather than be invisibly excluded.
+      if (parsed.isEmpty && v != HiveDefaultPartition)
+        throw new IllegalStateException(
+          s"unparseable partition directory '$dirName' under " +
+            s"$path: not a date and not $HiveDefaultPartition — repair or " +
+            "remove it before resuming (a silently-skipped partition would " +
+            "corrupt the resume frontier)")
+      parsed
+    }
+    latestManifest() match {
+      case Some(files) =>
+        files.map(_.takeWhile(_ != '/')).distinct
+          .filter(_.startsWith(s"$PartitionCol="))
+          .flatMap(n => parse(n).map(_ -> new Path(p, n)))
+      case None =>
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq
+          .filter(_.getPath.getName.startsWith(s"$PartitionCol="))
+          .flatMap(st => parse(st.getPath.getName).map(_ -> st.getPath))
+    }
   }
 
   /** All day-partition values present, from directory names only. */
@@ -379,124 +392,93 @@ final class TargetTable(
 
   /** Backfill period replace — reference B12+B14 fused
     * (`loop.sql:92-99,108-114`): DELETE rows in [from, to) then insert
-    * the period's fresh rows. Implemented as dynamic partition overwrite
-    * (delete+insert collapse into one atomic-per-partition replace),
-    * plus explicit cleanup of in-range partitions the fresh data no
-    * longer populates (dynamic overwrite alone would leave those stale).
+    * the period's fresh rows. Snapshot-isolated via
+    * [[writeSnapshotReplace]]: the fresh rows stage to a sibling
+    * directory, move into the live partition directories under
+    * job-unique names (invisible — in no manifest yet), and ONE
+    * manifest commit then atomically drops every in-range live file —
+    * including partitions the fresh data no longer populates, so the
+    * DELETE, the INSERT, and the stale-partition cleanup are a single
+    * atomic switch for readers. Replaced files are trash-parked for
+    * readers pinned to an older manifest ([[vacuum]]).
     *
-    * Crash repair: the overwrite and the stale-partition cleanup are
-    * two steps; a crash between them leaves stale in-range partitions
-    * that a plain resume (`MAX(ts)+1`) would never revisit. (The
-    * reference has the same exposure between its per-period commits,
-    * `loop.sql:134`.) Two immutable temp+rename markers close it: a
-    * range intent written before the overwrite, a written-partition
-    * sidecar after it, both removed after cleanup (see
-    * [[readReplaceIntent]] for the state machine).
-    * [[repairOrphanedReplace]] — invoked at the start of every
-    * replace — heals an orphaned cleanup-phase pair deterministically
-    * (finish the recorded cleanup) and clears a mid-write intent that
-    * this call's own range covers (the re-run rewrites it anyway); a
-    * mid-write intent this range does NOT cover makes this call throw
-    * rather than destroy the record of the untrustworthy range.
+    * Crash repair ([[repairOrphanedReplace]]): every crash point heals
+    * with no source data — the live table is untouched until the
+    * manifest commit, so a mid-write crash simply rolls back. The
+    * reference's DELETE+INSERT pair has the same window between its
+    * statements and closes it with warehouse transactions
+    * (`loop.sql:92-114,134`); the manifest commit is the parquet-native
+    * equivalent.
     */
-  def replaceRange(df: DataFrame, from: LocalDate, to: LocalDate): Long = {
-    repairOrphanedReplace(coveredBy = Some((from, to)))
-    // an intent that survived repair is an unrepaired mid-write crash
-    // on a range this call does not cover: proceeding would overwrite
-    // the only durable record that those partitions are untrustworthy
-    readReplaceIntent().foreach { orphan =>
-      throw new IllegalStateException(
-        s"cannot replace [$from, $to): orphaned replace intent " +
-          s"[${orphan.from}, ${orphan.to}) crashed mid-write and this range " +
-          "does not cover it; re-backfill that range first")
+  def replaceRange(df: DataFrame, from: LocalDate, to: LocalDate): Long =
+    writeSnapshotReplace(
+      withPartitionCol(alignToTarget(df)),
+      // the DELETE side: every live in-range day-partition, whether or
+      // not the fresh write repopulates it (stale ones drop in the
+      // same atomic commit — no separate cleanup phase to crash out of)
+      () => datePartitions
+        .filter { case (d, _) => !d.isBefore(from) && d.isBefore(to) }
+        .map { case (d, _) => s"$PartitionCol=${fmt.format(d)}" }.toSet)._1
+
+  /** Heal a replace orphaned by a crash (see [[writeSnapshotReplace]]).
+    * The latest manifest decides the direction, exactly like
+    * [[repairOrphanedCompact]] — it is the one atomic commit in the
+    * sequence: staged set committed → roll FORWARD (trash-park the
+    * originals, idempotently); not committed → roll BACK (delete the
+    * staged copies; the originals and the manifest were never touched,
+    * so readers never noticed). A pure-delete replace that staged
+    * nothing decides by the originals' own manifest liveness instead.
+    * Returns the direction taken, if a repair ran.
+    */
+  def repairOrphanedReplace(): Option[String] = {
+    // legacy leftover from the pre-snapshot two-marker state machine:
+    // a sidecar alone was a completed-replace leftover then and is one now
+    if (fs.exists(writtenSidecarFile) && !fs.exists(intentFile))
+      fs.delete(writtenSidecarFile, false)
+    readKv(intentFile, required = Nil).map { kv =>
+      if (!(kv.contains("orig") && kv.contains("staged")))
+        // a marker in the legacy range-only format records a mid-write
+        // crash this version cannot replay deterministically
+        throw new IllegalStateException(
+          s"replace intent $intentFile is not in orig/staged form " +
+            s"(keys: ${kv.keys.mkString(",")}): a pre-snapshot-replace " +
+            "version crashed mid-replace — re-backfill the recorded range, " +
+            "then delete the marker")
+      val orig   = kv("orig").split(",").filter(_.nonEmpty).toSeq
+      val staged = kv("staged").split(",").filter(_.nonEmpty).toSeq
+      val manifest = latestManifest().getOrElse(Nil).toSet
+      val committed =
+        if (staged.nonEmpty) staged.forall(manifest.contains)
+        else orig.nonEmpty && !orig.exists(manifest.contains)
+      if (committed) {
+        TargetTable.log.warn(s"repairing orphaned replace on $path: " +
+          s"rolling FORWARD (parking ${orig.size} replaced originals)")
+        writeTrash(orig.filter(rel => fs.exists(new Path(path, rel))))
+      } else {
+        TargetTable.log.warn(s"repairing orphaned replace on $path: " +
+          s"rolling BACK (removing ${staged.size} staged files)")
+        staged.foreach { rel =>
+          val p = new Path(path, rel)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+      }
+      clearIntent()
+      if (fs.exists(writtenSidecarFile)) fs.delete(writtenSidecarFile, false)
+      if (committed) "forward" else "back"
     }
-    val fresh = withPartitionCol(alignToTarget(df))
-    clearWrittenSidecar() // a stale sidecar alone is a completed-replace leftover
-    writeIntent(from, to)
-    // single pass: the write's observed metrics carry both the row
-    // count and the set of day-partitions written (no cache, no
-    // pre-write distinct job)
-    val (n, writtenDates) = writeDynamicOverwrite(fresh)
-    writeWrittenSidecar(from, to, writtenDates)
-    if (failBeforeCleanup) // test hook: simulate dying mid-replace
-      throw new IllegalStateException("simulated crash before stale cleanup")
-    cleanupStale(from, to, writtenDates)
-    clearIntent()
-    clearWrittenSidecar()
-    n
   }
 
-  /** Remove stale in-range partitions the fresh write didn't touch. */
-  private def cleanupStale(
-      from: LocalDate, to: LocalDate, written: Set[LocalDate]): Unit =
-    Iterator.iterate(from)(_.plusDays(1)).takeWhile(_.isBefore(to))
-      .filterNot(written.contains)
-      .foreach(deletePartition)
-
-  /** Heal a replace intent orphaned by a crash (see [[replaceRange]]).
-    * `cleanup`-phase intents (overwrite committed, written set
-    * recorded) finish their cleanup here — a full repair with no
-    * source data needed. `writing`-phase intents (crash mid-write;
-    * the range's partitions are untrustworthy) cannot self-heal: they
-    * are cleared only when `coveredBy` contains the whole range
-    * (the caller is about to rewrite it), else logged loudly and left
-    * for the operator to re-backfill. Returns the healed/cleared
-    * intent's range, if any action was taken.
+  /** Test hook: throw after replace phase `n` (1 = staged files moved
+    * in, manifest not yet committed; 2 = manifest committed, originals
+    * not yet trash-parked; 3 = originals parked, marker not cleared).
     */
-  def repairOrphanedReplace(
-      coveredBy: Option[(LocalDate, LocalDate)] = None): Option[(LocalDate, LocalDate)] =
-    readReplaceIntent().flatMap {
-      case ReplaceIntent(f, t, Some(written)) =>
-        TargetTable.log.warn(
-          s"repairing orphaned replace intent [$f, $t): finishing stale cleanup")
-        cleanupStale(f, t, written)
-        clearIntent()
-        clearWrittenSidecar()
-        Some((f, t))
-      case ReplaceIntent(f, t, None) =>
-        val covered = coveredBy.exists { case (cf, ct) =>
-          !f.isBefore(cf) && !t.isAfter(ct) }
-        if (covered) { clearIntent(); clearWrittenSidecar(); Some((f, t)) }
-        else {
-          TargetTable.log.error(
-            s"orphaned replace intent [$f, $t) crashed MID-WRITE: partitions in " +
-              "that range are untrustworthy and this run does not cover it — " +
-              s"re-backfill [$f, $t) to repair")
-          None
-        }
-    }
-
-  /** Test hook: throw between the overwrite and the stale cleanup. */
-  private[ibtp] var failBeforeCleanup: Boolean = false
+  private[ibtp] var failReplaceAt: Int = 0
+  private def failReplacePoint(n: Int): Unit =
+    if (failReplaceAt == n)
+      throw new IllegalStateException(s"simulated crash at replace phase $n")
 
   private def intentFile = new Path(path, IntentFile)
   private def writtenSidecarFile = new Path(path, WrittenSidecarFile)
-
-  private[ibtp] final case class ReplaceIntent(
-      from: LocalDate, to: LocalDate, written: Option[Set[LocalDate]])
-
-  /** The durable replace state is TWO immutable files, each written
-    * once per replace via temp+rename (never truncated in place, so a
-    * crash can never leave a partial marker — only an absent one or a
-    * harmless `.tmp`):
-    *  - [[IntentFile]] (range only) before the overwrite;
-    *  - [[WrittenSidecarFile]] (range + written partition set) after it.
-    * Intent alone = crashed mid-write (unrepairable without source
-    * data); intent + same-range sidecar = crashed before cleanup
-    * (deterministically repairable); sidecar alone, or a sidecar whose
-    * range disagrees with the intent, is a completed-replace leftover
-    * and is ignored.
-    */
-  private[ibtp] def readReplaceIntent(): Option[ReplaceIntent] =
-    readKv(intentFile).map { kv =>
-      val (f, t) = (LocalDate.parse(kv("from")), LocalDate.parse(kv("to")))
-      val written = readKv(writtenSidecarFile)
-        .filter(s => s.get("from").contains(kv("from")) &&
-          s.get("to").contains(kv("to")))
-        .map(_.getOrElse("written", "").split(",").filter(_.nonEmpty)
-          .map(LocalDate.parse).toSet)
-      ReplaceIntent(f, t, written)
-    }
 
   /** Parse a key=value marker; a malformed file (impossible under
     * temp+rename, defensive against manual edits) fails loudly with
@@ -521,19 +503,10 @@ final class TargetTable(
       Some(kv)
     }
 
-  private def writeIntent(from: LocalDate, to: LocalDate): Unit =
-    writeMarker(intentFile, s"from=${fmt.format(from)}\nto=${fmt.format(to)}\n")
-
-  private def writeWrittenSidecar(
-      from: LocalDate, to: LocalDate, written: Set[LocalDate]): Unit =
-    writeMarker(writtenSidecarFile,
-      s"from=${fmt.format(from)}\nto=${fmt.format(to)}\n" +
-        s"written=${written.toSeq.sorted.map(fmt.format).mkString(",")}\n")
-
   /** Temp+rename: the destination is either absent or complete. The
-    * caller guarantees the destination does not exist (intent: the
-    * orphan check threw otherwise; sidecar: cleared at replace start),
-    * so the rename never needs overwrite semantics.
+    * caller guarantees the destination does not exist (the replace
+    * intent is repaired-and-cleared before every snapshot replace
+    * stages), so the rename never needs overwrite semantics.
     */
   private def writeMarker(file: Path, content: String): Unit = {
     val tmp = new Path(file.getParent, file.getName + ".tmp")
@@ -545,9 +518,6 @@ final class TargetTable(
 
   private def clearIntent(): Unit =
     if (fs.exists(intentFile)) fs.delete(intentFile, false)
-
-  private def clearWrittenSidecar(): Unit =
-    if (fs.exists(writtenSidecarFile)) fs.delete(writtenSidecarFile, false)
 
   // ---- single-writer lease ---------------------------------------------
   // Every crash-repair state machine here (swap, replace, compact intent
@@ -792,15 +762,17 @@ final class TargetTable(
   // grace window before their files disappear — the same
   // retained-then-vacuumed discipline table formats use.
   //
-  // Remaining windows, documented rather than closed (see README
-  // "Reader visibility"): the full-refresh backup swap and
+  // Every incremental mutation is snapshot-isolated under it: appends
+  // publish their new files with a commit, and partition replaces
+  // (backfill [[replaceRange]], [[upsert]], streaming
+  // [[overwritePartitions]]) and [[compact]] stage files in under
+  // unpublished names and switch the whole replaced set in ONE commit
+  // ([[writeSnapshotReplace]]) — nothing is ever deleted in a reader's
+  // face. The one remaining window, documented rather than closed (see
+  // README "Reader visibility"): the full-refresh backup swap and
   // rewrite-widening replace the whole directory (a rebuild is not a
   // snapshot-isolated operation here, exactly as the reference's
-  // rename-based full refresh is not), and Spark's own dynamic
-  // partition overwrite commit deletes replaced files at job-commit
-  // time (the manifest recommits immediately after, so only a scan
-  // planned INSIDE that commit instant can still hit a vanished file
-  // — it fails loudly, never returns partial rows silently).
+  // rename-based full refresh is not).
   //
   // Scale note: a commit rewrites the full manifest (O(live files)
   // text I/O) but LISTS only the touched partitions
@@ -905,9 +877,10 @@ final class TargetTable(
     // synchronized around the whole read-modify-write: two concurrent
     // period appends each basing their commit on the same prior version
     // would have the second drop the first's files from the manifest
-    // a crashed compaction's staged-but-uncommitted files must not be
-    // absorbed into a fresh listing as if they were live rows
+    // a crashed compaction's/replace's staged-but-uncommitted files must
+    // not be absorbed into a fresh listing as if they were live rows
     if (fs.exists(compactIntentFile)) repairOrphanedCompact()
+    if (fs.exists(intentFile)) repairOrphanedReplace()
     latestManifest() match {
       case None => commitManifestRelist()
       case Some(prev) =>
@@ -921,6 +894,7 @@ final class TargetTable(
   /** Full re-list commit — init, repairs, and first-manifest upgrades. */
   private def commitManifestRelist(): Unit = synchronized {
     if (fs.exists(compactIntentFile)) repairOrphanedCompact()
+    if (fs.exists(intentFile)) repairOrphanedReplace()
     commitManifest(listLiveFiles(allPartitionDirs(), trashedFiles()))
   }
 
@@ -951,6 +925,7 @@ final class TargetTable(
     else {
       val cutoff = System.currentTimeMillis() - olderThanMillis
       var removed = 0
+      val touchedDirs = scala.collection.mutable.Set[Path]()
       fs.listStatus(trashDir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
         .foreach { st =>
@@ -959,10 +934,18 @@ final class TargetTable(
             readLines(st.getPath).foreach { rel =>
               val p = new Path(path, rel)
               if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
+              touchedDirs += p.getParent
             }
             fs.delete(st.getPath, false)
           }
         }
+      // a partition replaced entirely away keeps its directory only as
+      // a parking lot; drop it once the last parked file is reaped so
+      // the directory layout converges back to the live set
+      touchedDirs
+        .filter(d => d.getName.startsWith(s"$PartitionCol=") &&
+          fs.exists(d) && fs.listStatus(d).isEmpty)
+        .foreach(fs.delete(_, false))
       removed
     }
 
@@ -1007,11 +990,15 @@ final class TargetTable(
                 StructType(Seq(StructField(PartitionCol, DateType))))
               _.join(broadcast(dates), Seq(PartitionCol), "left_semi")
             }
+          // snapshot replace of EVERY affected partition: the rewrite
+          // and the drop of partitions left with no surviving rows
+          // land in one atomic manifest commit (and the anti-join
+          // reads the affected partitions' old files off the pinned
+          // manifest while the rewrite stages — no self-overwrite)
           val kept = affectedFilter(target)
             .join(keys, uniqueKey, "left_anti")
-          // single pass: written-partition set rides the write metrics
-          val (_, keptDates) = writeDynamicOverwrite(kept)
-          affected.diff(keptDates).foreach(deletePartition)
+          writeSnapshotReplace(kept,
+            () => affected.map(d => s"$PartitionCol=${fmt.format(d)}"))
         }
       }
       writeObservedAppend(fresh)
@@ -1274,6 +1261,7 @@ final class TargetTable(
       to: Option[LocalDate],
       targetFileBytes: Long): Seq[CompactionStat] = {
     repairOrphanedCompact()
+    repairOrphanedReplace() // staged-uncommitted replace files must not be relisted as live
     // age-gated: even under the lease, a writer that predates the lease
     // discipline (or a manual API user) could have a live appendIsolated
     // stage dir; only dirs idle past the gate are truly dead (the
@@ -1450,25 +1438,17 @@ final class TargetTable(
   }
 
   /** Overwrite exactly the day-partitions present in `df`, leaving all
-    * other partitions untouched (dynamic partition overwrite). This is
-    * the IDEMPOTENT micro-batch write: replaying the same batch
-    * rewrites the same partitions to the same state, which is what
-    * turns an at-least-once streaming `foreachBatch` into exactly-once
-    * table contents (see `streaming.StreamingIngest`).
+    * other partitions untouched — a snapshot-isolated replace of the
+    * write's own touched set ([[writeSnapshotReplace]]). This is the
+    * IDEMPOTENT micro-batch write: replaying the same batch rewrites
+    * the same partitions to the same state, which is what turns an
+    * at-least-once streaming `foreachBatch` into exactly-once table
+    * contents (see `streaming.StreamingIngest`).
     */
   def overwritePartitions(df: DataFrame): Long =
-    writeDynamicOverwrite(withPartitionCol(alignToTarget(df)))._1
+    writeSnapshotReplace(withPartitionCol(alignToTarget(df)), () => Set.empty)._1
 
   // -------------------------------------------------------------------
-
-  private def deletePartition(d: LocalDate): Unit = {
-    val name = s"$PartitionCol=${fmt.format(d)}"
-    val p = new Path(path, name)
-    if (fs.exists(p)) {
-      fs.delete(p, true)
-      commitManifestTouched(Set(name))
-    }
-  }
 
   /** Append/overwrite write that also returns the row count. The
     * reference extracts `rows_affected` from the DML result
@@ -1490,29 +1470,77 @@ final class TargetTable(
       obs.get("n").asInstanceOf[Long]
     }
 
-  /** Dynamic partition overwrite returning (rows written, day-partition
-    * values written). The partition set is needed by both callers for
-    * stale-partition cleanup and used to cost a separate
-    * distinct+collect pre-pass; now it rides the write's observed
-    * metrics (`collect_set` is per-partition set-union — bounded by the
-    * number of distinct days, not rows).
+  /** Snapshot-isolated partition replace — the write primitive behind
+    * [[replaceRange]], [[upsert]]'s partition rewrite, and
+    * [[overwritePartitions]]. `df` stages to a sibling directory; its
+    * part files move into the live partition directories under their
+    * job-unique names (invisible — in no manifest yet); ONE atomic
+    * manifest commit drops every live file of the replaced directories
+    * (the staged write's own touched set ∪ `alsoReplace()`) and
+    * publishes the staged files; the dropped originals are trash-parked
+    * for readers pinned to an older manifest ([[vacuum]]). A reader
+    * planning at any instant sees the whole pre-replace or the whole
+    * post-replace file set, never a mix — the same contract as
+    * [[compact]], whose marker/commit/park sequence and crash repair
+    * this mirrors ([[repairOrphanedReplace]] rolls forward or back by
+    * whether the manifest commit happened).
+    *
+    * Idempotent on replay: re-running the same input replaces the same
+    * partitions with identical content (fresh file names; the previous
+    * attempt's files are dropped and parked in the same commit) — what
+    * turns an at-least-once streaming `foreachBatch` into exactly-once
+    * table contents.
+    *
+    * Returns (rows written, day-partition values written).
     */
-  private def writeDynamicOverwrite(df: DataFrame): (Long, Set[LocalDate]) = {
-    val obs = org.apache.spark.sql.Observation(
-      s"graft_dates_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.observe(obs, count(lit(1)).as("n"),
-        collect_set(col(PartitionCol)).as("dates"),
-        count(when(col(PartitionCol).isNull, lit(1))).as("nulls"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PartitionCol)
-      .parquet(path)
-    val m = obs.get
-    val touched = touchedDirs(m)
-    if (touched.nonEmpty) commitManifestTouched(touched)
-    val dates = m("dates").asInstanceOf[scala.collection.Seq[java.sql.Date]]
-      .map(_.toLocalDate).toSet
-    (if (countRows) m("n").asInstanceOf[Long] else -1L, dates)
+  private def writeSnapshotReplace(
+      fresh: DataFrame, alsoReplace: () => Set[String]): (Long, Set[LocalDate]) = {
+    repairOrphanedReplace() // heal a crashed predecessor before staging
+    val dst = new Path(path)
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    // pin readers BEFORE anything stages (pre-manifest table upgrade)
+    if (latestManifest().isEmpty) commitManifestRelist()
+    val stage = new Path(path + s"__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val n = writeCounted(fresh, stage.toString, "overwrite")
+      val stagedDirs = fs.listStatus(stage).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$PartitionCol="))
+        .map(_.getPath)
+      val stagedRel = stagedDirs.flatMap { d =>
+        fs.listStatus(d).toSeq
+          .filter(st => st.isFile && isDataFileName(st.getPath.getName))
+          .map(st => s"${d.getName}/${st.getPath.getName}")
+      }
+      val touched = stagedDirs.map(_.getName).toSet
+      // read-modify-write under the instance monitor: a concurrent
+      // in-process period append basing its commit on the same prior
+      // version must not have its files dropped (cross-process writers
+      // are serialized by the lease)
+      synchronized {
+        val replaced = touched ++ alsoReplace()
+        val prev = latestManifest().getOrElse(Nil)
+        val origRel = prev.filter(f => replaced.contains(f.takeWhile(_ != '/')))
+        writeMarker(intentFile,
+          s"orig=${origRel.mkString(",")}\nstaged=${stagedRel.mkString(",")}\n")
+        stagedRel.foreach { rel =>
+          val dir = new Path(path, rel.takeWhile(_ != '/'))
+          if (!fs.exists(dir)) fs.mkdirs(dir)
+          fs.rename(new Path(stage, rel), new Path(path, rel))
+        }
+        failReplacePoint(1) // staged in place; manifest still pre-replace
+        commitManifest( // THE atomic switch: old set -> new set
+          prev.filterNot(origRel.toSet) ++ stagedRel)
+        failReplacePoint(2) // switched; originals still on disk, unparked
+        writeTrash(origRel)
+        failReplacePoint(3) // originals parked; marker not yet cleared
+        clearIntent()
+      }
+      val dates = touched
+        .filter(_ != s"$PartitionCol=$HiveDefaultPartition")
+        .map(nm => LocalDate.parse(nm.stripPrefix(s"$PartitionCol=")))
+      (n, dates)
+    } finally if (fs.exists(stage)) fs.delete(stage, true)
   }
 }
 
@@ -1538,13 +1566,15 @@ object TargetTable {
   /** Underscore-prefixed so Spark's file listing treats it as metadata. */
   val SchemaFile = "_graft_schema.json"
 
-  /** Crash-repair marker for in-flight range replaces (see
-    * [[TargetTable.replaceRange]]); underscore-prefixed metadata.
+  /** Crash-repair marker for in-flight snapshot replaces — records the
+    * replaced (orig) and staged file sets so
+    * [[TargetTable.repairOrphanedReplace]] can roll forward or back by
+    * whether the manifest commit happened; underscore-prefixed metadata.
     */
   val IntentFile = "_graft_replace_intent"
 
-  /** Written-partition-set sidecar for the cleanup phase (see
-    * [[TargetTable.replaceRange]]); underscore-prefixed metadata.
+  /** Legacy sidecar of the pre-snapshot replace state machine — no
+    * longer written; a leftover is deleted by repair.
     */
   val WrittenSidecarFile = "_graft_replace_written"
 
@@ -1573,9 +1603,9 @@ object TargetTable {
     */
   val ManifestDirName = "_graft_manifest"
 
-  /** Deferred-deletion parking lot for files replaced by compaction —
-    * still on disk for readers pinned to an older manifest, reaped by
-    * [[TargetTable.vacuum]].
+  /** Deferred-deletion parking lot for files replaced by compaction or
+    * a snapshot replace — still on disk for readers pinned to an older
+    * manifest, reaped by [[TargetTable.vacuum]].
     */
   val TrashDirName = "_graft_trash"
 
@@ -1584,9 +1614,9 @@ object TargetTable {
     */
   val ManifestKeep = 5
 
-  /** How long replaced files stay on disk after compaction before
-    * [[TargetTable.vacuum]] deletes them — the grace window for scans
-    * planned against a pre-compaction manifest.
+  /** How long replaced files stay on disk after a compaction or a
+    * snapshot replace before [[TargetTable.vacuum]] deletes them — the
+    * grace window for scans planned against an older manifest.
     */
   val TrashRetentionMs: Long = 15L * 60 * 1000
 

@@ -192,7 +192,15 @@ object IbtpRunner {
     // letting MAX(ts)+1 resumes keep building silently on an
     // untrustworthy range.
     target.repairOrphanedSwap()
-    if (target.exists) target.repairOrphanedReplace()
+    if (target.exists) {
+      target.repairOrphanedReplace()
+      // append orphans (files moved in, manifest commit lost) must roll
+      // back HERE — start-of-run is the single-writer point — or the
+      // re-materialized period's touched-dir relist absorbs them as
+      // silent duplicate rows
+      val healed = target.repairOrphanedAppends()
+      if (healed > 0) log(s"[ibtp] repaired $healed orphaned append(s)")
+    }
     // compact orphans were previously healed only by the next compact()
     // call — with auto-compaction opt-in and off, a crashed CLI
     // --compact-only run left that day's data dot-hidden indefinitely

@@ -72,11 +72,13 @@ final class TargetTable(
         col(PartitionCol) < lit(java.sql.Date.valueOf(to)))
       .drop(PartitionCol)
 
-  /** Largest day-partition value, from directory names only — no data
+  /** Largest LIVE day-partition value, from metadata only — no data
     * scan. Because `p_date = CAST(timestampField AS DATE)` is written
     * aligned, this equals CAST(MAX(ts) AS DATE), which is exactly what
     * the resume probe needs (reference `helpers.sql:119` runs MAX(ts)
-    * on the warehouse; here it is a metadata listing).
+    * on the warehouse; here it is a manifest read — see
+    * [[datePartitions]] for the source of truth and the mixed-version
+    * caveat).
     */
   def maxPartitionDate: Option[LocalDate] = partitionDates.maxOption
 
@@ -86,11 +88,17 @@ final class TargetTable(
     * partition whose files were all replaced away (its directory
     * lingers holding only trash-parked files until [[vacuum]]) must
     * drop out of the resume frontier the instant the replace commits.
-    * Pre-manifest tables fall back to directory names. Rows with a
-    * NULL timestamp land in Spark's `__HIVE_DEFAULT_PARTITION__`
-    * directory — legitimate data (the reference inserts NULL-ts rows
-    * like any other), but not a date: it must not crash the resume
-    * probe, and like SQL `MAX(ts)` the frontier ignores NULLs.
+    * Pre-manifest tables fall back to directory names. Mixed-version
+    * caveat: files added by a writer that does not commit a manifest
+    * (an older version of this library, an external tool dropping
+    * parquet in by hand) are INVISIBLE to the frontier and to reads
+    * until a manifest commit relists their directories — run
+    * [[relistManifest]] to absorb them. Rows with a NULL timestamp
+    * land in Spark's
+    * `__HIVE_DEFAULT_PARTITION__` directory — legitimate data (the
+    * reference inserts NULL-ts rows like any other), but not a date:
+    * it must not crash the resume probe, and like SQL `MAX(ts)` the
+    * frontier ignores NULLs.
     */
   private def datePartitions: Seq[(LocalDate, Path)] = {
     val p = new Path(path)
@@ -123,7 +131,9 @@ final class TargetTable(
     }
   }
 
-  /** All day-partition values present, from directory names only. */
+  /** All LIVE day-partition values (latest manifest when one exists,
+    * directory names otherwise — [[datePartitions]]).
+    */
   def partitionDates: Set[LocalDate] = datePartitions.map(_._1).toSet
 
   /** Metadata-only contiguity probe: the maximal runs of ABSENT
@@ -326,68 +336,112 @@ final class TargetTable(
     * their own day-partitions; no shuffle beyond the model's own plan.
     */
   def append(df: DataFrame): Long =
-    writeObservedAppend(withPartitionCol(alignToTarget(df)))
-
-  /** Append to the target with the touched-partition set riding the
-    * write's observed metrics (like [[writeDynamicOverwrite]]), so the
-    * manifest commit afterwards re-lists only the partitions this
-    * write touched. `collect_set` skips NULLs, so NULL-ts rows are
-    * counted separately to cover their `__HIVE_DEFAULT_PARTITION__`
-    * directory.
-    */
-  private def writeObservedAppend(df: DataFrame): Long = {
-    val obs = org.apache.spark.sql.Observation(
-      s"graft_app_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.observe(obs, count(lit(1)).as("n"),
-        collect_set(col(PartitionCol)).as("dates"),
-        count(when(col(PartitionCol).isNull, lit(1))).as("nulls"))
-      .write.mode("append").partitionBy(PartitionCol).parquet(path)
-    val m = obs.get
-    val touched = touchedDirs(m)
-    if (touched.nonEmpty) commitManifestTouched(touched)
-    if (countRows) m("n").asInstanceOf[Long] else -1L
-  }
-
-  private def touchedDirs(m: Map[String, Any]): Set[String] = {
-    val dates = m("dates").asInstanceOf[scala.collection.Seq[java.sql.Date]]
-      .map(d => s"$PartitionCol=${fmt.format(d.toLocalDate)}").toSet
-    if (m("nulls").asInstanceOf[Long] > 0L)
-      dates + s"$PartitionCol=$HiveDefaultPartition"
-    else dates
-  }
+    stagedAppend(withPartitionCol(alignToTarget(df)))
 
   /** Append safe under CONCURRENT callers: two Spark jobs appending to
     * one directory share the committer's `_temporary` staging and can
-    * clobber each other, so each call stages to its own scratch dir
-    * and then moves the day-partition directories into the target
-    * (pure namenode renames). Callers must write disjoint partitions —
-    * true for distinct periods on the append path.
+    * clobber each other; [[stagedAppend]]'s per-call scratch dir (and
+    * per-call intent marker) isolates them. Callers must write disjoint
+    * partitions — true for distinct periods on the append path.
     */
-  def appendIsolated(df: DataFrame): Long = {
-    val stage = new Path(path + s"__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+  def appendIsolated(df: DataFrame): Long = append(df)
+
+  /** The one append primitive: stage to a per-call scratch dir, record
+    * the staged file names in a per-call intent marker, move them into
+    * the live partition directories (pure namenode renames —
+    * job-unique names, so no collisions), commit the manifest for the
+    * touched directories, clear the marker.
+    *
+    * The marker closes the crash window between the moves and the
+    * manifest commit: without it, files already on disk but absent
+    * from the manifest are invisible to the resume frontier, the next
+    * run re-materializes the period, and the touched-dir relist in
+    * [[commitManifestTouched]] would absorb the orphans alongside the
+    * fresh files — silent duplicate rows. [[repairOrphanedAppends]]
+    * (start-of-run, under the lease) rolls such orphans back instead.
+    */
+  private def stagedAppend(aligned: DataFrame): Long = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(path + s"__stage_$id")
     try {
-      val n = writeCounted(withPartitionCol(alignToTarget(df)), stage.toString, "overwrite")
+      val n = writeCounted(aligned, stage.toString, "overwrite")
       val dst = new Path(path)
       if (!fs.exists(dst)) fs.mkdirs(dst)
-      val moved = fs.listStatus(stage).toSeq
-        .filter(_.getPath.getName.startsWith(s"$PartitionCol="))
-        .map(_.getPath.getName)
-      moved.foreach { name =>
-        val src = new Path(stage, name)
-        val dest = new Path(dst, name)
-        if (!fs.exists(dest)) fs.rename(src, dest)
-        else // partition already present (e.g. init chunk): move files in
-          fs.listStatus(src).foreach(f =>
-            fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+      val stagedDirs = fs.listStatus(stage).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$PartitionCol="))
+        .map(_.getPath)
+      val stagedRel = stagedDirs.flatMap { d =>
+        fs.listStatus(d).toSeq
+          .filter(st => st.isFile && isDataFileName(st.getPath.getName))
+          .map(st => s"${d.getName}/${st.getPath.getName}")
       }
-      // concurrent-period callers write DISJOINT partitions, so each
-      // call's touched-set relist only re-reads its own directories; a
-      // relist racing another call's half-moved partition is the same
-      // exposure a directory-listing reader had, now bounded to the
-      // moving partition instead of the whole table
-      if (moved.nonEmpty) commitManifestTouched(moved.toSet)
+      if (stagedRel.nonEmpty) {
+        val marker = new Path(path, AppendIntentPrefix + id)
+        writeMarker(marker, s"files=${stagedRel.mkString(",")}\n")
+        stagedDirs.foreach { src =>
+          val dest = new Path(dst, src.getName)
+          val movedWholeDir = !fs.exists(dest) && fs.rename(src, dest)
+          if (!movedWholeDir) { // partition already present: move files in
+            if (!fs.exists(dest)) fs.mkdirs(dest)
+            fs.listStatus(src).foreach { f =>
+              if (!fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+                throw new IllegalStateException(
+                  s"could not move staged append file ${f.getPath} into " +
+                    s"$dest: aborting before the manifest commit " +
+                    "(repairOrphanedAppends rolls the partial move back)")
+            }
+          }
+        }
+        failAppendPoint(1) // files moved in; manifest still pre-append
+        // concurrent-period callers write DISJOINT partitions, so each
+        // call's touched-set relist only re-reads its own directories
+        commitManifestTouched(stagedDirs.map(_.getName).toSet)
+        failAppendPoint(2) // committed; marker not yet cleared
+        fs.delete(marker, false)
+      }
       n
     } finally if (fs.exists(stage)) fs.delete(stage, true)
+  }
+
+  /** Heal appends orphaned by a crash between the staged-file moves and
+    * the manifest commit (see [[stagedAppend]]). Direction per marker,
+    * decided by the manifest like [[repairOrphanedReplace]]: files
+    * committed → only the marker delete was lost, clear it; not
+    * committed → roll BACK by deleting the listed files (no reader can
+    * be pinned to them — they were never in any manifest), and the
+    * resume frontier re-materializes the period cleanly. Pre-manifest
+    * tables keep their old contract (disk presence == visibility — the
+    * dir-listing frontier already saw the files), so only the marker is
+    * cleared. MUST run single-writer (start-of-run under the lease):
+    * it would roll back a LIVE sibling append's not-yet-committed
+    * files if run concurrently.
+    */
+  def repairOrphanedAppends(): Int = {
+    val root = new Path(path)
+    val markers =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(AppendIntentPrefix) &&
+          !p.getName.endsWith(".tmp"))
+    markers.foreach { m =>
+      val files = readKv(m, required = Seq("files"))
+        .map(_("files")).getOrElse("").split(",").filter(_.nonEmpty).toSeq
+      val committed = latestManifest() match {
+        case None           => true // pre-manifest: disk == visible already
+        case Some(manifest) => files.exists(manifest.toSet.contains)
+      }
+      if (!committed) {
+        TargetTable.log.warn(s"repairing orphaned append on $path: " +
+          s"rolling BACK (removing ${files.size} uncommitted files)")
+        files.foreach { rel =>
+          val p = new Path(path, rel)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+      }
+      fs.delete(m, false)
+    }
+    markers.size
   }
 
   /** Backfill period replace — reference B12+B14 fused
@@ -476,6 +530,15 @@ final class TargetTable(
   private def failReplacePoint(n: Int): Unit =
     if (failReplaceAt == n)
       throw new IllegalStateException(s"simulated crash at replace phase $n")
+
+  /** Test hook: throw after append phase `n` (1 = staged files moved
+    * into the live dirs, manifest not yet committed; 2 = manifest
+    * committed, marker not yet cleared).
+    */
+  private[ibtp] var failAppendAt: Int = 0
+  private def failAppendPoint(n: Int): Unit =
+    if (failAppendAt == n)
+      throw new IllegalStateException(s"simulated crash at append phase $n")
 
   private def intentFile = new Path(path, IntentFile)
   private def writtenSidecarFile = new Path(path, WrittenSidecarFile)
@@ -642,18 +705,46 @@ final class TargetTable(
       // belt-and-braces for stores where create(overwrite=false) is not
       // a true atomic claim (plain local FS): confirm the file we now
       // read back is OURS before acting as the single writer
-      val mine = scala.util.Try(readKv(leaseFile, required = Seq("lease_id")))
-        .toOption.flatten.exists(_.get("lease_id").contains(id))
-      if (!mine)
+      def mine(): Boolean =
+        scala.util.Try(readKv(leaseFile, required = Seq("lease_id")))
+          .toOption.flatten.exists(_.get("lease_id").contains(id))
+      if (!mine())
+        throw new IllegalStateException(
+          s"target $path: lost the lease takeover race — another writer " +
+            "claimed it first; retry once it completes")
+      // the stale-looking holder may still be ALIVE (long GC pause) with
+      // an in-flight heartbeat rewrite that would clobber this fresh
+      // claim with ITS id right after the confirm above — and its own
+      // post-rewrite check would then vacuously pass. A randomized
+      // settle + second confirm gives such an in-flight rewrite time to
+      // land where this check can still see it (takeover is rare, so
+      // the pause costs nothing on the hot path). The interleaving
+      // where the clobber lands after this second confirm remains —
+      // file primitives have no compare-and-swap — and is bounded: the
+      // explicit pre-commit heartbeat detects the foreign id before
+      // this claimant's next commit ([[heartbeatLease]]).
+      Thread.sleep(100L + java.util.concurrent.ThreadLocalRandom.current().nextLong(150L))
+      if (!mine())
         throw new IllegalStateException(
           s"target $path: lost the lease takeover race — another writer " +
             "claimed it first; retry once it completes")
     }
     heldLeaseId = Some(id)
     leaseLost = None
+    heldStaleAfterMs = staleAfterMillis
+    lastBeatMs = System.currentTimeMillis()
     startHeartbeatDaemon(staleAfterMillis)
     id
   }
+
+  /** When THIS holder last successfully wrote its heartbeat, and the
+    * staleness window it acquired under — used to detect that we were
+    * takeover-eligible (beat gap > window) and must treat our own
+    * heartbeat rewrite as a possible clobber of a legitimate new
+    * holder's lease.
+    */
+  @volatile private var lastBeatMs: Long = 0L
+  @volatile private var heldStaleAfterMs: Long = LeaseStaleMs
 
   private def startHeartbeatDaemon(staleAfterMillis: Long): Unit = {
     val interval = math.max(200L, math.min(LeaseHeartbeatMs, staleAfterMillis / 4))
@@ -701,9 +792,21 @@ final class TargetTable(
     * catches the truncate-write mid-flight lands on acquire's lenient
     * path (unreadable → "held, age unknown" → fail fast). Ownership is
     * verified both before and after the rewrite: a takeover that
-    * replaced the file (because WE looked stale) is detected and the
-    * run fails rather than silently stomping the new holder's lease
-    * and running alongside it.
+    * replaced the file (because WE looked stale) is normally detected
+    * and the run fails rather than silently stomping the new holder's
+    * lease and running alongside it.
+    *
+    * Residual race, stated honestly: a takeover landing BETWEEN the
+    * pre-check and our overwrite is clobbered by our own id, so the
+    * plain post-check is vacuous against it — file primitives have no
+    * compare-and-swap. Two bounds contain it: (1) takeover is only
+    * legal against a stale heartbeat, so when our own beat gap exceeded
+    * the staleness window we add a randomized settle + re-check, giving
+    * an in-flight claim time to land where we can see it (and the
+    * claimant's acquire does the symmetric settle + confirm); (2) the
+    * clobbered claimant's next explicit heartbeat — which precedes
+    * every commit — reads our foreign id and aborts, so no commit
+    * happens under a silently lost lease.
     */
   def heartbeatLease(): Unit = synchronized {
     // synchronized: the daemon and concurrent period threads share this
@@ -726,10 +829,24 @@ final class TargetTable(
         heldLeaseId = None
         throw e
       }
+      // were we takeover-ELIGIBLE (our own beat gap blew the staleness
+      // window, e.g. a long GC pause)? Then a contender may legally
+      // claim between the pre-check and our rewrite, and our overwrite
+      // would bury its lease under our own id.
+      val wasTakeoverEligible =
+        System.currentTimeMillis() - lastBeatMs > heldStaleAfterMs
       if (!stillOurs()) lost()
       val out = fs.create(leaseFile, true) // in place: file never vanishes
       try out.write(leaseContent(id).getBytes("UTF-8")) finally out.close()
       if (!stillOurs()) lost()
+      if (wasTakeoverEligible) {
+        // randomized settle + re-check: a claim racing our rewrite gets
+        // time to (re)land where the check can see it. Costs nothing on
+        // the hot path — only reached after an anomalous beat gap.
+        Thread.sleep(100L + java.util.concurrent.ThreadLocalRandom.current().nextLong(150L))
+        if (!stillOurs()) lost()
+      }
+      lastBeatMs = System.currentTimeMillis()
     }
   }
 
@@ -800,12 +917,29 @@ final class TargetTable(
     finally in.close()
   }
 
+  /** Raw lines of the latest committed manifest: an optional
+    * `#schema=<json>` header followed by relative live-file paths.
+    */
+  private def latestManifestRaw(): Option[Seq[String]] =
+    manifestVersions().maxByOption(_._1).map { case (_, p) => readLines(p) }
+
   /** Relative live-file paths of the latest committed manifest, if this
     * target has one (tables written before the manifest era read via
     * directory listing until their next mutation commits one).
     */
   private[ibtp] def latestManifest(): Option[Seq[String]] =
-    manifestVersions().maxByOption(_._1).map { case (_, p) => readLines(p) }
+    latestManifestRaw().map(_.filterNot(_.startsWith("#")))
+
+  private def schemaOfManifestLines(lines: Seq[String]): Option[StructType] =
+    lines.find(_.startsWith("#schema="))
+      .map(l => DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType])
+
+  /** Schema recorded in the latest manifest's header — the READER-facing
+    * schema, switched atomically with the file set by every commit
+    * (headerless pre-header manifests fall back to the sidecar).
+    */
+  private[ibtp] def latestManifestSchema(): Option[StructType] =
+    latestManifestRaw().flatMap(schemaOfManifestLines)
 
   /** Commit `files` as the next manifest version: write to a tmp name,
     * rename to the fresh versioned name (atomic — readers see the old
@@ -891,6 +1025,18 @@ final class TargetTable(
     }
   }
 
+  /** Commit a manifest from a full directory relist, absorbing files a
+    * non-manifest writer (an older library version, an external tool)
+    * dropped into the partition directories — the documented remedy
+    * for the mixed-version caveat on [[datePartitions]]. Lease-guarded
+    * and repair-first, so a crashed mutation's staged-but-uncommitted
+    * files are rolled back rather than absorbed as live rows.
+    */
+  def relistManifest(): Unit = withWriterLease() {
+    repairOrphanedAppends()
+    commitManifestRelist()
+  }
+
   /** Full re-list commit — init, repairs, and first-manifest upgrades. */
   private def commitManifestRelist(): Unit = synchronized {
     if (fs.exists(compactIntentFile)) repairOrphanedCompact()
@@ -913,16 +1059,25 @@ final class TargetTable(
   }
 
   /** Physically delete trash-parked files older than the retention.
-    * Safe to run any time: trash entries are by construction absent
-    * from every manifest committed after they were parked, and part-
-    * file names are job-unique so a parked name can never be re-created
-    * live. Readers planned more than `olderThanMillis` ago may lose
-    * their files — size the retention to the longest scan you serve
-    * (the same contract as a table format's vacuum).
+    * Runs under the writer lease (reentrant — free when the runner or
+    * compact already holds it): reaping must not interleave with
+    * another writer's in-flight park/commit, whose trash list it could
+    * read half-written or whose just-parked files it could reap early.
+    *
+    * The retention is the READER protection — the lease does not stop
+    * scans. Trash entries are by construction absent from every
+    * manifest committed after they were parked, and part-file names
+    * are job-unique so a parked name can never be re-created live; but
+    * a reader that PLANNED more than `olderThanMillis` ago may still be
+    * scanning a parked file. The retention floor is therefore the
+    * longest scan you serve (the same contract as a table format's
+    * vacuum): `vacuum(0)` is a deliberate escape hatch for when no
+    * readers exist — on a live table it will break in-flight scans
+    * with FileNotFoundException.
     */
   def vacuum(olderThanMillis: Long = TrashRetentionMs): Int =
     if (!fs.exists(trashDir)) 0
-    else {
+    else withWriterLease() {
       val cutoff = System.currentTimeMillis() - olderThanMillis
       var removed = 0
       val touchedDirs = scala.collection.mutable.Set[Path]()
@@ -1001,7 +1156,7 @@ final class TargetTable(
             () => affected.map(d => s"$PartitionCol=${fmt.format(d)}"))
         }
       }
-      writeObservedAppend(fresh)
+      stagedAppend(fresh)
     } finally fresh.unpersist()
   }
 
@@ -1262,6 +1417,7 @@ final class TargetTable(
       targetFileBytes: Long): Seq[CompactionStat] = {
     repairOrphanedCompact()
     repairOrphanedReplace() // staged-uncommitted replace files must not be relisted as live
+    repairOrphanedAppends() // ditto for a crashed predecessor's moved-but-uncommitted appends
     // age-gated: even under the lease, a writer that predates the lease
     // discipline (or a manual API user) could have a live appendIsolated
     // stage dir; only dirs idle past the gate are truly dead (the
@@ -1526,7 +1682,14 @@ final class TargetTable(
         stagedRel.foreach { rel =>
           val dir = new Path(path, rel.takeWhile(_ != '/'))
           if (!fs.exists(dir)) fs.mkdirs(dir)
-          fs.rename(new Path(stage, rel), new Path(path, rel))
+          // a silent move failure would let the manifest commit publish
+          // a path with no file behind it — abort pre-commit instead;
+          // the intent marker makes the abort a clean phase-1 rollback
+          if (!fs.rename(new Path(stage, rel), new Path(path, rel)))
+            throw new IllegalStateException(
+              s"could not move staged file $rel into $path: aborting " +
+                "before the manifest commit (repairOrphanedReplace rolls " +
+                "the partial staging back)")
         }
         failReplacePoint(1) // staged in place; manifest still pre-replace
         commitManifest( // THE atomic switch: old set -> new set
@@ -1590,6 +1753,14 @@ object TargetTable {
     * target (compaction never renames the target directory).
     */
   val CompactIntentFile = "_graft_compact_intent"
+
+  /** Per-call crash-repair markers for in-flight staged appends — each
+    * records its staged file names so [[TargetTable.repairOrphanedAppends]]
+    * can roll an append that crashed before its manifest commit back
+    * (else the next run's re-materialization + touched-dir relist would
+    * absorb the orphans as duplicates); underscore-prefixed metadata.
+    */
+  val AppendIntentPrefix = "_graft_append_intent_"
 
   /** Age gate for [[TargetTable.sweepOrphanedStaging]] when invoked from
     * `compact()` (a possibly-concurrent standalone run): stage dirs idle

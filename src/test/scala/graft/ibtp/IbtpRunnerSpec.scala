@@ -432,18 +432,46 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assert(!stage2.exists())
   }
 
-  test("an unparseable partition directory fails the frontier loudly") {
-    // a corrupted/renamed date dir silently excluded from the frontier
-    // would let a rerun re-append that day's rows; it must fail instead
+  test("an unparseable partition name fails the frontier loudly (manifest + fallback eras)") {
+    // a corrupted/renamed date partition silently excluded from the
+    // frontier would let a rerun re-append that day's rows — it must
+    // either be invisible-by-design (manifest pins the committed names)
+    // or fail loud (it IS the source of truth), never silently skipped
     val target = new TargetTable(spark, tmpDir("ibtp_corruptpart"), "day")
     runner(target)
+    val frontier = target.maxPartitionDate
     val good = new java.io.File(target.path, "p_date=2024-01-05")
     val bad  = new java.io.File(target.path, "p_date=2024-01-05x")
+    // manifest era: the frontier plans from the committed manifest, so
+    // a disk-level rename cannot silently shift it
     assert(good.renameTo(bad))
+    assert(target.maxPartitionDate == frontier,
+      "a disk rename must not move the manifest-pinned frontier")
+    assert(bad.renameTo(good))
+    // a corrupted MANIFEST entry is the manifest-era corruption — loud
+    val mdir = new java.io.File(target.path, TargetTable.ManifestDirName)
+    val latest = mdir.listFiles().filter(_.getName.endsWith(".list"))
+      .maxBy(_.getName)
+    // drop the LocalFileSystem checksum sidecar: this simulates outside
+    // corruption, not a writer bug, and the probe must diagnose the
+    // content rather than trip on a crc mismatch
+    new java.io.File(mdir, s".${latest.getName}.crc").delete()
+    val orig = java.nio.file.Files.readAllLines(latest.toPath)
+    val plus = new java.util.ArrayList[String](orig)
+    plus.add("p_date=2024-01-05x/part-bogus.parquet")
+    java.nio.file.Files.write(latest.toPath, plus)
     val e = intercept[IllegalStateException] { target.maxPartitionDate }
     assert(e.getMessage.contains("p_date=2024-01-05x"))
+    java.nio.file.Files.write(latest.toPath, orig) // repair → probe works
+    assert(target.maxPartitionDate == frontier)
+    // pre-manifest fallback (an older-version table): directory names
+    // ARE the source of truth, so the rename must fail loud there
+    assert(mdir.listFiles().forall(_.delete()) && mdir.delete())
+    assert(good.renameTo(bad))
+    val e2 = intercept[IllegalStateException] { target.maxPartitionDate }
+    assert(e2.getMessage.contains("p_date=2024-01-05x"))
     assert(bad.renameTo(good)) // repair → probe works again
-    assert(target.maxPartitionDate.nonEmpty)
+    assert(target.maxPartitionDate == frontier)
   }
 
   test("concurrent-append failure hole: contiguity probe detects it, repair matches the uninterrupted build") {
@@ -493,91 +521,170 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assertSameRows(target.read(), oneShot(jan1, feb1))
   }
 
-  test("crashed replaceRange self-heals via the range-intent marker") {
+  /** Count live parquet data files per partition dir on disk (manifest
+    * notwithstanding) — used to prove phase-1 rollback physically removes
+    * staged orphans instead of leaving invisible-but-present files.
+    */
+  private def diskFileCounts(target: TargetTable): Map[String, Int] = {
+    val root = new java.io.File(target.path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+      .map(d => d.getName -> d.listFiles()
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))).toMap
+  }
+
+  test("crashed snapshot replace rolls BACK at phase 1, FORWARD at phases 2-3") {
     val target = new TargetTable(spark, tmpDir("ibtp_intent"), "day")
     runner(target)
     val from = LocalDate.of(2024, 1, 10)
     val to   = LocalDate.of(2024, 1, 13)
-    // the replacement drops jan 11 entirely — its old partition goes
-    // stale, and ONLY the post-overwrite cleanup step removes it
+    // the replacement drops jan 11 entirely — its stale partition must
+    // vanish in the SAME atomic manifest commit as the fresh files land
+    val repl = oneShot(from, to)
+      .filter(col("day").cast("date") =!= lit(java.sql.Date.valueOf(from.plusDays(1))))
+    val preReplace  = oneShot(jan1, feb1)
+    val postReplace = preReplace
+      .filter(col("day").cast("date") =!= lit(java.sql.Date.valueOf(from.plusDays(1))))
+    val preCounts = diskFileCounts(target)
+
+    // ---- phase 1: staged files moved into the live dirs, manifest NOT
+    // committed. Readers never saw the staged files (not in any
+    // manifest); repair rolls BACK, physically deleting them.
+    target.failReplaceAt = 1
+    intercept[IllegalStateException] { target.replaceRange(repl, from, to) }
+    target.failReplaceAt = 0
+    assertSameRows(target.read(), preReplace) // manifest untouched by the crash
+    assert(target.repairOrphanedReplace().contains("back"))
+    assertSameRows(target.read(), preReplace)
+    assert(diskFileCounts(target) == preCounts,
+      "phase-1 rollback must remove the staged orphans from disk")
+    assert(target.repairOrphanedReplace().isEmpty) // marker cleared
+
+    // ---- phase 2: manifest committed, originals still on disk unparked.
+    // The switch already happened — readers see the new table; repair
+    // rolls FORWARD by trash-parking the replaced originals.
+    target.failReplaceAt = 2
+    intercept[IllegalStateException] { target.replaceRange(repl, from, to) }
+    target.failReplaceAt = 0
+    assertSameRows(target.read(), postReplace) // commit beat the crash
+    assert(target.repairOrphanedReplace().contains("forward"))
+    assertSameRows(target.read(), postReplace)
+    assert(target.repairOrphanedReplace().isEmpty)
+
+    // ---- phase 3: originals parked, marker not yet cleared. Forward
+    // repair must be idempotent (originals already gone from disk).
+    target.failReplaceAt = 3
+    intercept[IllegalStateException] { target.replaceRange(repl, from, to) }
+    target.failReplaceAt = 0
+    assertSameRows(target.read(), postReplace)
+    assert(target.repairOrphanedReplace().contains("forward"))
+    assertSameRows(target.read(), postReplace)
+    assert(target.repairOrphanedReplace().isEmpty)
+
+    // ---- and the healed table is row-identical to a clean replace
+    val clean = new TargetTable(spark, tmpDir("ibtp_intent_clean"), "day")
+    runner(clean)
+    clean.replaceRange(repl, from, to)
+    assertSameRows(target.read(), clean.read())
+  }
+
+  test("a new replace self-heals a crashed predecessor before staging") {
+    val target = new TargetTable(spark, tmpDir("ibtp_intent_rerun"), "day")
+    runner(target)
+    val from = LocalDate.of(2024, 1, 10)
+    val to   = LocalDate.of(2024, 1, 13)
     val repl = oneShot(from, to)
       .filter(col("day").cast("date") =!= lit(java.sql.Date.valueOf(from.plusDays(1))))
     val expected = oneShot(jan1, feb1)
       .filter(col("day").cast("date") =!= lit(java.sql.Date.valueOf(from.plusDays(1))))
-    // crash between the overwrite and the stale cleanup
-    target.failBeforeCleanup = true
+    // crash pre-commit, then just re-run: writeSnapshotReplace repairs
+    // (roll back) before staging, so the retry lands a clean result
+    target.failReplaceAt = 1
     intercept[IllegalStateException] { target.replaceRange(repl, from, to) }
-    target.failBeforeCleanup = false
-    // the marker recorded the cleanup phase; the stale partition survives
-    val intent = target.readReplaceIntent()
-    assert(intent.exists(i => i.from == from && i.to == to && i.written.isDefined),
-      s"intent: $intent")
-    assert(target.read().filter(col("day").cast("date") ===
-      lit(java.sql.Date.valueOf(from.plusDays(1)))).count() > 0,
-      "stale partition should still be present after the simulated crash")
-    // repair alone (no re-run) completes the recorded cleanup: the
-    // overwrite had committed, so repair yields the one-shot table
-    assert(target.repairOrphanedReplace().contains((from, to)))
-    assert(target.readReplaceIntent().isEmpty)
-    assertSameRows(target.read(), expected)
-    // a writing-phase orphan (crash mid-overwrite) cannot self-heal,
-    // but a re-run covering the range clears it and rewrites
-    val fs = new org.apache.hadoop.fs.Path(target.path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(target.path, TargetTable.IntentFile)
-    val out = fs.create(marker, true)
-    out.write(s"phase=writing\nfrom=$from\nto=$to\n".getBytes("UTF-8"))
-    out.close()
-    // uncovered repair refuses (logs; marker stays)
-    assert(target.repairOrphanedReplace().isEmpty)
-    assert(target.readReplaceIntent().nonEmpty)
-    // a covering re-run clears it and leaves a clean, correct table
+    target.failReplaceAt = 0
     target.replaceRange(repl, from, to)
-    assert(target.readReplaceIntent().isEmpty)
     assertSameRows(target.read(), expected)
+    assert(target.repairOrphanedReplace().isEmpty)
+    // crash post-commit, re-run again — forward repair then idempotent
+    // re-replace of the same partitions: same table, no duplicates
+    target.failReplaceAt = 2
+    intercept[IllegalStateException] { target.replaceRange(repl, from, to) }
+    target.failReplaceAt = 0
+    target.replaceRange(repl, from, to)
+    assertSameRows(target.read(), expected)
+    assert(target.repairOrphanedReplace().isEmpty)
   }
 
-  test("non-covering replace refuses to destroy a mid-write orphan; corrupt marker fails loudly") {
+  test("crashed append rolls back — the resumed run does not duplicate rows") {
+    val jan15 = LocalDate.of(2024, 1, 15)
+    val jan16 = LocalDate.of(2024, 1, 16)
+    // ---- phase-1 crash: files moved into the live dirs, manifest
+    // commit lost. The orphans are invisible to the (manifest-based)
+    // frontier, so the resumed run re-materializes jan15 — without the
+    // intent rollback, the touched-dir relist would absorb the orphans
+    // alongside the fresh files as silent duplicate rows.
+    val target = new TargetTable(spark, tmpDir("ibtp_appcrash"), "day")
+    runner(target, c = cfg.copy(stopDate = Some(jan15)))
+    val frontier0 = target.maxPartitionDate
+    target.failAppendAt = 1
+    intercept[IllegalStateException] { target.append(oneShot(jan15, jan16)) }
+    target.failAppendAt = 0
+    assert(target.maxPartitionDate == frontier0,
+      "an uncommitted append must not move the manifest frontier")
+    runner(target) // start-of-run repair rolls the orphans back, then resumes
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+    // ---- phase-2 crash: manifest committed, only the marker delete
+    // was lost. Repair must clear the marker WITHOUT rolling back the
+    // committed rows (the frontier already moved past them).
+    val t2 = new TargetTable(spark, tmpDir("ibtp_appcrash2"), "day")
+    runner(t2, c = cfg.copy(stopDate = Some(jan15)))
+    t2.failAppendAt = 2
+    intercept[IllegalStateException] { t2.append(oneShot(jan15, jan16)) }
+    t2.failAppendAt = 0
+    assert(t2.maxPartitionDate.contains(jan15))
+    runner(t2)
+    assertSameRows(t2.read(), oneShot(jan1, feb1))
+    assert(t2.repairOrphanedAppends() == 0, "markers must be cleared")
+  }
+
+  test("legacy replace markers fail loudly; a lone sidecar is swept") {
     val target = new TargetTable(spark, tmpDir("ibtp_intent2"), "day")
     runner(target)
     val fs = new org.apache.hadoop.fs.Path(target.path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(target.path, TargetTable.IntentFile)
-    val orphanFrom = LocalDate.of(2024, 1, 10)
-    val orphanTo   = LocalDate.of(2024, 1, 13)
-    val out = fs.create(marker, true)
-    out.write(s"from=$orphanFrom\nto=$orphanTo\n".getBytes("UTF-8"))
-    out.close()
-    // replacing a DIFFERENT range must throw and leave the orphan intact
-    val other = oneShot(LocalDate.of(2024, 1, 20), LocalDate.of(2024, 1, 22))
-    val ex = intercept[IllegalStateException] {
-      target.replaceRange(other, LocalDate.of(2024, 1, 20), LocalDate.of(2024, 1, 22))
+    def writeMarker(content: String): Unit = {
+      val out = fs.create(marker, true)
+      out.write(content.getBytes("UTF-8")); out.close()
     }
-    assert(ex.getMessage.contains(s"[$orphanFrom, $orphanTo)"), ex.getMessage)
-    assert(target.readReplaceIntent().exists(i =>
-      i.from == orphanFrom && i.to == orphanTo && i.written.isEmpty),
-      "the orphan marker must survive the refused replace")
-    // a stale sidecar from an OLD range must not turn the orphan into a
-    // bogus cleanup-phase repair (mismatched ranges are ignored)
-    val sidecar = new org.apache.hadoop.fs.Path(target.path, TargetTable.WrittenSidecarFile)
-    val out2 = fs.create(sidecar, true)
-    out2.write("from=2024-01-01\nto=2024-01-02\nwritten=2024-01-01\n".getBytes("UTF-8"))
-    out2.close()
-    assert(target.readReplaceIntent().exists(_.written.isEmpty),
-      "mismatched sidecar must be ignored")
-    // covering replace repairs and clears both markers
-    val repl = oneShot(orphanFrom, orphanTo)
-    target.replaceRange(repl, orphanFrom, orphanTo)
-    assert(target.readReplaceIntent().isEmpty)
-    assert(!fs.exists(sidecar) && !fs.exists(marker))
-    assertSameRows(target.read(), oneShot(jan1, feb1))
-    // a malformed marker (manual edit) fails loudly with the remedy
-    val out3 = fs.create(marker, true)
-    out3.write("garbage\n".getBytes("UTF-8"))
-    out3.close()
-    val ex2 = intercept[IllegalStateException] { target.readReplaceIntent() }
-    assert(ex2.getMessage.contains("corrupt marker"), ex2.getMessage)
+    // a pre-snapshot version's range-only marker records a crash this
+    // version cannot replay deterministically — fail loud with the
+    // remedy, destroy nothing
+    writeMarker("from=2024-01-10\nto=2024-01-13\n")
+    val ex = intercept[IllegalStateException] { target.repairOrphanedReplace() }
+    assert(ex.getMessage.contains("pre-snapshot-replace"), ex.getMessage)
+    assert(fs.exists(marker), "fail-loud must not destroy the marker")
+    // ...and a new replace refuses too (it repairs before staging)
+    val repl = oneShot(LocalDate.of(2024, 1, 20), LocalDate.of(2024, 1, 22))
+    intercept[IllegalStateException] {
+      target.replaceRange(repl, LocalDate.of(2024, 1, 20), LocalDate.of(2024, 1, 22))
+    }
+    assert(fs.exists(marker))
     fs.delete(marker, false)
+    // garbage content is the same legacy/corrupt bucket: loud, non-destructive
+    writeMarker("garbage\n")
+    val ex2 = intercept[IllegalStateException] { target.repairOrphanedReplace() }
+    assert(ex2.getMessage.contains("orig/staged"), ex2.getMessage)
+    fs.delete(marker, false)
+    // a sidecar WITHOUT an intent marker is a completed pre-snapshot
+    // replace's leftover — swept silently, no repair direction
+    val sidecar = new org.apache.hadoop.fs.Path(target.path, TargetTable.WrittenSidecarFile)
+    val out = fs.create(sidecar, true)
+    out.write("from=2024-01-01\nto=2024-01-02\nwritten=2024-01-01\n".getBytes("UTF-8"))
+    out.close()
+    assert(target.repairOrphanedReplace().isEmpty)
+    assert(!fs.exists(sidecar), "lone sidecar must be swept")
+    // the table survived every refused repair untouched
+    assertSameRows(target.read(), oneShot(jan1, feb1))
   }
 
   // a model whose per-day output spans several tasks — without

@@ -174,17 +174,24 @@ final class TargetTable(
     * their first mutation commits a manifest.
     */
   private def readRaw(): DataFrame = {
-    val reader = storedSchema
+    // ONE manifest read for both the file set and the schema: the
+    // header travels with the version, so a reader planning mid-refresh
+    // gets the old files WITH the old schema or the new with the new,
+    // never a mix (headerless pre-header manifests → sidecar schema)
+    val raw = latestManifestRaw()
+    val manifestFiles = raw.map(_.filterNot(_.startsWith("#")))
+    val schema = raw.flatMap(schemaOfManifestLines).orElse(storedSchema)
+    val reader = schema
       .fold(spark.read)(s => spark.read.schema(s))
       .option("basePath", path)
-    latestManifest() match {
+    manifestFiles match {
       case Some(files) if files.nonEmpty =>
         reader.parquet(files.map(rel => new Path(path, rel).toString): _*)
       case Some(_) =>
-        // empty manifest: zero live files. The sidecar alone carries the
-        // schema (schema-sample init); an empty relation, NOT a dir read
-        // (stray staged/parked files must stay invisible).
-        storedSchema match {
+        // empty manifest: zero live files. The header/sidecar alone
+        // carries the schema (schema-sample init); an empty relation,
+        // NOT a dir read (stray staged/parked files must stay invisible).
+        schema match {
           case Some(s) =>
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
           case None => reader.parquet(path)
@@ -210,7 +217,21 @@ final class TargetTable(
       // full on-disk schema = user columns + day-partition column
       StructType(userSchema.fields :+ StructField(PartitionCol, DateType)))
 
-  private def writeFullSidecar(full: StructType): Unit = {
+  /** Persist the full on-disk schema. The sidecar is the WRITE-side
+    * truth ([[storedSchema]]: alignment, evolution decisions); readers
+    * take theirs from the manifest header ([[readRaw]]), so any sidecar
+    * change must re-commit a manifest (same files, new header) or
+    * readers would keep planning the old schema until the next data
+    * mutation. Synchronized: the relist-free re-commit is a
+    * read-modify-write against concurrent period appends.
+    */
+  private def writeFullSidecar(full: StructType): Unit = synchronized {
+    writeSidecarFileOnly(full)
+    if (!latestManifestSchema().contains(full))
+      latestManifest().foreach(files => commitManifest(files, Some(full)))
+  }
+
+  private def writeSidecarFileOnly(full: StructType): Unit = {
     val out = fs.create(schemaSidecar, true)
     try out.write(full.json.getBytes("UTF-8")) finally out.close()
   }
@@ -219,7 +240,39 @@ final class TargetTable(
     df.withColumn(PartitionCol, col(timestampField).cast(DateType))
 
   /** Init/CTAS — reference A10 (`insert_by_timeperiod_init.sql:10,16,30,37`).
-    * Full-refresh safety: write goes to a fresh directory then swaps in,
+    *
+    * On a table with a committed manifest, a full refresh is a
+    * SNAPSHOT-ISOLATED whole-table replace: the rebuild stages to a
+    * sibling, its files move into the live tree under job-unique names,
+    * and ONE manifest commit switches the entire file set AND the
+    * schema header — a reader planning at any instant sees the complete
+    * old table (old schema) or the complete new one (new schema), and
+    * scans pinned to the old manifest keep their trash-parked files for
+    * the retention window. This strictly strengthens the reference's
+    * rename-based refresh (`init.sql:23-27`), whose swap instant
+    * invalidates in-flight readers; crash repair rides the replace
+    * intent marker instead of the swap marker.
+    *
+    * Fresh targets and pre-manifest tables take the backup-swap path
+    * ([[initSwap]]): a brand-new table has no readers to isolate, and a
+    * pre-manifest table's readers plan by directory listing, which no
+    * manifest commit can protect anyway.
+    */
+  def init(df: DataFrame): Long = {
+    repairOrphanedSwap() // heal a crashed predecessor before mutating
+    if (exists && latestManifestRaw().nonEmpty) {
+      repairOrphanedAppends() // single-writer point: clear any crashed append
+      val full = StructType(df.schema.fields :+ StructField(PartitionCol, DateType))
+      writeSnapshotReplace(
+        withPartitionCol(df),
+        // the whole live table is the replaced set, whether or not the
+        // rebuild repopulates each partition
+        () => latestManifest().getOrElse(Nil).map(_.takeWhile(_ != '/')).toSet,
+        newSchema = Some(full))._1
+    } else initSwap(df)
+  }
+
+  /** Backup-swap init for fresh targets and pre-manifest tables,
     * emulating the reference's rename-to-backup (`init.sql:23-27`).
     *
     * The swap's non-atomic instant is bracketed by an intent marker (a
@@ -233,8 +286,7 @@ final class TargetTable(
     * only the backup left → restore it. The reference has the same
     * window between its rename pair with no breadcrumb at all.
     */
-  def init(df: DataFrame): Long = {
-    repairOrphanedSwap() // heal a crashed predecessor before mutating
+  private def initSwap(df: DataFrame): Long = {
     val tmp = new Path(path + TmpInitSuffix)
     val dst = new Path(path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -248,12 +300,10 @@ final class TargetTable(
     failSwapPoint(2)
     fs.rename(tmp, dst)
     failSwapPoint(3)
-    writeFullSidecar(full)
+    writeSidecarFileOnly(full)
     if (fs.exists(backup)) fs.delete(backup, true)
     clearSwapIntent()
-    // fresh directory, fresh manifest history (readers pinned to the
-    // pre-refresh manifest are invalidated by the swap — a full refresh
-    // is a rebuild, not a snapshot-isolated mutation; see README)
+    // fresh directory, fresh manifest history
     commitManifestRelist()
     n
   }
@@ -309,12 +359,13 @@ final class TargetTable(
           fs.rename(dst, backup)
         }
         fs.rename(tmp, dst)
-        writeFullSidecar(full)
+        // file-only: the relist commit below refreshes the header too
+        writeSidecarFileOnly(full)
         if (fs.exists(backup)) fs.delete(backup, true)
       } else if (fs.exists(dst)) {
         // swap completed through rename-in; sidecar write and backup
         // cleanup may not have happened — both are idempotent
-        writeFullSidecar(full)
+        writeSidecarFileOnly(full)
         if (fs.exists(backup)) fs.delete(backup, true)
       } else if (fs.exists(backup)) {
         // neither staged nor new data: restore the old table (cannot
@@ -518,6 +569,13 @@ final class TargetTable(
       }
       clearIntent()
       if (fs.exists(writtenSidecarFile)) fs.delete(writtenSidecarFile, false)
+      // a schema-changing replace syncs the sidecar AFTER its manifest
+      // commit; a crash in between leaves the write-side sidecar one
+      // schema behind the governing manifest — realign it (both
+      // directions: the latest manifest is the truth either way)
+      latestManifestSchema().foreach { hs =>
+        if (!storedSchema.contains(hs)) writeSidecarFileOnly(hs)
+      }
       if (committed) "forward" else "back"
     }
   }
@@ -879,17 +937,18 @@ final class TargetTable(
   // grace window before their files disappear — the same
   // retained-then-vacuumed discipline table formats use.
   //
-  // Every incremental mutation is snapshot-isolated under it: appends
-  // publish their new files with a commit, and partition replaces
-  // (backfill [[replaceRange]], [[upsert]], streaming
-  // [[overwritePartitions]]) and [[compact]] stage files in under
-  // unpublished names and switch the whole replaced set in ONE commit
-  // ([[writeSnapshotReplace]]) — nothing is ever deleted in a reader's
-  // face. The one remaining window, documented rather than closed (see
-  // README "Reader visibility"): the full-refresh backup swap and
-  // rewrite-widening replace the whole directory (a rebuild is not a
-  // snapshot-isolated operation here, exactly as the reference's
-  // rename-based full refresh is not).
+  // EVERY mutation is snapshot-isolated under it: appends publish
+  // their new files with a commit; partition replaces (backfill
+  // [[replaceRange]], [[upsert]], streaming [[overwritePartitions]])
+  // and [[compact]] stage files in under unpublished names and switch
+  // the whole replaced set in ONE commit ([[writeSnapshotReplace]]);
+  // and a full refresh / widening rewrite is the same replace applied
+  // to the ENTIRE live set with the new schema riding the commit's
+  // `#schema=` header — nothing is ever deleted in a reader's face,
+  // and a reader never sees new files through an old schema. Only
+  // PRE-manifest tables (readers plan by directory listing) still
+  // take the reference-style backup swap for a rebuild (see README
+  // "Reader visibility").
   //
   // Scale note: a commit rewrites the full manifest (O(live files)
   // text I/O) but LISTS only the touched partitions
@@ -947,10 +1006,18 @@ final class TargetTable(
     * [[TargetTable.ManifestKeep]]. Mutators run under the writer lease;
     * `synchronized` additionally serializes in-process concurrent
     * period appends sharing this instance.
+    *
+    * Every commit embeds the table schema as a `#schema=` header (the
+    * current sidecar schema unless the mutation carries a new one), so
+    * the reader-facing schema and file set switch in the SAME atomic
+    * rename — a full refresh or widening rewrite can change both
+    * without a mixed old-schema/new-files instant ([[readRaw]]).
     */
-  private def commitManifest(files: Seq[String]): Unit = synchronized {
+  private def commitManifest(
+      files: Seq[String], schema: Option[StructType] = storedSchema): Unit = synchronized {
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
-    val content = files.distinct.sorted.mkString("", "\n", "\n")
+    val content = (schema.map("#schema=" + _.json).toSeq ++ files.distinct.sorted)
+      .mkString("", "\n", "\n")
     var attempts = 0
     var done = false
     while (!done) {
@@ -1249,9 +1316,11 @@ final class TargetTable(
 
   /** Storage-rewrite widening — reads every historic row, casts it to
     * the desired user schema (nested restructure by name, same
-    * expression layer as [[alignToTarget]]), and re-inits through the
-    * crash-safe backup swap, so every crash point repairs exactly like
-    * a full-refresh init's ([[repairOrphanedSwap]]). Partition values
+    * expression layer as [[alignToTarget]]), and re-inits — on a
+    * manifest table that is the snapshot-isolated whole-table replace
+    * (readers see complete-old-with-old-schema or complete-new-with-new,
+    * crash repair via the replace intent); pre-manifest tables take the
+    * crash-safe backup swap ([[repairOrphanedSwap]]). Partition values
     * are preserved: `p_date = CAST(timestampField AS DATE)` recomputes
     * to the same day (a widened timestampField is value-preserving by
     * [[SchemaEvolution.canSafelyCast]]), and NULL-ts rows re-land in
@@ -1650,7 +1719,8 @@ final class TargetTable(
     * Returns (rows written, day-partition values written).
     */
   private def writeSnapshotReplace(
-      fresh: DataFrame, alsoReplace: () => Set[String]): (Long, Set[LocalDate]) = {
+      fresh: DataFrame, alsoReplace: () => Set[String],
+      newSchema: Option[StructType] = None): (Long, Set[LocalDate]) = {
     repairOrphanedReplace() // heal a crashed predecessor before staging
     val dst = new Path(path)
     if (!fs.exists(dst)) fs.mkdirs(dst)
@@ -1693,7 +1763,13 @@ final class TargetTable(
         }
         failReplacePoint(1) // staged in place; manifest still pre-replace
         commitManifest( // THE atomic switch: old set -> new set
-          prev.filterNot(origRel.toSet) ++ stagedRel)
+          prev.filterNot(origRel.toSet) ++ stagedRel,
+          newSchema.orElse(storedSchema))
+        // a schema-changing replace (snapshot full refresh / widening
+        // rewrite) syncs the write-side sidecar right after the commit;
+        // a crash in between heals in repairOrphanedReplace's sidecar
+        // sync — readers were never exposed (they plan off the header)
+        newSchema.foreach(writeSidecarFileOnly)
         failReplacePoint(2) // switched; originals still on disk, unparked
         writeTrash(origRel)
         failReplacePoint(3) // originals parked; marker not yet cleared

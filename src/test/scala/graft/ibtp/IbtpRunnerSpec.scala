@@ -267,13 +267,23 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assert(target.compact().isEmpty)
   }
 
-  test("crashed full-refresh swap self-heals at every phase via the swap intent") {
+  /** Strip the manifest to simulate a table written before the manifest
+    * era — the population whose full refresh still takes the backup-swap
+    * path (manifest tables get the snapshot-isolated replace instead).
+    */
+  private def demanifest(target: TargetTable): Unit = {
+    val mdir = new java.io.File(target.path, TargetTable.ManifestDirName)
+    if (mdir.exists()) { mdir.listFiles().foreach(_.delete()); mdir.delete() }
+  }
+
+  test("crashed full-refresh swap self-heals at every phase via the swap intent (pre-manifest tables)") {
     // phase 2 is THE window the round-4 audit flagged: old table renamed
     // out, new one not yet renamed in — a reader sees no target and a
     // plain re-run would silently rebuild from scratch
     for (phase <- Seq(1, 2, 3)) {
       val target = new TargetTable(spark, tmpDir(s"ibtp_swap$phase"), "day")
       runner(target)
+      demanifest(target) // pre-manifest era: refresh takes the swap path
       target.failSwapAt = phase
       intercept[IllegalStateException] { runner(target, mode = RunMode.FullRefresh) }
       target.failSwapAt = 0
@@ -290,11 +300,33 @@ class IbtpRunnerSpec extends SparkSpecBase {
       assert(res.rowsInserted > 0, s"phase $phase: resume must continue the loop")
       assertSameRows(target.read(), oneShot(jan1, feb1))
       // and the runner path heals WITHOUT an explicit repair call too
+      demanifest(target)
       target.failSwapAt = phase
       intercept[IllegalStateException] { runner(target, mode = RunMode.FullRefresh) }
       target.failSwapAt = 0
       runner(target)
       assertSameRows(target.read(), oneShot(jan1, feb1))
+    }
+  }
+
+  test("full refresh on a manifest table is a snapshot replace; crashes heal at every phase") {
+    for (phase <- Seq(1, 2, 3)) {
+      val target = new TargetTable(spark, tmpDir(s"ibtp_fr_snap$phase"), "day")
+      runner(target)
+      target.failReplaceAt = phase
+      intercept[IllegalStateException] { runner(target, mode = RunMode.FullRefresh) }
+      target.failReplaceAt = 0
+      if (phase == 1)
+        // manifest never switched: readers keep the COMPLETE old table
+        // (vs the swap path, whose phase-2 crash leaves no table at all)
+        assertSameRows(target.read(), oneShot(jan1, feb1))
+      // a plain resume heals (start-of-run repair) and completes:
+      // phase 1 rolled back to the old complete build (nothing to do);
+      // phases 2-3 rolled forward to the refreshed init chunk, and the
+      // loop then rebuilds the rest of the window
+      runner(target)
+      assertSameRows(target.read(), oneShot(jan1, feb1))
+      assert(target.repairOrphanedReplace().isEmpty, "intent must be cleared")
     }
   }
 

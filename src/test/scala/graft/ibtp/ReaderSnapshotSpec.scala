@@ -144,4 +144,52 @@ class ReaderSnapshotSpec extends SparkSpecBase {
     // the latest manifest sees every append
     assert(t.read().filter(col("k").startsWith("x")).count() == 8)
   }
+
+  test("full refresh is snapshot-isolated: a pinned reader keeps the complete old table") {
+    val t = build("snap_refresh")
+    val oldRows = t.read().collect().map(_.toString).sorted
+    val pinned = t.read() // planned against the pre-refresh manifest
+    // full refresh with DIFFERENT rows, fewer partitions, and a new
+    // column — file set and schema must switch in one atomic commit
+    t.init(Seq((day("2024-02-01"), "z", 9, "extra"))
+      .toDF("day", "k", "v", "note"))
+    // a fresh reader sees the complete NEW table with the NEW schema
+    val after = t.read()
+    assert(after.schema.fieldNames.contains("note"))
+    assert(after.collect().map(r => (r.getAs[String]("k"), r.getAs[String]("note")))
+      .toSeq == Seq(("z", "extra")))
+    // no stale partition survives the switch (the refresh dropped
+    // 2024-01-01/02 in the same commit that published 2024-02-01)
+    assert(!after.inputFiles.exists(_.contains("p_date=2024-01-01")))
+    // the PINNED reader still returns the complete old table: its old
+    // schema, its old rows, off trash-parked-but-present files
+    assert(pinned.collect().map(_.toString).sorted.sameElements(oldRows),
+      "a reader planned before the refresh must see the complete old table")
+    assert(!pinned.schema.fieldNames.contains("note"))
+    // the old files are parked, not deleted, until vacuum
+    assert(t.vacuum(0L) > 0, "the refreshed-away originals must be parked")
+    // and the resume frontier follows the new manifest
+    assert(t.maxPartitionDate.contains(java.time.LocalDate.of(2024, 2, 1)))
+  }
+
+  test("widening rewrite is snapshot-isolated: pinned readers keep old schema and rows") {
+    val t = new TargetTable(spark, tmpDir("snap_widen"), "day")
+    t.init(Seq((day("2024-01-01"), "a", 1), (day("2024-01-02"), "b", 2))
+      .toDF("day", "k", "v")) // v: int
+    val pinned = t.read()
+    val oldRows = pinned.collect().map(_.toString).sorted
+    // int -> string is reader-incompatible: needs the full-table rewrite
+    val incoming = Seq((day("2024-01-03"), "c", "three")).toDF("day", "k", "v")
+    t.evolveSchema(incoming.schema, OnSchemaChange.SyncAllColumns,
+      rewriteWidening = true)
+    t.append(incoming)
+    // new readers: every v is a string, including the rewritten history
+    val after = t.read()
+    assert(after.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    assert(after.count() == 3)
+    // pinned reader: old schema (v int), old rows, parked files
+    assert(pinned.schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(pinned.collect().map(_.toString).sorted.sameElements(oldRows),
+      "a reader planned before the widening rewrite must see the old table")
+  }
 }

@@ -406,10 +406,12 @@ final class TargetTable(
     * The marker closes the crash window between the moves and the
     * manifest commit: without it, files already on disk but absent
     * from the manifest are invisible to the resume frontier, the next
-    * run re-materializes the period, and the touched-dir relist in
-    * [[commitManifestTouched]] would absorb the orphans alongside the
-    * fresh files — silent duplicate rows. [[repairOrphanedAppends]]
-    * (start-of-run, under the lease) rolls such orphans back instead.
+    * run re-materializes the period, and any later full relist (e.g.
+    * [[relistManifest]], a pre-manifest upgrade) would absorb the
+    * orphans alongside the fresh files — silent duplicate rows.
+    * [[repairOrphanedAppends]] (start-of-run, under the lease) rolls
+    * such orphans back instead; the commit itself publishes exactly
+    * the staged names ([[commitManifestAppended]]), never a listing.
     */
   private def stagedAppend(aligned: DataFrame): Long = {
     val id = java.util.UUID.randomUUID().toString.take(8)
@@ -445,9 +447,7 @@ final class TargetTable(
           }
         }
         failAppendPoint(1) // files moved in; manifest still pre-append
-        // concurrent-period callers write DISJOINT partitions, so each
-        // call's touched-set relist only re-reads its own directories
-        commitManifestTouched(stagedDirs.map(_.getName).toSet)
+        commitManifestAppended(stagedRel)
         failAppendPoint(2) // committed; marker not yet cleared
         fs.delete(marker, false)
       }
@@ -951,9 +951,10 @@ final class TargetTable(
   // "Reader visibility").
   //
   // Scale note: a commit rewrites the full manifest (O(live files)
-  // text I/O) but LISTS only the touched partitions
-  // ([[commitManifestTouched]]) — at 100 TB the object-store LIST
-  // calls, not the manifest bytes, are the expensive part. A
+  // text I/O) but the hot append path LISTS nothing at all (the
+  // staged names ride the commit, [[commitManifestAppended]]) and
+  // replaces LIST only their own staging — at 100 TB the object-store
+  // LIST calls, not the manifest bytes, are the expensive part. A
   // delta-log with periodic checkpoints is the production extension
   // if single-file rewrites ever dominate.
 
@@ -1068,27 +1069,26 @@ final class TargetTable(
       .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
       .flatMap(st => readLines(st.getPath)).toSet
 
-  /** Commit a manifest refreshing only the `touched` partition
-    * directories (names like `p_date=2024-01-01`), carrying the prior
-    * manifest's entries for every untouched partition — O(touched)
-    * listing, not O(table). Falls back to a full re-list when no
-    * manifest exists yet (pre-manifest table upgrade).
+  /** Commit an append: the prior manifest's entries plus exactly the
+    * staged file names — ZERO directory LISTs on the hot per-period
+    * path, and no relist means files a crashed non-intent writer left
+    * in a touched directory can never be silently absorbed as live
+    * rows (the duplicate-row class [[repairOrphanedAppends]] rolls
+    * back). Falls back to a full re-list when no manifest exists yet
+    * (pre-manifest upgrade — there the staged files are already on
+    * disk and the relist covers the whole table).
     */
-  private def commitManifestTouched(touched: Set[String]): Unit = synchronized {
+  private def commitManifestAppended(stagedRel: Seq[String]): Unit = synchronized {
     // synchronized around the whole read-modify-write: two concurrent
     // period appends each basing their commit on the same prior version
-    // would have the second drop the first's files from the manifest
+    // would have the second drop the first's files from the manifest;
     // a crashed compaction's/replace's staged-but-uncommitted files must
     // not be absorbed into a fresh listing as if they were live rows
     if (fs.exists(compactIntentFile)) repairOrphanedCompact()
     if (fs.exists(intentFile)) repairOrphanedReplace()
     latestManifest() match {
-      case None => commitManifestRelist()
-      case Some(prev) =>
-        val kept = prev.filterNot(f => touched.contains(f.takeWhile(_ != '/')))
-        val fresh = listLiveFiles(
-          touched.toSeq.map(new Path(path, _)), trashedFiles())
-        commitManifest(kept ++ fresh)
+      case None       => commitManifestRelist()
+      case Some(prev) => commitManifest(prev ++ stagedRel)
     }
   }
 

@@ -145,6 +145,25 @@ class ReaderSnapshotSpec extends SparkSpecBase {
     assert(t.read().filter(col("k").startsWith("x")).count() == 8)
   }
 
+  test("relistManifest absorbs a non-manifest writer's files; appends never do") {
+    val t = build("snap_relist")
+    val n0 = t.read().count()
+    // an external tool drops a parquet file straight into a partition
+    // dir (no manifest commit): invisible to reads and the frontier
+    val dir = new java.io.File(t.path, "p_date=2024-01-02")
+    val src = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val alien = new java.io.File(dir, "part-alien-external.parquet")
+    java.nio.file.Files.copy(src.toPath, alien.toPath)
+    assert(t.read().count() == n0, "alien file must stay invisible")
+    // an ordinary append publishes exactly its own staged names — the
+    // alien file must NOT ride along
+    t.append(Seq((day("2024-01-03"), "e", 5)).toDF("day", "k", "v"))
+    assert(t.read().count() == n0 + 1, "append must not absorb alien files")
+    // the documented remedy is explicit: relistManifest absorbs it
+    t.relistManifest()
+    assert(t.read().count() > n0 + 1, "relist must absorb the external file")
+  }
+
   test("full refresh is snapshot-isolated: a pinned reader keeps the complete old table") {
     val t = build("snap_refresh")
     val oldRows = t.read().collect().map(_.toString).sorted

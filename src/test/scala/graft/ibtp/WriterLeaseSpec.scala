@@ -101,6 +101,27 @@ class WriterLeaseSpec extends SparkSpecBase {
     assert(!leaseFile(path).exists())
   }
 
+  test("vacuum runs under the lease: blocked by a live writer, reentrant under one") {
+    val path = tmpDir("lease_vacuum")
+    val t = new TargetTable(spark, path, "day")
+    IbtpRunner.run(spark, model, t, params)
+    // replace a window so the trash has parked files to reap
+    val repl = model.query(spark, PeriodBounds(jan1, jan1.plusDays(2)))
+    t.replaceRange(repl, jan1, jan1.plusDays(2))
+    // a LIVE writer on another instance blocks a standalone vacuum —
+    // reaping must not interleave with that writer's park/commit
+    val holder = new TargetTable(spark, path, "day")
+    val id = holder.acquireWriterLease()
+    try {
+      val other = new TargetTable(spark, path, "day")
+      val e = intercept[IllegalStateException] { other.vacuum(0L) }
+      assert(e.getMessage.contains("locked by writer"), e.getMessage)
+    } finally holder.releaseWriterLease(id)
+    // with the lease free, vacuum takes and releases its own
+    assert(t.vacuum(0L) > 0, "expired trash must be reaped once unblocked")
+    assert(!leaseFile(path).exists(), "vacuum must release its lease")
+  }
+
   // ---- heartbeat-window failure injection -------------------------------
 
   test("a contender can never acquire through a heartbeat (in-place rewrite)") {

@@ -420,31 +420,26 @@ final class TargetTable(
       val n = writeCounted(aligned, stage.toString, "overwrite")
       val dst = new Path(path)
       if (!fs.exists(dst)) fs.mkdirs(dst)
-      val stagedDirs = fs.listStatus(stage).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(s"$PartitionCol="))
-        .map(_.getPath)
-      val stagedRel = stagedDirs.flatMap { d =>
-        fs.listStatus(d).toSeq
-          .filter(st => st.isFile && isDataFileName(st.getPath.getName))
-          .map(st => s"${d.getName}/${st.getPath.getName}")
-      }
+      val stagedRel = listStagedRel(stage)
       if (stagedRel.nonEmpty) {
         val marker = new Path(path, AppendIntentPrefix + id)
         writeMarker(marker, s"files=${stagedRel.mkString(",")}\n")
-        stagedDirs.foreach { src =>
-          val dest = new Path(dst, src.getName)
-          val movedWholeDir = !fs.exists(dest) && fs.rename(src, dest)
-          if (!movedWholeDir) { // partition already present: move files in
-            if (!fs.exists(dest)) fs.mkdirs(dest)
-            fs.listStatus(src).foreach { f =>
-              if (!fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
-                throw new IllegalStateException(
-                  s"could not move staged append file ${f.getPath} into " +
-                    s"$dest: aborting before the manifest commit " +
-                    "(repairOrphanedAppends rolls the partial move back)")
-            }
-          }
+        // per-FILE moves only, never a whole-directory rename: two
+        // concurrent appends can legally share ONE partition (NULL-ts
+        // rows both land in __HIVE_DEFAULT_PARTITION__, outside the
+        // disjoint-periods contract), and a dir rename racing the
+        // sibling's mkdirs would NEST the staged dir inside the live
+        // one on rename-into-existing-dir stores — publishing paths
+        // with no files behind them. File renames with job-unique
+        // names cannot collide or nest.
+        stagedRel.foreach { rel =>
+          val dir = new Path(dst, rel.takeWhile(_ != '/'))
+          if (!fs.exists(dir)) fs.mkdirs(dir)
+          if (!fs.rename(new Path(stage, rel), new Path(path, rel)))
+            throw new IllegalStateException(
+              s"could not move staged append file $rel into $path: " +
+                "aborting before the manifest commit " +
+                "(repairOrphanedAppends rolls the partial move back)")
         }
         failAppendPoint(1) // files moved in; manifest still pre-append
         commitManifestAppended(stagedRel)
@@ -455,44 +450,72 @@ final class TargetTable(
     } finally if (fs.exists(stage)) fs.delete(stage, true)
   }
 
+  /** Relative `p_date=<v>/<file>` paths of a staging dir's data files —
+    * the one staged-file discovery both [[stagedAppend]] and
+    * [[writeSnapshotReplace]] publish from.
+    */
+  private def listStagedRel(stage: Path): Seq[String] =
+    fs.listStatus(stage).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$PartitionCol="))
+      .flatMap { st =>
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && isDataFileName(f.getPath.getName))
+          .map(f => s"${st.getPath.getName}/${f.getPath.getName}")
+      }
+
   /** Heal appends orphaned by a crash between the staged-file moves and
     * the manifest commit (see [[stagedAppend]]). Direction per marker,
-    * decided by the manifest like [[repairOrphanedReplace]]: files
-    * committed → only the marker delete was lost, clear it; not
-    * committed → roll BACK by deleting the listed files (no reader can
-    * be pinned to them — they were never in any manifest), and the
-    * resume frontier re-materializes the period cleanly. Pre-manifest
-    * tables keep their old contract (disk presence == visibility — the
-    * dir-listing frontier already saw the files), so only the marker is
-    * cleared. MUST run single-writer (start-of-run under the lease):
-    * it would roll back a LIVE sibling append's not-yet-committed
-    * files if run concurrently.
+    * decided by the manifest like [[repairOrphanedReplace]]: ALL files
+    * committed → only the marker delete was lost, clear it; otherwise →
+    * roll BACK by deleting the listed files AND committing a manifest
+    * without them. The manifest filter covers the torn case: a sibling
+    * append's pre-manifest-upgrade relist can absorb a live append's
+    * already-moved files, so a crashed append may be PARTIALLY in the
+    * manifest — membership alone would either keep the torn period or
+    * orphan the still-listed names; delete-and-filter restores
+    * exactly-pre-append either way, and the frontier re-materializes
+    * the period cleanly. Pre-manifest tables keep their old contract
+    * (disk presence == visibility — the dir-listing frontier already
+    * saw the files), so only the marker is cleared. A crashed
+    * [[writeMarker]]'s `.tmp` leftover is swept (by construction never
+    * a committed marker). MUST run single-writer (start-of-run under
+    * the lease): it would roll back a LIVE sibling append's
+    * not-yet-committed files if run concurrently. Returns the number
+    * of appends ROLLED BACK (cleared completed markers don't count).
     */
   def repairOrphanedAppends(): Int = {
     val root = new Path(path)
-    val markers =
+    val all =
       if (!fs.exists(root)) Nil
       else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith(AppendIntentPrefix) &&
-          !p.getName.endsWith(".tmp"))
+        .filter(_.getName.startsWith(AppendIntentPrefix))
+    val (tmps, markers) = all.partition(_.getName.endsWith(".tmp"))
+    tmps.foreach(fs.delete(_, false)) // crashed writeMarker litter
+    var rolledBack = 0
     markers.foreach { m =>
       val files = readKv(m, required = Seq("files"))
         .map(_("files")).getOrElse("").split(",").filter(_.nonEmpty).toSeq
-      val committed = latestManifest() match {
-        case None           => true // pre-manifest: disk == visible already
-        case Some(manifest) => files.exists(manifest.toSet.contains)
-      }
-      if (!committed) {
-        TargetTable.log.warn(s"repairing orphaned append on $path: " +
-          s"rolling BACK (removing ${files.size} uncommitted files)")
-        files.foreach { rel =>
-          val p = new Path(path, rel)
-          if (fs.exists(p)) fs.delete(p, false)
-        }
+      latestManifest() match {
+        case None => // pre-manifest: disk == visible already, nothing to undo
+        case Some(manifest) if files.forall(manifest.toSet.contains) =>
+          TargetTable.log.info(s"clearing completed append marker on $path " +
+            "(commit succeeded; only the marker delete was lost)")
+        case Some(manifest) =>
+          rolledBack += 1
+          TargetTable.log.warn(s"repairing orphaned append on $path: " +
+            s"rolling BACK (removing ${files.size} uncommitted files)")
+          files.foreach { rel =>
+            val p = new Path(path, rel)
+            if (fs.exists(p)) fs.delete(p, false)
+          }
+          val torn = files.filter(manifest.toSet.contains)
+          if (torn.nonEmpty) // partially absorbed by a relist: un-publish
+            commitManifest(manifest.filterNot(torn.toSet))
       }
       fs.delete(m, false)
     }
-    markers.size
+    rolledBack
   }
 
   /** Backfill period replace — reference B12+B14 fused
@@ -569,13 +592,16 @@ final class TargetTable(
       }
       clearIntent()
       if (fs.exists(writtenSidecarFile)) fs.delete(writtenSidecarFile, false)
-      // a schema-changing replace syncs the sidecar AFTER its manifest
-      // commit; a crash in between leaves the write-side sidecar one
-      // schema behind the governing manifest — realign it (both
-      // directions: the latest manifest is the truth either way)
-      latestManifestSchema().foreach { hs =>
-        if (!storedSchema.contains(hs)) writeSidecarFileOnly(hs)
-      }
+      // a SCHEMA-CHANGING replace (snapshot full refresh / widening
+      // rewrite) records its intended schema in the marker and syncs
+      // the write-side sidecar after its commit; a crash in between
+      // leaves the sidecar one schema behind — finish the sync on the
+      // forward path ONLY (an unconditional header sync here would
+      // instead REGRESS a sidecar legitimately ahead of the header,
+      // e.g. a metadata widening whose header re-commit was lost)
+      if (committed)
+        kv.get("schema").foreach(j =>
+          writeSidecarFileOnly(DataType.fromJson(j).asInstanceOf[StructType]))
       if (committed) "forward" else "back"
     }
   }
@@ -1086,9 +1112,15 @@ final class TargetTable(
     // not be absorbed into a fresh listing as if they were live rows
     if (fs.exists(compactIntentFile)) repairOrphanedCompact()
     if (fs.exists(intentFile)) repairOrphanedReplace()
-    latestManifest() match {
-      case None       => commitManifestRelist()
-      case Some(prev) => commitManifest(prev ++ stagedRel)
+    latestManifestRaw() match {
+      case None => commitManifestRelist()
+      case Some(raw) =>
+        // appends never change the schema: carry the prior version's
+        // header forward instead of re-reading the sidecar per commit
+        // (every sidecar change re-commits a header, so it is current)
+        commitManifest(
+          raw.filterNot(_.startsWith("#")) ++ stagedRel,
+          schemaOfManifestLines(raw).orElse(storedSchema))
     }
   }
 
@@ -1729,16 +1761,8 @@ final class TargetTable(
     val stage = new Path(path + s"__stage_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       val n = writeCounted(fresh, stage.toString, "overwrite")
-      val stagedDirs = fs.listStatus(stage).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(s"$PartitionCol="))
-        .map(_.getPath)
-      val stagedRel = stagedDirs.flatMap { d =>
-        fs.listStatus(d).toSeq
-          .filter(st => st.isFile && isDataFileName(st.getPath.getName))
-          .map(st => s"${d.getName}/${st.getPath.getName}")
-      }
-      val touched = stagedDirs.map(_.getName).toSet
+      val stagedRel = listStagedRel(stage)
+      val touched = stagedRel.map(_.takeWhile(_ != '/')).toSet
       // read-modify-write under the instance monitor: a concurrent
       // in-process period append basing its commit on the same prior
       // version must not have its files dropped (cross-process writers
@@ -1748,7 +1772,8 @@ final class TargetTable(
         val prev = latestManifest().getOrElse(Nil)
         val origRel = prev.filter(f => replaced.contains(f.takeWhile(_ != '/')))
         writeMarker(intentFile,
-          s"orig=${origRel.mkString(",")}\nstaged=${stagedRel.mkString(",")}\n")
+          s"orig=${origRel.mkString(",")}\nstaged=${stagedRel.mkString(",")}\n" +
+            newSchema.fold("")(s => s"schema=${s.json}\n"))
         stagedRel.foreach { rel =>
           val dir = new Path(path, rel.takeWhile(_ != '/'))
           if (!fs.exists(dir)) fs.mkdirs(dir)

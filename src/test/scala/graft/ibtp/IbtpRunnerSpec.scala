@@ -678,6 +678,44 @@ class IbtpRunnerSpec extends SparkSpecBase {
     assert(t2.repairOrphanedAppends() == 0, "markers must be cleared")
   }
 
+  test("a torn append (partially absorbed into the manifest) rolls back fully") {
+    val target = new TargetTable(spark, tmpDir("ibtp_apptorn"), "day")
+    runner(target)
+    val jan5 = LocalDate.of(2024, 1, 5)
+    val day = "p_date=2024-01-05"
+    val dir = new java.io.File(target.path, day)
+    val committed = dir.listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(committed.nonEmpty)
+    // simulate the torn state a sibling's pre-manifest-upgrade relist
+    // can produce: a crashed append whose marker lists files that are
+    // PARTIALLY in the manifest (here: the committed ones) plus one
+    // moved-but-never-committed leftover on disk
+    val fake = new java.io.File(dir, "part-torn-uncommitted.parquet")
+    java.nio.file.Files.copy(
+      new java.io.File(dir, committed.head).toPath, fake.toPath)
+    val fsys = new org.apache.hadoop.fs.Path(target.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      target.path, TargetTable.AppendIntentPrefix + "torn1")
+    val files = (committed.map(n => s"$day/$n") :+ s"$day/${fake.getName}")
+    val out = fsys.create(marker, true)
+    out.write(s"files=${files.mkString(",")}\n".getBytes("UTF-8")); out.close()
+    // membership alone would call this 'committed' (exists) or orphan
+    // the listed names (forall+delete-only); delete-and-filter restores
+    // exactly-pre-append: the whole period un-published AND off disk
+    assert(target.repairOrphanedAppends() == 1)
+    assert(!fake.exists())
+    val expected = oneShot(jan1, feb1)
+      .filter(col("day").cast("date") =!= lit(java.sql.Date.valueOf(jan5)))
+    assertSameRows(target.read(), expected)
+    // the hole is detectable and replayable back to the full build
+    val params = IbtpRunner.RunParams(cfg, RunMode.Normal, today = feb1)
+    assert(IbtpRunner.repairHoles(spark, dailyAggModel, target, params)
+      == Seq((jan5, jan5.plusDays(1))))
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+  }
+
   test("legacy replace markers fail loudly; a lone sidecar is swept") {
     val target = new TargetTable(spark, tmpDir("ibtp_intent2"), "day")
     runner(target)

@@ -28,7 +28,7 @@ verified-pairs table `vp`, then adjudicates any of:
 Every final comparison reuses oracle_check.rows_key, so this
 adjudicator cannot drift from the driver's hash gate.
 
-Usage: python3 tools/chunked_funnel_oracle.py <verify_out_dir> <sf_dir> <query...> [--chunks N]
+Usage: python3 tools/chunked_funnel_oracle.py <verify_out_dir> <sf_dir> <query...> [--chunks=N]
 Env: DUCKDB_MEMORY_LIMIT, DUCKDB_TEMP_DIR (same as oracle_check.py)
 """
 import json

@@ -260,7 +260,15 @@ final class TargetTable(
     */
   def init(df: DataFrame): Long = {
     repairOrphanedSwap() // heal a crashed predecessor before mutating
-    if (exists && latestManifestRaw().nonEmpty) {
+    if (exists && latestManifestRaw().nonEmpty) withWriterLease() {
+      // repairs are destructive to a LIVE sibling's in-flight work
+      // (repairOrphanedAppends deletes moved-but-uncommitted files), so
+      // they run only under the lease — reentrant (free) when the
+      // runner already holds it, a real acquire for direct init() calls.
+      // Replace repair runs FIRST: a crashed schema-changing replace's
+      // sidecar sync must land before any rollback commit reads the
+      // stored schema as its header fallback.
+      repairOrphanedReplace()
       repairOrphanedAppends() // single-writer point: clear any crashed append
       val full = StructType(df.schema.fields :+ StructField(PartitionCol, DateType))
       writeSnapshotReplace(
@@ -490,30 +498,66 @@ final class TargetTable(
       if (!fs.exists(root)) Nil
       else fs.listStatus(root).toSeq.map(_.getPath)
         .filter(_.getName.startsWith(AppendIntentPrefix))
-    val (tmps, markers) = all.partition(_.getName.endsWith(".tmp"))
+    val (tmps, rest)       = all.partition(_.getName.endsWith(".tmp"))
+    val (sidecars, markers) = rest.partition(_.getName.endsWith(TornSidecarSuffix))
     tmps.foreach(fs.delete(_, false)) // crashed writeMarker litter
+    val markerNames = markers.map(_.getName).toSet
+    // a torn-classification sidecar whose parent marker is gone is the
+    // tail of a repair that crashed between its two final deletes
+    sidecars.filterNot(s =>
+      markerNames.contains(s.getName.stripSuffix(TornSidecarSuffix)))
+      .foreach(fs.delete(_, false))
     var rolledBack = 0
     markers.foreach { m =>
       val files = readKv(m, required = Seq("files"))
         .map(_("files")).getOrElse("").split(",").filter(_.nonEmpty).toSeq
+      val tornSidecar = new Path(path, m.getName + TornSidecarSuffix)
       latestManifest() match {
         case None => // pre-manifest: disk == visible already, nothing to undo
-        case Some(manifest) if files.forall(manifest.toSet.contains) =>
+        case Some(manifest)
+            if files.forall(manifest.toSet.contains) && !fs.exists(tornSidecar) =>
           TargetTable.log.info(s"clearing completed append marker on $path " +
             "(commit succeeded; only the marker delete was lost)")
         case Some(manifest) =>
           rolledBack += 1
           TargetTable.log.warn(s"repairing orphaned append on $path: " +
-            s"rolling BACK (removing ${files.size} uncommitted files)")
-          files.foreach { rel =>
+            s"rolling BACK (un-publishing ${files.size} uncommitted files)")
+          // The torn files (absorbed into the manifest by a sibling's
+          // relist) were PUBLISHED: a reader pinned to the absorbing
+          // manifest may still be scanning them, so they are
+          // trash-parked under the retention contract, never deleted in
+          // a reader's face; the never-published ones were invisible to
+          // every manifest and are deleted outright. The classification
+          // must survive a re-crash of THIS repair — once the filtered
+          // commit lands, manifest membership can no longer distinguish
+          // the two classes — so it is persisted in an atomic sidecar
+          // before any mutation.
+          val torn = readKv(tornSidecar, required = Seq("torn")) match {
+            case Some(kv) => kv("torn").split(",").filter(_.nonEmpty).toSeq
+            case None =>
+              val t = files.filter(manifest.toSet.contains)
+              if (t.nonEmpty)
+                writeMarker(tornSidecar, s"torn=${t.mkString(",")}\n")
+              t
+          }
+          // park first (idempotent — vacuum tolerates double-parked and
+          // absent files), THEN un-publish: at no instant is a
+          // manifest-listed file off the live paths. The rollback
+          // commit carries the prior header forward — the sidecar may
+          // legitimately trail a crashed schema-changing replace whose
+          // own repair runs separately.
+          writeTrash(torn.filter(rel => fs.exists(new Path(path, rel))))
+          val stillListed = torn.filter(manifest.toSet.contains)
+          if (stillListed.nonEmpty)
+            commitManifest(manifest.filterNot(stillListed.toSet),
+              latestManifestSchema().orElse(storedSchema))
+          files.filterNot(torn.toSet).foreach { rel =>
             val p = new Path(path, rel)
             if (fs.exists(p)) fs.delete(p, false)
           }
-          val torn = files.filter(manifest.toSet.contains)
-          if (torn.nonEmpty) // partially absorbed by a relist: un-publish
-            commitManifest(manifest.filterNot(torn.toSet))
       }
       fs.delete(m, false)
+      if (fs.exists(tornSidecar)) fs.delete(tornSidecar, false)
     }
     rolledBack
   }
@@ -1132,6 +1176,10 @@ final class TargetTable(
     * files are rolled back rather than absorbed as live rows.
     */
   def relistManifest(): Unit = withWriterLease() {
+    // replace repair first: a crashed schema-changing replace's sidecar
+    // sync must land before the append rollback's header-carry fallback
+    // (or the relist commit) can read a stale stored schema
+    repairOrphanedReplace()
     repairOrphanedAppends()
     commitManifestRelist()
   }
@@ -1862,6 +1910,14 @@ object TargetTable {
     * absorb the orphans as duplicates); underscore-prefixed metadata.
     */
   val AppendIntentPrefix = "_graft_append_intent_"
+
+  /** Suffix of the atomic sidecar persisting a torn append rollback's
+    * published-vs-never-published classification across a re-crash of
+    * the repair itself (see [[TargetTable.repairOrphanedAppends]]):
+    * once the filtered manifest commit lands, membership alone can no
+    * longer tell which files a pinned reader may still be scanning.
+    */
+  val TornSidecarSuffix = ".torn"
 
   /** Age gate for [[TargetTable.sweepOrphanedStaging]] when invoked from
     * `compact()` (a possibly-concurrent standalone run): stage dirs idle

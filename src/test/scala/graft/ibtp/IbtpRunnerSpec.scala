@@ -701,18 +701,50 @@ class IbtpRunnerSpec extends SparkSpecBase {
     val files = (committed.map(n => s"$day/$n") :+ s"$day/${fake.getName}")
     val out = fsys.create(marker, true)
     out.write(s"files=${files.mkString(",")}\n".getBytes("UTF-8")); out.close()
+    // a reader planned against the absorbing manifest BEFORE the repair:
+    // the rollback must honor the retention contract for the files that
+    // manifest published — park, never delete in the reader's face
+    val pinned = target.read()
+    val pinnedBefore = pinned.count()
     // membership alone would call this 'committed' (exists) or orphan
-    // the listed names (forall+delete-only); delete-and-filter restores
-    // exactly-pre-append: the whole period un-published AND off disk
+    // the listed names (forall+delete-only); park-and-filter restores
+    // exactly-pre-append for NEW readers while pinned ones keep scanning
     assert(target.repairOrphanedAppends() == 1)
-    assert(!fake.exists())
+    assert(!fake.exists(), "a never-published file is deleted outright")
+    committed.foreach(n => assert(new java.io.File(dir, n).exists(),
+      "published (torn) files must be trash-parked, not deleted — a " +
+        "reader pinned to the absorbing manifest may still scan them"))
+    assert(pinned.count() == pinnedBefore,
+      "the pinned reader's scan must survive the rollback intact")
     val expected = oneShot(jan1, feb1)
       .filter(col("day").cast("date") =!= lit(java.sql.Date.valueOf(jan5)))
+    assertSameRows(target.read(), expected)
+    // re-running the repair with a RE-PLANTED marker (a crash after the
+    // filtered commit but before the marker delete) must converge: the
+    // persisted torn classification keeps the parked files parked
+    // instead of reclassifying them as never-published and deleting them
+    val out2 = fsys.create(marker, true)
+    out2.write(s"files=${files.mkString(",")}\n".getBytes("UTF-8")); out2.close()
+    val sidecar = new org.apache.hadoop.fs.Path(
+      target.path, marker.getName + TargetTable.TornSidecarSuffix)
+    val out3 = fsys.create(sidecar, true)
+    out3.write(s"torn=${committed.map(n => s"$day/$n").mkString(",")}\n"
+      .getBytes("UTF-8")); out3.close()
+    target.repairOrphanedAppends()
+    committed.foreach(n => assert(new java.io.File(dir, n).exists(),
+      "a repair re-crash must not delete files parked for pinned readers"))
+    assert(!fsys.exists(marker) && !fsys.exists(sidecar),
+      "both marker and torn sidecar cleared once the repair converges")
     assertSameRows(target.read(), expected)
     // the hole is detectable and replayable back to the full build
     val params = IbtpRunner.RunParams(cfg, RunMode.Normal, today = feb1)
     assert(IbtpRunner.repairHoles(spark, dailyAggModel, target, params)
       == Seq((jan5, jan5.plusDays(1))))
+    assertSameRows(target.read(), oneShot(jan1, feb1))
+    // retention expiry reaps the parked torn files
+    assert(target.vacuum(0L) > 0)
+    committed.foreach(n => assert(!new java.io.File(dir, n).exists(),
+      "vacuum must reap the parked torn files after the retention"))
     assertSameRows(target.read(), oneShot(jan1, feb1))
   }
 

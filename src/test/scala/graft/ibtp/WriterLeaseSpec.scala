@@ -101,6 +101,27 @@ class WriterLeaseSpec extends SparkSpecBase {
     assert(!leaseFile(path).exists())
   }
 
+  test("a direct init() on a manifest table is blocked by a live writer") {
+    // init's start-of-mutation repairs (repairOrphanedAppends in
+    // particular) are destructive to a live sibling append's
+    // moved-but-uncommitted files — they must not run beside one
+    val path = tmpDir("lease_init")
+    val t = new TargetTable(spark, path, "day")
+    IbtpRunner.run(spark, model, t, params) // manifest table now exists
+    val holder = new TargetTable(spark, path, "day")
+    val id = holder.acquireWriterLease()
+    try {
+      val other = new TargetTable(spark, path, "day")
+      val df = model.query(spark, PeriodBounds(jan1, jan8))
+      val e = intercept[IllegalStateException] { other.init(df) }
+      assert(e.getMessage.contains("locked by writer"), e.getMessage)
+    } finally holder.releaseWriterLease(id)
+    // with the lease free, a direct init proceeds (reentrant under its own)
+    val t3 = new TargetTable(spark, path, "day")
+    assert(t3.init(model.query(spark, PeriodBounds(jan1, jan8))) > 0)
+    assert(!leaseFile(path).exists(), "init must release its lease")
+  }
+
   test("vacuum runs under the lease: blocked by a live writer, reentrant under one") {
     val path = tmpDir("lease_vacuum")
     val t = new TargetTable(spark, path, "day")

@@ -1,0 +1,51 @@
+package graft.ibtp
+
+/** Commit-cost probe for the delta-log manifest: plants a checkpoint
+  * listing N synthetic live files, then times per-append manifest
+  * commits ([[TargetTable.commitManifestAppended]] — the hot per-period
+  * path) and a full replay ([[TargetTable.latestManifest]]) at each N.
+  *
+  * What "scales" means here: the MEDIAN commit is a delta write —
+  * O(staged names) — and must stay flat as N grows 100×; every
+  * [[TargetTable.ManifestCheckpointEvery]]-th commit folds the chain
+  * into a fresh checkpoint (an O(N) write amortized across the run),
+  * and the replay a reader pays is one checkpoint read + the delta
+  * tail, so it grows linearly in N but never in commit COUNT. The
+  * pre-delta design rewrote the full listing on EVERY commit — its
+  * median tracked N.
+  *
+  * Prints one JSON line per N: median/mean/max commit ms and replay ms.
+  */
+object ManifestBench {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.sources.GraftSession.create("graft-manifest-bench")
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1000, 10000, 100000)
+    val commitsPerSize = 24 // crosses multiple checkpoint folds
+    sizes.foreach { n =>
+      val dir = java.nio.file.Files.createTempDirectory(s"mbench_$n").toString + "/tbl"
+      val t = new TargetTable(spark, dir, "ts")
+      val mdir = new java.io.File(dir, TargetTable.ManifestDirName)
+      mdir.mkdirs()
+      val lines = (1 to n).map(i => f"p_date=2024-01-01/part-$i%08d.parquet")
+      java.nio.file.Files.writeString(
+        new java.io.File(mdir, "v0000000001_0000000001.list").toPath,
+        lines.mkString("", "\n", "\n"))
+      val perCommitMs = (1 to commitsPerSize).map { i =>
+        val t0 = System.nanoTime()
+        t.commitManifestAppended(Seq(f"p_date=2024-01-02/part-new-$i%04d.parquet"))
+        (System.nanoTime() - t0) / 1e6
+      }.toIndexedSeq
+      val sorted = perCommitMs.sorted
+      val t1 = System.nanoTime()
+      val live = t.latestManifest().get.size
+      val replayMs = (System.nanoTime() - t1) / 1e6
+      println(
+        s"""{"live_files":$n,"commits":$commitsPerSize,""" +
+          f""""commit_ms_median":${sorted(sorted.size / 2)}%.3f,""" +
+          f""""commit_ms_mean":${perCommitMs.sum / perCommitMs.size}%.3f,""" +
+          f""""commit_ms_max":${sorted.last}%.3f,""" +
+          f""""replay_ms":$replayMs%.3f,"replayed_live":$live}""")
+    }
+    spark.stop()
+  }
+}

@@ -227,8 +227,10 @@ final class TargetTable(
     */
   private def writeFullSidecar(full: StructType): Unit = synchronized {
     writeSidecarFileOnly(full)
-    if (!latestManifestSchema().contains(full))
-      latestManifest().foreach(files => commitManifest(files, Some(full)))
+    // header-only delta: the schema switch rides a one-line commit
+    // instead of rewriting the full live listing
+    if (manifestVersions().nonEmpty && !latestCommittedSchema().contains(full))
+      commitManifestDelta(Nil, Nil, Some(full))
   }
 
   private def writeSidecarFileOnly(full: StructType): Unit = {
@@ -549,8 +551,7 @@ final class TargetTable(
           writeTrash(torn.filter(rel => fs.exists(new Path(path, rel))))
           val stillListed = torn.filter(manifest.toSet.contains)
           if (stillListed.nonEmpty)
-            commitManifest(manifest.filterNot(stillListed.toSet),
-              latestManifestSchema().orElse(storedSchema))
+            commitManifestDelta(add = Nil, remove = stillListed)
           files.filterNot(torn.toSet).foreach { rel =>
             val p = new Path(path, rel)
             if (fs.exists(p)) fs.delete(p, false)
@@ -764,19 +765,28 @@ final class TargetTable(
       finally releaseWriterLease(id)
     }
 
-  private def leaseContent(id: String): String = {
+  private def leaseContent(id: String, epoch: Long): String = {
     val holder = s"${ProcessHandle.current().pid()}@" +
       scala.util.Try(java.net.InetAddress.getLocalHost.getHostName).getOrElse("unknown")
-    s"holder=$holder\nlease_id=$id\nheartbeat=${System.currentTimeMillis()}\n"
+    s"holder=$holder\nlease_id=$id\nepoch=$epoch\n" +
+      s"heartbeat=${System.currentTimeMillis()}\n"
   }
+
+  /** Largest writer epoch ever committed to the manifest log — the
+    * floor every new acquire's epoch must exceed.
+    */
+  private def maxCommittedEpoch(): Long =
+    manifestVersions().map(_.epoch).maxOption.getOrElse(0L)
 
   private[ibtp] def acquireWriterLease(
       staleAfterMillis: Long = LeaseStaleMs): String = {
     val id = java.util.UUID.randomUUID().toString
+    var epoch = maxCommittedEpoch() + 1
+    var tookOver = false
     def tryCreate(): Boolean =
       try {
         val out = fs.create(leaseFile, false) // no overwrite: atomic claim
-        try out.write(leaseContent(id).getBytes("UTF-8")) finally out.close()
+        try out.write(leaseContent(id, epoch).getBytes("UTF-8")) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
@@ -812,6 +822,14 @@ final class TargetTable(
         s"taking over stale writer lease on $path " +
           s"(holder ${kv.getOrElse("holder", "?")}, heartbeat ${
             age.fold("unknown")(a => s"${a / 1000}s")} ago)")
+      tookOver = true
+      // the fencing epoch must exceed BOTH every committed epoch and the
+      // dead holder's own (it may have acquired but never committed).
+      // An unreadable stale lease cannot reveal its epoch — but a file
+      // that is unreadable AND mtime-stale means the holder died mid-
+      // rewrite, so no zombie at that epoch survives to commit.
+      epoch = math.max(maxCommittedEpoch(),
+        kv.get("epoch").flatMap(_.toLongOption).getOrElse(0L)) + 1
       // atomic takeover claim: rename the stale file aside instead of
       // deleting it. Two contenders that both observed the stale
       // heartbeat race here — rename-of-a-missing-source fails, so
@@ -858,12 +876,33 @@ final class TargetTable(
             "claimed it first; retry once it completes")
     }
     heldLeaseId = Some(id)
+    heldEpoch = Some(epoch)
     leaseLost = None
     heldStaleAfterMs = staleAfterMillis
     lastBeatMs = System.currentTimeMillis()
     startHeartbeatDaemon(staleAfterMillis)
+    if (tookOver)
+      try sealEpoch()
+      catch { case e: Throwable => releaseWriterLease(id); throw e }
     id
   }
+
+  /** Seal a takeover: re-land the CURRENT manifest state as a
+    * checkpoint under the just-acquired (strictly newer) epoch, before
+    * this holder mutates anything. From this instant any commit the
+    * stale holder still lands carries a lower epoch and is born
+    * shadowed — epoch-major replay starts at this seal and never reads
+    * it ([[latestManifestRaw]]), and the zombie's own post-rename check
+    * detects the newer epoch and rolls its version back
+    * ([[commitVersion]]). Pre-manifest tables have nothing to seal
+    * (their readers plan by directory listing, which no commit can
+    * protect — the same documented exposure as their refresh path).
+    */
+  private def sealEpoch(): Unit =
+    latestManifestRaw().foreach { raw =>
+      commitManifest(raw.filterNot(_.startsWith("#")),
+        schemaOfManifestLines(raw).orElse(storedSchema))
+    }
 
   /** When THIS holder last successfully wrote its heartbeat, and the
     * staleness window it acquired under — used to detect that we were
@@ -955,6 +994,7 @@ final class TargetTable(
             "running two writers' crash-repairs concurrently")
         leaseLost = Some(e)
         heldLeaseId = None
+        heldEpoch = None
         throw e
       }
       // were we takeover-ELIGIBLE (our own beat gap blew the staleness
@@ -965,7 +1005,8 @@ final class TargetTable(
         System.currentTimeMillis() - lastBeatMs > heldStaleAfterMs
       if (!stillOurs()) lost()
       val out = fs.create(leaseFile, true) // in place: file never vanishes
-      try out.write(leaseContent(id).getBytes("UTF-8")) finally out.close()
+      try out.write(leaseContent(id, heldEpoch.getOrElse(0L)).getBytes("UTF-8"))
+      finally out.close()
       if (!stillOurs()) lost()
       if (wasTakeoverEligible) {
         // randomized settle + re-check: a claim racing our rewrite gets
@@ -990,6 +1031,7 @@ final class TargetTable(
         .toOption.flatten.exists(_.get("lease_id").contains(id))
       if (owned) fs.delete(leaseFile, false)
       heldLeaseId = None
+      heldEpoch = None
       leaseLost = None
     }
 
@@ -1020,23 +1062,46 @@ final class TargetTable(
   // take the reference-style backup swap for a rebuild (see README
   // "Reader visibility").
   //
-  // Scale note: a commit rewrites the full manifest (O(live files)
-  // text I/O) but the hot append path LISTS nothing at all (the
-  // staged names ride the commit, [[commitManifestAppended]]) and
-  // replaces LIST only their own staging — at 100 TB the object-store
-  // LIST calls, not the manifest bytes, are the expensive part. A
-  // delta-log with periodic checkpoints is the production extension
-  // if single-file rewrites ever dominate.
+  // Scale note: the manifest is a DELTA LOG with periodic checkpoints.
+  // The hot per-period commit writes only its own staged names (an
+  // O(staged) `.delta` entry — [[commitManifestDelta]]) and LISTS no
+  // directories at all; partition replaces and compactions write
+  // O(touched-partition) deltas; every
+  // [[TargetTable.ManifestCheckpointEvery]] commits the chain folds
+  // into a fresh full checkpoint, bounding the replay tail readers pay
+  // ([[latestManifestRaw]]). At 100 TB with years of daily partitions,
+  // per-commit cost is therefore independent of table size — the
+  // single-file-rewrite ceiling the pre-delta design had is gone.
 
   private def manifestDir = new Path(path, ManifestDirName)
   private def trashDir    = new Path(path, TrashDirName)
 
-  private def manifestVersions(): Seq[(Long, Path)] =
+  /** One committed manifest version. Ordering is EPOCH-MAJOR, then
+    * sequence: a version committed under a newer writer epoch outranks
+    * every version of an older epoch regardless of sequence — the
+    * ordering half of the zombie-writer fence (see [[commitVersion]]).
+    * The kind rides the extension (`.list` = checkpoint holding the
+    * full live set; `.delta` = incremental `+file`/`-file` entry), so
+    * replay classifies versions from the LISTING alone, zero reads.
+    * Legacy single-number `v<n>.list` names parse as epoch 0.
+    */
+  private def manifestVersions(): Seq[ManifestVersion] =
     if (!fs.exists(manifestDir)) Nil
     else fs.listStatus(manifestDir).toSeq.flatMap { st =>
       val n = st.getPath.getName
+      def parse(body: String, isDelta: Boolean): Option[ManifestVersion] =
+        body.split("_", 2) match {
+          case Array(e, s) => for {
+            ep <- e.toLongOption; sq <- s.toLongOption
+          } yield ManifestVersion(ep, sq, isDelta, st.getPath)
+          case Array(s) =>
+            s.toLongOption.map(ManifestVersion(0L, _, isDelta, st.getPath))
+          case _ => None
+        }
       if (n.startsWith("v") && n.endsWith(".list"))
-        n.stripPrefix("v").stripSuffix(".list").toLongOption.map(_ -> st.getPath)
+        parse(n.stripPrefix("v").stripSuffix(".list"), isDelta = false)
+      else if (n.startsWith("v") && n.endsWith(".delta"))
+        parse(n.stripPrefix("v").stripSuffix(".delta"), isDelta = true)
       else None
     }
 
@@ -1047,11 +1112,58 @@ final class TargetTable(
     finally in.close()
   }
 
-  /** Raw lines of the latest committed manifest: an optional
-    * `#schema=<json>` header followed by relative live-file paths.
+  /** Leading `#`-prefixed lines of a version file only — the cheap
+    * header probe (stops at the first body line, so a multi-thousand-
+    * file checkpoint costs one small read).
     */
-  private def latestManifestRaw(): Option[Seq[String]] =
-    manifestVersions().maxByOption(_._1).map { case (_, p) => readLines(p) }
+  private def readHeaderLines(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .takeWhile(_.startsWith("#")).toList
+    finally in.close()
+  }
+
+  /** Replay the manifest log into the current state: the latest
+    * CHECKPOINT (full live-file listing) plus every delta committed
+    * after it, in epoch-major order. Returns what a single full
+    * manifest file used to hold — the newest version's header lines
+    * followed by the live relative paths — so callers are agnostic to
+    * the log structure. Cost: one checkpoint read + the delta tail
+    * (bounded by [[TargetTable.ManifestCheckpointEvery]]), independent
+    * of how many commits the table has ever taken.
+    *
+    * Epoch-major order is the read half of the zombie fence: a stale
+    * writer's version (lower epoch, possibly higher sequence) sorts
+    * BEFORE the takeover's seal checkpoint and is therefore discarded
+    * by the replay even if the zombie's crash left the file behind.
+    */
+  private def latestManifestRaw(): Option[Seq[String]] = {
+    val vs = manifestVersions().sortBy(_.key)
+    if (vs.isEmpty) None
+    else {
+      val ckptIdx = vs.lastIndexWhere(!_.isDelta)
+      val files = scala.collection.mutable.LinkedHashSet.empty[String]
+      if (ckptIdx >= 0)
+        readLines(vs(ckptIdx).p).foreach(l => if (!l.startsWith("#")) files += l)
+      vs.drop(ckptIdx + 1).foreach { v =>
+        readLines(v.p).foreach { l =>
+          if (l.startsWith("#")) ()
+          else if (l.startsWith("+")) files += l.substring(1)
+          else if (l.startsWith("-")) files -= l.substring(1)
+          else files += l
+        }
+      }
+      Some(readHeaderLines(vs.last.p).filterNot(_ == DeltaMarker) ++ files.toSeq)
+    }
+  }
+
+  /** Header schema of the NEWEST committed version alone — the cheap
+    * schema carry for delta commits (no replay): every commit embeds
+    * the then-current schema, so the newest header is authoritative.
+    */
+  private def latestCommittedSchema(): Option[StructType] =
+    manifestVersions().maxByOption(_.key)
+      .flatMap(v => schemaOfManifestLines(readHeaderLines(v.p)))
 
   /** Relative live-file paths of the latest committed manifest, if this
     * target has one (tables written before the manifest era read via
@@ -1071,43 +1183,153 @@ final class TargetTable(
   private[ibtp] def latestManifestSchema(): Option[StructType] =
     latestManifestRaw().flatMap(schemaOfManifestLines)
 
-  /** Commit `files` as the next manifest version: write to a tmp name,
-    * rename to the fresh versioned name (atomic — readers see the old
-    * or the new version, never a torn one), prune old versions beyond
-    * [[TargetTable.ManifestKeep]]. Mutators run under the writer lease;
-    * `synchronized` additionally serializes in-process concurrent
-    * period appends sharing this instance.
-    *
-    * Every commit embeds the table schema as a `#schema=` header (the
-    * current sidecar schema unless the mutation carries a new one), so
-    * the reader-facing schema and file set switch in the SAME atomic
-    * rename — a full refresh or widening rewrite can change both
-    * without a mixed old-schema/new-files instant ([[readRaw]]).
+  /** Writer epoch this instance's held lease was acquired under (None
+    * when no lease is held). Every acquire takes a STRICTLY NEWER epoch
+    * than any epoch ever committed or recorded in the lease it replaces
+    * ([[acquireWriterLease]]); commits are fenced epoch-major
+    * ([[commitVersion]]), so a holder that lost a takeover race can
+    * never land the latest manifest.
     */
-  private def commitManifest(
-      files: Seq[String], schema: Option[StructType] = storedSchema): Unit = synchronized {
+  @volatile private var heldEpoch: Option[Long] = None
+
+  private def fenced(latestEpoch: Long): Nothing = {
+    val e = new IllegalStateException(
+      s"target $path: manifest commit fenced — a newer writer epoch " +
+        s"($latestEpoch > held ${heldEpoch.getOrElse(-1L)}) has committed, " +
+        "meaning this holder's lease was taken over; aborting rather than " +
+        "publishing a stale writer's files")
+    leaseLost = Some(e)
+    heldLeaseId = None
+    heldEpoch = None
+    throw e
+  }
+
+  private def versionName(epoch: Long, seq: Long, isDelta: Boolean): String =
+    f"v$epoch%010d_$seq%010d." + (if (isDelta) "delta" else "list")
+
+  /** Land `content` as the next manifest version: write to a tmp name,
+    * rename to a fresh versioned name (atomic — readers see the old or
+    * the new version, never a torn one), prune versions no longer
+    * needed for replay ([[pruneVersions]]). Mutators run under the
+    * writer lease; `synchronized` additionally serializes in-process
+    * concurrent period appends sharing this instance.
+    *
+    * THE ZOMBIE-WRITER FENCE lives here. The lease file alone cannot
+    * stop a holder that lost a takeover race from committing before its
+    * next heartbeat check (file primitives have no compare-and-swap —
+    * the residual race [[heartbeatLease]] documents). The commit layer
+    * closes it:
+    *  - versions are ordered EPOCH-MAJOR, and every takeover bumps the
+    *    epoch and immediately SEALS the current state as a checkpoint
+    *    under the new epoch ([[acquireWriterLease]]) — so a stale
+    *    holder's later commit (lower epoch) is born shadowed: replay
+    *    starts at the seal and never reads it;
+    *  - pre-rename, a held-lease commit whose epoch trails the latest
+    *    committed epoch aborts ([[fenced]] — it also poisons the held
+    *    lease so the run dies at this commit, not a later one);
+    *  - post-rename, a commit that raced the seal itself (listed before
+    *    the seal landed, renamed after) detects the newer epoch, deletes
+    *    its own — already shadowed — version, and aborts; a LEASE-LESS
+    *    caller (outside the runner discipline) re-lands its content
+    *    under the newer epoch instead, so its mutation is never
+    *    silently discarded by replay.
+    */
+  private def commitVersion(content: String, isDelta: Boolean): Unit = synchronized {
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
-    val content = (schema.map("#schema=" + _.json).toSeq ++ files.distinct.sorted)
-      .mkString("", "\n", "\n")
     var attempts = 0
-    var done = false
-    while (!done) {
+    while (true) {
       attempts += 1
-      val next = manifestVersions().map(_._1).maxOption.getOrElse(0L) + 1
+      val vs = manifestVersions()
+      val latestEpoch = vs.map(_.epoch).maxOption.getOrElse(0L)
+      heldEpoch.foreach(e => if (latestEpoch > e) fenced(latestEpoch))
+      val epoch = heldEpoch.getOrElse(latestEpoch)
+      val seq = vs.map(_.seq).maxOption.getOrElse(0L) + 1
+      val name = versionName(epoch, seq, isDelta)
       val tmp = new Path(manifestDir,
-        s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = fs.create(tmp, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
-      done = fs.rename(tmp, new Path(manifestDir, f"v$next%020d.list"))
-      if (!done) {
+      if (!fs.rename(tmp, new Path(manifestDir, name))) {
         fs.delete(tmp, false)
         if (attempts >= 5) throw new IllegalStateException(
-          s"could not commit manifest v$next under $manifestDir after " +
+          s"could not commit manifest $name under $manifestDir after " +
             s"$attempts attempts — is another writer running without the lease?")
+      } else {
+        val epochAfter = manifestVersions().map(_.epoch).maxOption.getOrElse(0L)
+        if (epochAfter > epoch) {
+          fs.delete(new Path(manifestDir, name), false)
+          if (heldEpoch.isDefined) fenced(epochAfter)
+          if (attempts >= 5) throw new IllegalStateException(
+            s"could not commit manifest under $manifestDir: repeatedly " +
+              s"outpaced by newer writer epochs (now $epochAfter)")
+          // lease-less caller: loop and re-land under the newer epoch
+        } else {
+          pruneVersions()
+          return
+        }
       }
     }
-    val vs = manifestVersions().sortBy(_._1)
-    vs.dropRight(ManifestKeep).foreach { case (_, p) => fs.delete(p, false) }
+  }
+
+  /** Drop versions replay no longer needs: everything strictly before
+    * the latest checkpoint, except that the newest
+    * [[TargetTable.ManifestKeep]] versions are always retained (parity
+    * with the single-file era's history window).
+    */
+  private def pruneVersions(): Unit = {
+    val vs = manifestVersions().sortBy(_.key)
+    val lastCkpt = vs.lastIndexWhere(!_.isDelta)
+    if (lastCkpt >= 0) {
+      val keepFrom = math.min(lastCkpt, math.max(0, vs.size - ManifestKeep))
+      vs.take(keepFrom).foreach(v => fs.delete(v.p, false))
+    }
+  }
+
+  /** Commit `files` as the next manifest CHECKPOINT (the full live set;
+    * resets the replay chain). Every commit embeds the table schema as
+    * a `#schema=` header (the current sidecar schema unless the
+    * mutation carries a new one), so the reader-facing schema and file
+    * set switch in the SAME atomic rename — a full refresh or widening
+    * rewrite can change both without a mixed old-schema/new-files
+    * instant ([[readRaw]]).
+    */
+  private def commitManifest(
+      files: Seq[String], schema: Option[StructType] = storedSchema): Unit =
+    commitVersion(
+      (schema.map("#schema=" + _.json).toSeq ++ files.distinct.sorted)
+        .mkString("", "\n", "\n"),
+      isDelta = false)
+
+  /** Commit an incremental change as a DELTA version — O(add + remove)
+    * text I/O regardless of how many files the table holds, which is
+    * what keeps the per-period commit flat as a 100 TB target
+    * accumulates years of partitions. Every
+    * [[TargetTable.ManifestCheckpointEvery]] commits the chain folds
+    * into a fresh checkpoint (one O(live) write, amortized away), which
+    * also bounds the replay tail readers pay. `schema=None` carries the
+    * newest committed header forward (a one-line read, not a replay);
+    * an explicit schema rides the delta and switches atomically with
+    * the file change exactly like a checkpoint's.
+    */
+  private def commitManifestDelta(
+      add: Seq[String], remove: Seq[String],
+      schema: Option[StructType] = None): Unit = synchronized {
+    val vs = manifestVersions().sortBy(_.key)
+    val lastCkpt = vs.lastIndexWhere(!_.isDelta)
+    val deltaRun = vs.size - 1 - lastCkpt
+    if (lastCkpt < 0 || deltaRun + 1 >= ManifestCheckpointEvery) {
+      val cur = latestManifest().getOrElse(Nil)
+      commitManifest(
+        cur.filterNot(remove.toSet) ++ add,
+        schema.orElse(latestCommittedSchema()).orElse(storedSchema))
+    } else {
+      val header = schema.orElse(latestCommittedSchema()).orElse(storedSchema)
+        .map("#schema=" + _.json).toSeq
+      val body = remove.distinct.sorted.map("-" + _) ++
+        add.distinct.sorted.map("+" + _)
+      commitVersion((DeltaMarker +: (header ++ body)).mkString("", "\n", "\n"),
+        isDelta = true)
+    }
   }
 
   private def isDataFileName(n: String): Boolean =
@@ -1148,24 +1370,21 @@ final class TargetTable(
     * (pre-manifest upgrade — there the staged files are already on
     * disk and the relist covers the whole table).
     */
-  private def commitManifestAppended(stagedRel: Seq[String]): Unit = synchronized {
-    // synchronized around the whole read-modify-write: two concurrent
-    // period appends each basing their commit on the same prior version
-    // would have the second drop the first's files from the manifest;
-    // a crashed compaction's/replace's staged-but-uncommitted files must
-    // not be absorbed into a fresh listing as if they were live rows
+  private[ibtp] def commitManifestAppended(stagedRel: Seq[String]): Unit = synchronized {
+    // synchronized: a crashed compaction's/replace's staged-but-
+    // uncommitted files must not be absorbed into a fresh listing as if
+    // they were live rows, and two concurrent period appends must land
+    // distinct versions (the delta form makes the read-modify-write of
+    // the single-file era unnecessary: each append commits ONLY its own
+    // staged names — O(staged) text I/O, no relist, no O(live) rewrite)
     if (fs.exists(compactIntentFile)) repairOrphanedCompact()
     if (fs.exists(intentFile)) repairOrphanedReplace()
-    latestManifestRaw() match {
-      case None => commitManifestRelist()
-      case Some(raw) =>
-        // appends never change the schema: carry the prior version's
-        // header forward instead of re-reading the sidecar per commit
-        // (every sidecar change re-commits a header, so it is current)
-        commitManifest(
-          raw.filterNot(_.startsWith("#")) ++ stagedRel,
-          schemaOfManifestLines(raw).orElse(storedSchema))
-    }
+    if (manifestVersions().isEmpty) commitManifestRelist()
+    else
+      // appends never change the schema: the delta carries the newest
+      // committed header forward (every sidecar change re-commits a
+      // header, so it is current)
+      commitManifestDelta(add = stagedRel, remove = Nil)
   }
 
   /** Commit a manifest from a full directory relist, absorbing files a
@@ -1624,8 +1843,9 @@ final class TargetTable(
           failCompactPoint(1) // staged in place; manifest still pre-compaction
           val origRel   = files.map(f => s"${dir.getName}/${f.getPath.getName}")
           val stagedRel = staged.map(s => s"${dir.getName}/${s.getName}")
-          commitManifest( // THE atomic switch: old set -> new set
-            latestManifest().getOrElse(Nil).filterNot(origRel.toSet) ++ stagedRel)
+          // THE atomic switch: old set -> new set, as one delta bounded
+          // by this partition's file count (never an O(table) rewrite)
+          commitManifestDelta(add = stagedRel, remove = origRel)
           failCompactPoint(2) // manifest switched; originals still on disk
           writeTrash(origRel)
           failCompactPoint(3) // originals parked; marker not yet cleared
@@ -1835,9 +2055,18 @@ final class TargetTable(
                 "the partial staging back)")
         }
         failReplacePoint(1) // staged in place; manifest still pre-replace
-        commitManifest( // THE atomic switch: old set -> new set
-          prev.filterNot(origRel.toSet) ++ stagedRel,
-          newSchema.orElse(storedSchema))
+        // THE atomic switch: old set -> new set. A replace that drops
+        // at least half the live set (a full refresh, a widening
+        // rewrite) folds straight to a checkpoint — its delta would be
+        // O(table) lines anyway, and the checkpoint resets the replay
+        // chain; a period-sized replace rides an O(touched) delta.
+        if (prev.isEmpty || origRel.size * 2 >= prev.size)
+          commitManifest(
+            prev.filterNot(origRel.toSet) ++ stagedRel,
+            newSchema.orElse(storedSchema))
+        else
+          commitManifestDelta(add = stagedRel, remove = origRel,
+            schema = newSchema)
         // a schema-changing replace (snapshot full refresh / widening
         // rewrite) syncs the write-side sidecar right after the commit;
         // a crash in between heals in repairOrphanedReplace's sidecar
@@ -1867,6 +2096,14 @@ final case class CompactionStat(
 }
 
 object TargetTable {
+  /** One committed manifest version (see the delta-log section of
+    * [[TargetTable]]). Ordering is EPOCH-MAJOR, then sequence.
+    */
+  private[ibtp] final case class ManifestVersion(
+      epoch: Long, seq: Long, isDelta: Boolean, p: org.apache.hadoop.fs.Path) {
+    def key: (Long, Long) = (epoch, seq)
+  }
+
   /** Internal day-partition column added next to the user's columns. */
   val PartitionCol = "p_date"
 
@@ -1938,9 +2175,23 @@ object TargetTable {
   val TrashDirName = "_graft_trash"
 
   /** Manifest versions retained for in-flight readers; older versions
-    * are pruned at commit.
+    * are pruned at commit (the latest checkpoint and its delta tail are
+    * always retained regardless — replay needs them).
     */
   val ManifestKeep = 5
+
+  /** A delta chain folds into a fresh checkpoint every this-many
+    * commits: bounds the replay tail a reader pays (one checkpoint +
+    * fewer than this many delta reads) while keeping the per-commit
+    * write O(staged names) on the hot append path.
+    */
+  val ManifestCheckpointEvery = 8
+
+  /** First line of a delta version's content (belt-and-braces next to
+    * the `.delta` extension, and what keeps replayed header extraction
+    * from mistaking it for a schema line).
+    */
+  val DeltaMarker = "#delta"
 
   /** How long replaced files stay on disk after a compaction or a
     * snapshot replace before [[TargetTable.vacuum]] deletes them — the

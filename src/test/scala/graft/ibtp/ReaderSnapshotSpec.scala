@@ -164,6 +164,70 @@ class ReaderSnapshotSpec extends SparkSpecBase {
     assert(t.read().count() > n0 + 1, "relist must absorb the external file")
   }
 
+  test("delta-log commits replay to exactly what a full relist computes") {
+    val t = build("snap_delta")
+    // a mixed workload: per-period appends (delta commits), a partition
+    // replace (delta), a compaction (delta), and enough appends to cross
+    // a checkpoint fold
+    (1 to 10).foreach { i =>
+      t.append(Seq((day(f"2024-01-${i % 3 + 3}%02d"), s"x$i", i)).toDF("day", "k", "v"))
+    }
+    t.replaceRange(
+      Seq((day("2024-01-02"), "r", 99)).toDF("day", "k", "v"),
+      java.time.LocalDate.of(2024, 1, 2), java.time.LocalDate.of(2024, 1, 3))
+    t.compact()
+    val mdir = new java.io.File(t.path, TargetTable.ManifestDirName)
+    assert(mdir.listFiles().exists(_.getName.endsWith(".delta")),
+      "the hot paths must commit deltas, not full rewrites")
+    val rows     = t.read().collect().map(_.toString).sorted
+    val replayed = t.latestManifest().get.sorted
+    // the relist recomputes the live set from the directories (minus
+    // trash) — the ground truth the replayed log must match exactly
+    t.relistManifest()
+    assert(t.latestManifest().get.sorted == replayed,
+      "checkpoint+delta replay must equal the relisted live set")
+    assert(t.read().collect().map(_.toString).sorted.sameElements(rows))
+  }
+
+  test("legacy single-number manifests read as epoch 0 and upgrade in place") {
+    val t = build("snap_legacy")
+    val rows = t.read().collect().map(_.toString).sorted
+    val mdir = new java.io.File(t.path, TargetTable.ManifestDirName)
+    // rewrite the log as one pre-delta-era version: a full listing under
+    // the legacy 20-digit name (no epoch, no kind suffix distinction)
+    val content = t.latestManifest().get.sorted.mkString("", "\n", "\n")
+    mdir.listFiles().foreach(_.delete())
+    java.nio.file.Files.writeString(
+      new java.io.File(mdir, f"v${7L}%020d.list").toPath, content)
+    assert(t.read().collect().map(_.toString).sorted.sameElements(rows),
+      "a legacy manifest must keep serving reads")
+    // the next mutation lands a NEW-format delta on top of it
+    t.append(Seq((day("2024-01-05"), "n", 7)).toDF("day", "k", "v"))
+    assert(mdir.listFiles().exists(_.getName.contains("_")),
+      "new commits must use the epoch_seq naming")
+    assert(t.read().count() == rows.length + 1,
+      "replay must chain the legacy checkpoint and the new delta")
+  }
+
+  test("a schema-only change rides a header delta, not a full rewrite") {
+    val t = build("snap_hdr")
+    val filesBefore = t.latestManifest().get.sorted
+    val mdir = new java.io.File(t.path, TargetTable.ManifestDirName)
+    val nBefore = mdir.listFiles().count(!_.getName.startsWith("."))
+    // metadata-only widening (int -> long is a parquet read promotion)
+    t.expandTargetColumnTypes(
+      Seq((day("2024-01-01"), "a", 1L)).toDF("day", "k", "v").schema)
+    assert(t.read().schema("v").dataType == org.apache.spark.sql.types.LongType,
+      "readers must see the widened schema immediately")
+    assert(t.latestManifest().get.sorted == filesBefore,
+      "a schema-only commit must not change the live file set")
+    val hdrDelta = mdir.listFiles().filter(!_.getName.startsWith("."))
+      .sortBy(_.getName).last
+    assert(hdrDelta.getName.endsWith(".delta") &&
+      mdir.listFiles().count(!_.getName.startsWith(".")) == nBefore + 1,
+      "the schema switch must land as one tiny delta version")
+  }
+
   test("full refresh is snapshot-isolated: a pinned reader keeps the complete old table") {
     val t = build("snap_refresh")
     val oldRows = t.read().collect().map(_.toString).sorted

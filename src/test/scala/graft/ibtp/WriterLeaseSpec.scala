@@ -227,6 +227,57 @@ class WriterLeaseSpec extends SparkSpecBase {
     leaseFile(path).delete()
   }
 
+  test("a zombie writer's manifest commit is fenced after a takeover") {
+    // The lease race is bounded, not closed (no file CAS): a holder
+    // that lost a takeover can reach its commit before its next
+    // heartbeat check. The COMMIT layer must therefore fence it — the
+    // takeover bumps the writer epoch and seals the manifest under it,
+    // so the zombie's commit is rejected (or born shadowed), never the
+    // latest manifest.
+    val path = tmpDir("lease_zombie")
+    val zombie = new TargetTable(spark, path, "day")
+    IbtpRunner.run(spark, model, zombie, params) // manifest table exists
+    val before = zombie.read().collect().toSeq.map(_.toString).sorted
+    val zid = zombie.acquireWriterLease()
+    // simulate the zombie's GC pause: its heartbeat (background daemon
+    // beats every 60s — far beyond this test) goes stale on disk.
+    // Rewritten through the Hadoop FS so the checksum sidecar stays
+    // consistent, as the holder's own heartbeat write would be.
+    val content = java.nio.file.Files.readString(leaseFile(path).toPath)
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hout = hfs.create(
+      new org.apache.hadoop.fs.Path(path + TargetTable.LeaseSuffix), true)
+    try hout.write(content.replaceAll("heartbeat=\\d+",
+      s"heartbeat=${System.currentTimeMillis() - TargetTable.LeaseStaleMs - 60000}")
+      .getBytes("UTF-8"))
+    finally hout.close()
+    // a new holder legally takes over the stale lease (epoch bump + seal)
+    val t2 = new TargetTable(spark, path, "day")
+    val id2 = t2.acquireWriterLease()
+    try {
+      // the zombie wakes and lands its append BEFORE any heartbeat
+      // check would run — the commit itself must reject it
+      val e = intercept[IllegalStateException] {
+        zombie.append(model.query(spark, PeriodBounds(jan1, jan1.plusDays(1))))
+      }
+      assert(e.getMessage.contains("fenced"), e.getMessage)
+      // nothing the zombie staged became visible
+      assert(zombie.read().collect().toSeq.map(_.toString).sorted == before,
+        "a fenced commit must not change the readable table")
+      // the new holder's own repair rolls the zombie's moved files back
+      // (the fence left the append marker in place), then writes cleanly
+      assert(t2.repairOrphanedAppends() == 1,
+        "the zombie's un-published files must roll back under the new holder")
+      assert(t2.read().collect().toSeq.map(_.toString).sorted == before)
+    } finally t2.releaseWriterLease(id2)
+    zombie.releaseWriterLease(zid) // must not delete the new holder's state
+    // with the fence resolved, a fresh run proceeds normally
+    val t3 = new TargetTable(spark, path, "day")
+    IbtpRunner.run(spark, model, t3, params)
+    assert(t3.read().collect().toSeq.map(_.toString).sorted == before)
+  }
+
   test("a corrupt lease (holder died mid-heartbeat) goes stale by mtime") {
     val path = tmpDir("lease_corrupt") + "/tbl"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)

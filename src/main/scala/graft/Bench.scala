@@ -19,6 +19,22 @@ object Bench {
     // untimed warmup: JIT + parquet footer caches, so the first timed
     // query isn't charged for JVM warm-up
     try exec("q01_scan_filter_project") catch { case _: Throwable => () }
+    // fixed pure-CPU calibration microbench: data-independent, so it
+    // measures the HOST's speed at bench time, not the engine's. The VM
+    // runs in bimodal speed windows (70-75 s vs 87-102 s totals with
+    // the guest idle, round 10), which previously forced inferring the
+    // host factor after the fact from untouched queries; `calib_sec`
+    // makes it a measurement: compare against the baseline's calib_sec
+    // and normalize totals by the ratio before concluding a regression.
+    def calibOnce(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0, 64L * 1000 * 1000, 1, 8)
+        .select(sum(xxhash64(col("id"))))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSec = { calibOnce(); Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1) }
     // Per-query BEST-OF-2 inside the one invocation: a single-query
     // warm-up warms the JVM but not a cold page cache, and the round-3
     // driver run (cold VM) showed the allocation-heavy text pipelines
@@ -59,7 +75,7 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
     val errField = if (nErr > 0) s""","errors":$nErr""" else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"queries":$qs,"sf":"$sfDir"$errField}"""
     // sidecar copy for machine consumption (sbt decorates stdout with
     // an [info] prefix that a strict JSON parse of the output trips on)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)
@@ -73,6 +89,6 @@ object Bench {
     // verdict-relevant numbers also go on a SHORT final line that no tail
     // capture can truncate; the per-query detail lives in BENCH_LAST.json
     // and in the full line above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_sec":$total,"n_queries":${results.size},"errors":$nErr,"queries_file":"BENCH_LAST.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_sec":$total,"calib_sec":$calibSec,"n_queries":${results.size},"errors":$nErr,"queries_file":"BENCH_LAST.json"}""")
   }
 }

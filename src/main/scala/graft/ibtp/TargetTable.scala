@@ -830,6 +830,22 @@ final class TargetTable(
       // rewrite, so no zombie at that epoch survives to commit.
       epoch = math.max(maxCommittedEpoch(),
         kv.get("epoch").flatMap(_.toLongOption).getOrElse(0L)) + 1
+      // the staleness decision above may be arbitrarily old by the time
+      // this contender acts on it (a pause between the read and here):
+      // re-read and verify the file STILL holds the same lease whose
+      // staleness was proven — a rename based on stale knowledge would
+      // otherwise move a rival's FRESH lease aside and steal a live
+      // takeover. (Narrows the no-CAS window to re-read→rename; the
+      // settle+confirm below and the commit-layer epoch fence cover the
+      // remainder.)
+      val recheckId = scala.util.Try(readKv(leaseFile, required = Seq("lease_id")))
+        .toOption.flatten.flatMap(_.get("lease_id"))
+      // None == None keeps the corrupt-lease (mtime-stale) takeover
+      // working: unreadable then is unreadable now
+      if (recheckId != kv.get("lease_id"))
+        throw new IllegalStateException(
+          s"target $path: lost the lease takeover race (pre-claim recheck) — another writer " +
+            "claimed it first; retry once it completes")
       // atomic takeover claim: rename the stale file aside instead of
       // deleting it. Two contenders that both observed the stale
       // heartbeat race here — rename-of-a-missing-source fails, so
@@ -841,23 +857,55 @@ final class TargetTable(
         catch { case _: java.io.IOException => false }
       if (!claimed)
         throw new IllegalStateException(
-          s"target $path: lost the lease takeover race — another writer " +
+          s"target $path: lost the lease takeover race (claim rename) — another writer " +
             "claimed it first; retry once it completes")
+      // CLAIM VERIFICATION: the rename is content-blind, so a contender
+      // acting on knowledge that went stale between its re-read and its
+      // rename can have moved a RIVAL's fresh lease (or a rival's
+      // in-flight create, torn) aside instead of the dead holder's.
+      // Read the claimed file itself: if it is not the lease whose
+      // staleness was proven, RESTORE it where it was and abort —
+      // never delete a live rival's claim, and never proceed on one.
+      // (The un-stolen rival's own confirm reads may catch the blink
+      // between the theft and the restore — they retry through it.)
+      val claimedId = scala.util.Try(readKv(aside, required = Seq("lease_id")))
+        .toOption.flatten.flatMap(_.get("lease_id"))
+      if (claimedId != kv.get("lease_id")) {
+        if (!scala.util.Try(fs.rename(aside, leaseFile)).getOrElse(false))
+          fs.delete(aside, false) // rival re-claimed meanwhile: drop the copy
+        throw new IllegalStateException(
+          s"target $path: lost the lease takeover race (claim verification) — " +
+            "another writer claimed it first; retry once it completes")
+      }
       fs.delete(aside, false)
       if (!tryCreate())
         throw new IllegalStateException(
-          s"target $path: lost the lease takeover race — another writer " +
+          s"target $path: lost the lease takeover race (post-claim create) — another writer " +
             "claimed it first; retry once it completes")
       // belt-and-braces for stores where create(overwrite=false) is not
       // a true atomic claim (plain local FS): confirm the file we now
-      // read back is OURS before acting as the single writer
-      def mine(): Boolean =
+      // read back is OURS before acting as the single writer. A read
+      // can be transiently INCONCLUSIVE (missing or torn for an
+      // instant) while a rival detects and undoes a stale-knowledge
+      // claim (see claim verification above) — retry briefly through
+      // that blink; abort immediately on a conclusive foreign id.
+      def ownerSeen(): Option[String] =
         scala.util.Try(readKv(leaseFile, required = Seq("lease_id")))
-          .toOption.flatten.exists(_.get("lease_id").contains(id))
-      if (!mine())
-        throw new IllegalStateException(
-          s"target $path: lost the lease takeover race — another writer " +
-            "claimed it first; retry once it completes")
+          .toOption.flatten.flatMap(_.get("lease_id"))
+      def confirmMine(site: String): Unit = {
+        var tries = 0
+        while (true) {
+          val seen = ownerSeen()
+          if (seen.contains(id)) return
+          if (seen.isDefined || tries >= 8)
+            throw new IllegalStateException(
+              s"target $path: lost the lease takeover race ($site) — another " +
+                "writer claimed it first; retry once it completes")
+          tries += 1
+          Thread.sleep(25)
+        }
+      }
+      confirmMine("first confirm")
       // the stale-looking holder may still be ALIVE (long GC pause) with
       // an in-flight heartbeat rewrite that would clobber this fresh
       // claim with ITS id right after the confirm above — and its own
@@ -868,12 +916,11 @@ final class TargetTable(
       // where the clobber lands after this second confirm remains —
       // file primitives have no compare-and-swap — and is bounded: the
       // explicit pre-commit heartbeat detects the foreign id before
-      // this claimant's next commit ([[heartbeatLease]]).
-      Thread.sleep(100L + java.util.concurrent.ThreadLocalRandom.current().nextLong(150L))
-      if (!mine())
-        throw new IllegalStateException(
-          s"target $path: lost the lease takeover race — another writer " +
-            "claimed it first; retry once it completes")
+      // this claimant's next commit ([[heartbeatLease]]), and the
+      // manifest epoch fence shadows whatever such a zombie would
+      // commit anyway ([[commitVersion]]).
+      Thread.sleep(settleMillis())
+      confirmMine("settle confirm")
     }
     heldLeaseId = Some(id)
     heldEpoch = Some(epoch)
@@ -912,6 +959,17 @@ final class TargetTable(
     */
   @volatile private var lastBeatMs: Long = 0L
   @volatile private var heldStaleAfterMs: Long = LeaseStaleMs
+
+  /** Randomized settle delay (ms) before the SECOND ownership confirm
+    * on the two takeover-prone paths (acquire-after-takeover,
+    * takeover-eligible heartbeat): gives an in-flight rival claim time
+    * to land where the re-check can see it. Injectable so race specs
+    * can drive the settle paths in tight deterministic loops instead of
+    * relying on wall-clock luck; production keeps the randomized jitter
+    * (two rivals settling identically would re-race).
+    */
+  private[ibtp] var settleMillis: () => Long = () =>
+    100L + java.util.concurrent.ThreadLocalRandom.current().nextLong(150L)
 
   private def startHeartbeatDaemon(staleAfterMillis: Long): Unit = {
     val interval = math.max(200L, math.min(LeaseHeartbeatMs, staleAfterMillis / 4))
@@ -966,14 +1024,18 @@ final class TargetTable(
     * Residual race, stated honestly: a takeover landing BETWEEN the
     * pre-check and our overwrite is clobbered by our own id, so the
     * plain post-check is vacuous against it — file primitives have no
-    * compare-and-swap. Two bounds contain it: (1) takeover is only
+    * compare-and-swap. Three bounds contain it: (1) takeover is only
     * legal against a stale heartbeat, so when our own beat gap exceeded
     * the staleness window we add a randomized settle + re-check, giving
     * an in-flight claim time to land where we can see it (and the
     * claimant's acquire does the symmetric settle + confirm); (2) the
     * clobbered claimant's next explicit heartbeat — which precedes
     * every commit — reads our foreign id and aborts, so no commit
-    * happens under a silently lost lease.
+    * happens under a silently lost lease; (3) terminally, the MANIFEST
+    * layer no longer trusts the lease at all: every takeover bumps a
+    * fencing epoch and seals it ([[commitVersion]]), so even the
+    * interleaving neither side detects cannot make a stale holder's
+    * commit the latest manifest.
     */
   def heartbeatLease(): Unit = synchronized {
     // synchronized: the daemon and concurrent period threads share this
@@ -1012,7 +1074,7 @@ final class TargetTable(
         // randomized settle + re-check: a claim racing our rewrite gets
         // time to (re)land where the check can see it. Costs nothing on
         // the hot path — only reached after an anomalous beat gap.
-        Thread.sleep(100L + java.util.concurrent.ThreadLocalRandom.current().nextLong(150L))
+        Thread.sleep(settleMillis())
         if (!stillOurs()) lost()
       }
       lastBeatMs = System.currentTimeMillis()
@@ -2031,12 +2093,19 @@ final class TargetTable(
       val n = writeCounted(fresh, stage.toString, "overwrite")
       val stagedRel = listStagedRel(stage)
       val touched = stagedRel.map(_.takeWhile(_ != '/')).toSet
+      val also = alsoReplace()
+      // no-op fast path: nothing staged, nothing to drop, no schema to
+      // switch (an empty streaming micro-batch, a backfill of a
+      // genuinely empty window) must not litter the log with empty
+      // commits or churn markers
+      if (stagedRel.isEmpty && also.isEmpty && newSchema.isEmpty)
+        return (n, Set.empty)
       // read-modify-write under the instance monitor: a concurrent
       // in-process period append basing its commit on the same prior
       // version must not have its files dropped (cross-process writers
       // are serialized by the lease)
       synchronized {
-        val replaced = touched ++ alsoReplace()
+        val replaced = touched ++ also
         val prev = latestManifest().getOrElse(Nil)
         val origRel = prev.filter(f => replaced.contains(f.takeWhile(_ != '/')))
         writeMarker(intentFile,

@@ -56,10 +56,17 @@ object StreamingIngest {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           target.heartbeatLease()
-          if (!batch.isEmpty) {
-            if (!target.exists) target.init(batch)
-            else target.overwritePartitions(batch)
-          }
+          // no emptiness probe: actions on a foreachBatch frame re-run
+          // its incremental plan, so a `batch.isEmpty` guard executed
+          // the whole stateful aggregation ONCE FOR THE PROBE and again
+          // for the write — doubling per-batch compute. The write path
+          // is already empty-safe: an empty first batch is a
+          // schema-sample init (the reference's `init.sql:9-19` case)
+          // and an empty later batch is a no-op replace
+          // (writeSnapshotReplace commits nothing when it neither
+          // staged nor dropped a file).
+          if (!target.exists) target.init(batch)
+          else target.overwritePartitions(batch)
           ()
         }
         .start()

@@ -32,6 +32,9 @@ import graft.sources.{GraftSession, Tables}
   *   --timestamp-field day [--target-file-bytes N]
   * runMain graft.tools.IbtpCli --vacuum-only --target /path/tbl \
   *   --timestamp-field day [--retention-ms N]   (reap trash-parked files)
+  * runMain graft.tools.IbtpCli --upgrade-manifest --target /path/tbl \
+  *   --timestamp-field day   (pre-manifest table -> snapshot reads;
+  *                            absorb a non-manifest writer's files)
   * runMain graft.tools.IbtpCli --repair-holes --sql model.sql \
   *   --target /path/tbl --timestamp-field day --start-date D
   * }}}
@@ -64,6 +67,22 @@ object IbtpCli {
         stats.foreach(st => println(
           s"[ibtp] compacted ${st.partitionLabel}: ${st.filesBefore} -> ${st.filesAfter} files"))
         if (stats.isEmpty) println("[ibtp] compact: nothing to do")
+        return
+      }
+
+      // standalone manifest upgrade/repair: commit a manifest from a
+      // full directory relist — upgrades a pre-manifest table to
+      // snapshot-isolated reads WITHOUT waiting for its next mutation,
+      // and absorbs files a non-manifest writer (an older library
+      // version, an external tool) dropped into the partition dirs
+      // (the documented mixed-version remedy). Lease-guarded and
+      // repair-first inside relistManifest.
+      if (opts.contains("upgrade-manifest")) {
+        val t = new TargetTable(spark, req("target"), req("timestamp-field"))
+        if (!t.exists) sys.error(s"target ${req("target")} does not exist")
+        t.relistManifest()
+        println(s"[ibtp] manifest upgraded: reads are now snapshot-isolated " +
+          s"(${t.read().inputFiles.length} live files committed)")
         return
       }
 

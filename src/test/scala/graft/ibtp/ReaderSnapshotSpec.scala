@@ -228,6 +228,59 @@ class ReaderSnapshotSpec extends SparkSpecBase {
       "the schema switch must land as one tiny delta version")
   }
 
+  test("concurrent appends sharing the NULL-ts partition lose no files") {
+    // stagedAppend's per-FILE move design exists for exactly this:
+    // two concurrent period appends can legally share ONE partition
+    // (NULL-ts rows both land in __HIVE_DEFAULT_PARTITION__, outside
+    // the disjoint-periods contract). A whole-directory rename racing
+    // the sibling's mkdirs would nest the staged dir inside the live
+    // one (publishing paths with no files behind them), and unsynced
+    // manifest commits would drop the slower sibling's names.
+    val t = new TargetTable(spark, tmpDir("snap_nullts"), "day")
+    t.init(Seq((day("2024-01-01"), "seed", 0)).toDF("day", "k", "v"))
+    val nThreads = 2
+    val nRounds = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to nThreads).map { w =>
+      val th = new Thread(() => {
+        start.await()
+        try (1 to nRounds).foreach { r =>
+          // each append: one NULL-ts row (shared partition) + one row in
+          // the thread's own disjoint date (the normal period contract)
+          val df = Seq((Some(day(f"2024-02-$w%02d")), s"d$w-$r", r),
+            (Option.empty[java.sql.Date], s"n$w-$r", r))
+            .toDF("day", "k", "v")
+          t.appendIsolated(df)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent appends failed: ${errs.peek()}")
+    // nothing lost: every row of every append is readable
+    assert(t.read().count() == 1 + nThreads * nRounds * 2)
+    assert(t.read().filter(col("day").isNull).count() == nThreads * nRounds)
+    // no nesting and no orphans: the manifest's NULL-partition names
+    // are exactly the data files on disk, all directly in the dir
+    val defDir = new java.io.File(t.path, s"p_date=${TargetTable.HiveDefaultPartition}")
+    assert(defDir.listFiles().forall(_.isFile),
+      "a nested directory inside the NULL-ts partition means a dir-rename raced mkdirs")
+    val onDisk = defDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    val inManifest = t.latestManifest().get
+      .filter(_.startsWith(s"p_date=${TargetTable.HiveDefaultPartition}/"))
+      .map(_.split("/", 2).last).toSet
+    assert(inManifest == onDisk,
+      s"manifest and disk must agree on the shared partition: " +
+        s"manifest-only=${inManifest -- onDisk}, disk-only=${onDisk -- inManifest}")
+    assert(inManifest.size == nThreads * nRounds,
+      "every concurrent append's NULL-ts file must be committed")
+    // and both crash-repair sweeps find nothing to undo
+    assert(t.repairOrphanedAppends() == 0)
+  }
+
   test("full refresh is snapshot-isolated: a pinned reader keeps the complete old table") {
     val t = build("snap_refresh")
     val oldRows = t.read().collect().map(_.toString).sorted

@@ -278,6 +278,99 @@ class WriterLeaseSpec extends SparkSpecBase {
     assert(t3.read().collect().toSeq.map(_.toString).sorted == before)
   }
 
+  test("takeover races never double-acquire across a tight injected-settle loop") {
+    // tight loop over the takeover race with a SHORT FIXED settle (no
+    // randomized jitter, no wall-clock luck). The honest contract of a
+    // no-CAS claim is AT MOST one winner — the safety property two
+    // concurrent crash-repairs would violate — plus clean mutual aborts
+    // the caller can retry (and the manifest epoch fence shadows
+    // whatever a missed interleaving would commit — see the zombie
+    // test). Zero-winner rounds are legal rare outcomes of simultaneous
+    // claims; systematically zero would be a liveness bug, so the loop
+    // also demands a majority of rounds produce a winner.
+    val path = tmpDir("lease_settle_race") + "/tbl"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).getParent)
+    var winnerRounds = 0
+    val rounds = 10
+    (1 to rounds).foreach { round =>
+      // reset: the previous round may have ended in a mutual abort,
+      // leaving a torn claim (and, on the local checksum FS, stale
+      // .crc litter) that in production goes mtime-stale and is then
+      // taken over like any corrupt lease
+      new java.io.File(leaseFile(path).getParent).listFiles()
+        .filter(_.getName.contains(TargetTable.LeaseSuffix.stripPrefix("__")))
+        .foreach(_.delete())
+      java.nio.file.Files.writeString(leaseFile(path).toPath,
+        s"holder=0@dead\nlease_id=deadbeef\nheartbeat=${
+          System.currentTimeMillis() - TargetTable.LeaseStaleMs - 60000}\n")
+      val go = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val badAborts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val ts = (1 to 2).map { _ =>
+        val t = new TargetTable(spark, path, "day")
+        t.settleMillis = () => 25L
+        val th = new Thread(() => {
+          go.await()
+          try {
+            val i = t.acquireWriterLease()
+            wins.incrementAndGet(); t.releaseWriterLease(i)
+          } catch {
+            case _: IllegalStateException => () // clean abort: retryable
+            case e: Throwable => badAborts.add(e.toString.take(300))
+          }
+        })
+        th.start(); th
+      }
+      go.countDown(); ts.foreach(_.join(30000))
+      assert(badAborts.isEmpty,
+        s"round $round: non-clean abort: ${badAborts.peek()}")
+      assert(wins.get() <= 1,
+        s"round $round: DOUBLE ACQUIRE — ${wins.get()} winners")
+      if (wins.get() == 1) {
+        winnerRounds += 1
+        assert(!leaseFile(path).exists(), s"round $round: lease must be released")
+      }
+    }
+    assert(winnerRounds * 2 >= rounds,
+      s"only $winnerRounds/$rounds rounds produced a winner — liveness regression")
+  }
+
+  test("the settle re-check catches a rival claim landing after the heartbeat rewrite") {
+    // THE residual no-CAS interleaving, driven deterministically: this
+    // holder is takeover-eligible (its beat gap blew the staleness
+    // window), a rival's claim lands AFTER the holder's heartbeat
+    // rewrite buried it — the settle re-check must still see the
+    // foreign id and abort, instead of running on as a zombie. The
+    // injected settle plants the rival exactly inside that window,
+    // which wall-clock jitter could never pin down.
+    val path = tmpDir("lease_settle_rival") + "/tbl"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).getParent)
+    val t = new TargetTable(spark, path, "day")
+    val id = t.acquireWriterLease(staleAfterMillis = 50L)
+    Thread.sleep(80) // beat gap 80ms > 50ms window: takeover-eligible
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    t.settleMillis = () => {
+      val out = hfs.create(
+        new org.apache.hadoop.fs.Path(path + TargetTable.LeaseSuffix), true)
+      try out.write(
+        s"holder=1@rival\nlease_id=rival123\nepoch=99\nheartbeat=${
+          System.currentTimeMillis()}\n".getBytes("UTF-8"))
+      finally out.close()
+      0L
+    }
+    val e = intercept[IllegalStateException] { t.heartbeatLease() }
+    assert(e.getMessage.contains("writer lease lost"), e.getMessage)
+    // the old holder must leave the rival's lease intact on release
+    t.releaseWriterLease(id)
+    val content = java.nio.file.Files.readString(leaseFile(path).toPath)
+    assert(content.contains("lease_id=rival123"),
+      "release after the lost settle re-check must not touch the rival's lease")
+    leaseFile(path).delete()
+  }
+
   test("a corrupt lease (holder died mid-heartbeat) goes stale by mtime") {
     val path = tmpDir("lease_corrupt") + "/tbl"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)

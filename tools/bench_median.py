@@ -36,6 +36,13 @@ def main(out_path, run_paths):
         "median_query_total": round(sum(medians.values()), 1),
         "queries": medians,
     }
+    # host-speed calibration (pure-CPU microbench emitted per run):
+    # normalize cross-round totals by the calib ratio before reading a
+    # delta as a code regression
+    calibs = [r["calib_sec"] for r in runs if "calib_sec" in r]
+    if calibs:
+        doc["calib_sec"] = round(statistics.median(calibs), 3)
+        doc["calib_runs"] = [round(c, 3) for c in calibs]
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(out_path, "total:", doc["value"], "runs:", doc["runs"])

@@ -42,7 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cte_stage_profile import split_ctes  # noqa: E402
 from oracle_check import rows_key  # noqa: E402
 
-KNOWN = ("q21_dedup_minhash", "q67_text_knn", "q62_cluster_assign")
+KNOWN = ("q21_dedup_minhash", "q67_text_knn", "q62_cluster_assign",
+         "q22_dedup_simhash", "q66_containment_pairs")
+
+# queries that ride the shared q21 minhash replay (one staging, many
+# adjudications); q22/q66 have their own pipelines and stage into their
+# own connections (their CTE names collide with the q21 replay's)
+MINHASH_FAMILY = ("q21_dedup_minhash", "q67_text_knn", "q62_cluster_assign")
 
 
 def log(msg):
@@ -203,14 +209,7 @@ def adjudicate_q62(con, out_dir, max_rounds=50):
     return compare(con, out_dir, "q62_cluster_assign", sql)
 
 
-def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    out_dir, sf_dir, queries = args[0], args[1], args[2:]
-    chunks = 16
-    for a in argv:
-        if a.startswith("--chunks="):
-            chunks = int(a.split("=", 1)[1])
-    assert queries and all(q in KNOWN for q in queries), f"queries from {KNOWN}"
+def fresh_con(sf_dir):
     con = duckdb.connect()
     if os.environ.get("DUCKDB_MEMORY_LIMIT"):
         con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
@@ -220,15 +219,118 @@ def main(argv):
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    stage_replay(con, out_dir, chunks)
+    return con
+
+
+def stage_logged(con, name, body):
+    t0 = time.time()
+    con.execute(f"CREATE TEMP TABLE {name} AS {body}")
+    rows = con.sql(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
+    log(f"{name:10s} {time.time()-t0:8.1f}s {rows:>12,} rows")
+    return rows
+
+
+def adjudicate_q22(out_dir, sf_dir, chunks):
+    """SimHash pigeonhole replay, staged. The one stage that does not
+    fit monolithically at the 1M-doc decade is `bits` — the per-token
+    hash rows cross-joined with 64 bit positions (52.6M x 64 = 3.4B
+    intermediate rows). Chunking the bit axis (bit % chunks = k) is
+    exactly equivalent: each (doc_id, bit) tally group lives entirely
+    inside one chunk, and the union of chunk outputs IS `bits`.
+    """
+    con = fresh_con(sf_dir)
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        sql = json.load(f)["q22_dedup_simhash"]
+    ctes, final = split_ctes(sql)
+    names = [n for n, _, _ in ctes]
+    assert "bits" in names, f"q22 replay shape changed: {names}"
+    cut = names.index("bits")
+    for n, _, b in ctes[:cut]:
+        stage_logged(con, n, b)
+    bits_body = ctes[cut][2]
+    anchor = "(SELECT UNNEST(range(0, 64)) AS bit) b"
+    assert anchor in bits_body, "q22 bits stage shape changed; update the chunker"
+    for k in range(chunks):
+        body = bits_body.replace(
+            anchor,
+            f"(SELECT bit FROM (SELECT UNNEST(range(0, 64)) AS bit) "
+            f"WHERE bit % {chunks} = {k}) b")
+        stage_logged(con, f"bits_{k}", body)
+    con.execute("CREATE TEMP TABLE bits AS " + " UNION ALL ".join(
+        f"SELECT * FROM bits_{k}" for k in range(chunks)))
+    for k in range(chunks):
+        con.execute(f"DROP TABLE bits_{k}")
+    for n, _, b in ctes[cut + 1:]:
+        stage_logged(con, n, b)
+    return compare(con, out_dir, "q22_dedup_simhash", final)
+
+
+def adjudicate_q66(out_dir, sf_dir, chunks):
+    """Capped containment-index replay, staged. The heavy stage is the
+    inverted-index self-join `shared` (cost Sigma(df^2), df <= 64 by the
+    replayed cap); it chunks by shingle hash — shingles partition
+    across chunks, so per-pair partial intersection counts SUM to the
+    monolith's counts exactly.
+    """
+    con = fresh_con(sf_dir)
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        sql = json.load(f)["q66_containment_pairs"]
+    ctes, final = split_ctes(sql)
+    names = [n for n, _, _ in ctes]
+    assert "shared" in names, f"q66 replay shape changed: {names}"
+    cut = names.index("shared")
+    for n, _, b in ctes[:cut]:
+        stage_logged(con, n, b)
+    # feasibility probe: the self-join materializes Sigma(df^2) rows
+    sdf2 = con.sql(
+        "SELECT SUM(df * df) FROM dfs WHERE df <= 64").fetchone()[0]
+    log(f"{'probe':10s} capped sum(df^2) = {sdf2:,}")
+    shared_body = ctes[cut][2]
+    anchor = "FROM ex a JOIN ex b ON a.g = b.g"
+    assert anchor in shared_body, "q66 shared stage shape changed; update the chunker"
+    for k in range(chunks):
+        body = shared_body.replace(
+            anchor,
+            f"FROM (SELECT * FROM ex WHERE hash(g) % {chunks} = {k}) a "
+            f"JOIN (SELECT * FROM ex WHERE hash(g) % {chunks} = {k}) b "
+            "ON a.g = b.g")
+        stage_logged(con, f"shared_{k}", body)
+    con.execute(
+        "CREATE TEMP TABLE shared AS SELECT id_a, id_b, "
+        "CAST(SUM(inter) AS BIGINT) AS inter FROM (" +
+        " UNION ALL ".join(f"SELECT * FROM shared_{k}" for k in range(chunks)) +
+        ") GROUP BY id_a, id_b")
+    for k in range(chunks):
+        con.execute(f"DROP TABLE shared_{k}")
+    for n, _, b in ctes[cut + 1:]:
+        stage_logged(con, n, b)
+    return compare(con, out_dir, "q66_containment_pairs", final)
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    out_dir, sf_dir, queries = args[0], args[1], args[2:]
+    chunks = 16
+    for a in argv:
+        if a.startswith("--chunks="):
+            chunks = int(a.split("=", 1)[1])
+    assert queries and all(q in KNOWN for q in queries), f"queries from {KNOWN}"
     ok = True
-    for q in queries:
-        if q == "q21_dedup_minhash":
-            ok &= adjudicate_q21(con, out_dir)
-        elif q == "q67_text_knn":
-            ok &= adjudicate_q67(con, out_dir)
-        elif q == "q62_cluster_assign":
-            ok &= adjudicate_q62(con, out_dir)
+    if any(q in MINHASH_FAMILY for q in queries):
+        con = fresh_con(sf_dir)
+        stage_replay(con, out_dir, chunks)
+        for q in queries:
+            if q == "q21_dedup_minhash":
+                ok &= adjudicate_q21(con, out_dir)
+            elif q == "q67_text_knn":
+                ok &= adjudicate_q67(con, out_dir)
+            elif q == "q62_cluster_assign":
+                ok &= adjudicate_q62(con, out_dir)
+        con.close()
+    if "q22_dedup_simhash" in queries:
+        ok &= adjudicate_q22(out_dir, sf_dir, chunks)
+    if "q66_containment_pairs" in queries:
+        ok &= adjudicate_q66(out_dir, sf_dir, chunks)
     return 0 if ok else 1
 
 

@@ -27,10 +27,12 @@ object Bench {
     // makes it a measurement: compare against the baseline's calib_sec
     // and normalize totals by the ratio before concluding a regression.
     def calibOnce(): Double = {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      import org.apache.spark.sql.functions.{col, shiftright, sum, xxhash64}
       val t0 = System.nanoTime()
-      spark.range(0, 64L * 1000 * 1000, 1, 8)
-        .select(sum(xxhash64(col("id"))))
+      // shift to 32 bits before summing: 64M full-range hashes would
+      // overflow the ANSI Long SUM
+      spark.range(0, 256L * 1000 * 1000, 1, 8)
+        .select(sum(shiftright(xxhash64(col("id")), 32)))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

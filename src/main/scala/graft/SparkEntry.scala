@@ -128,6 +128,7 @@ object SparkEntry {
     "q83_stream_catchup" -> (StreamingQueries.streamCatchup _),
     "q84_period_autosize" -> (IbtpQueries.loopAutoSized _),
     "q85_rewrite_widen" -> (IbtpQueries.loopRewriteWiden _),
+    "q86_compact_cluster" -> (IbtpQueries.compactCluster _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -214,5 +215,6 @@ object SparkEntry {
     "q83_stream_catchup" -> StreamingQueries.streamCatchupSql,
     "q84_period_autosize" -> IbtpQueries.loopOracleSql,
     "q85_rewrite_widen" -> IbtpQueries.loopRewriteWidenSql,
+    "q86_compact_cluster" -> IbtpQueries.compactClusterSql,
   )
 }

@@ -1831,20 +1831,34 @@ final class TargetTable(
     * live set only via the same commit that publishes their
     * replacement, and leave the DISK only via [[vacuum]].
     */
+  /** `clusterBy` additionally RANGE-CLUSTERS each rewritten partition
+    * on the given columns (`repartitionByRange` + `sortWithinPartitions`
+    * — the OPTIMIZE/Z-ORDER-lite for a lexicographic key): output files
+    * carry disjoint key ranges and sorted row groups, so parquet
+    * min/max statistics prune files AND row groups for selective
+    * point/range predicates on those columns — at 100 TB the difference
+    * between touching one file and touching a partition. Clustering
+    * rides the normal size trigger: partitions already at their target
+    * file count are left alone (re-runs converge and skip), so a
+    * periodic `compact(clusterBy = ...)` keeps exactly the
+    * freshly-fragmented partitions clustered.
+    */
   def compact(
       from: Option[LocalDate] = None,
       to: Option[LocalDate] = None,
-      targetFileBytes: Long = 128L * 1024 * 1024): Seq[CompactionStat] =
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Seq[CompactionStat] =
     // compaction is a writer: its repairs and rewrites must not
     // interleave with a live materialization (reentrant when the runner
     // calls it under its own lease)
     if (!exists) Nil
-    else withWriterLease() { compactLocked(from, to, targetFileBytes) }
+    else withWriterLease() { compactLocked(from, to, targetFileBytes, clusterBy) }
 
   private def compactLocked(
       from: Option[LocalDate],
       to: Option[LocalDate],
-      targetFileBytes: Long): Seq[CompactionStat] = {
+      targetFileBytes: Long,
+      clusterBy: Seq[String] = Nil): Seq[CompactionStat] = {
     repairOrphanedCompact()
     repairOrphanedReplace() // staged-uncommitted replace files must not be relisted as live
     repairOrphanedAppends() // ditto for a crashed predecessor's moved-but-uncommitted appends
@@ -1871,14 +1885,20 @@ final class TargetTable(
       .sortBy(_._1)
       .map { case (d, p) => (Some(d), p) } ++
       (if (fs.exists(defaultDir)) Seq((None, defaultDir)) else Nil)
+    // LIVE files from ONE manifest replay, hoisted out of the loop:
+    // each partition's compaction commit changes only that partition's
+    // entries, so the snapshot stays exact for every later partition —
+    // and a per-partition replay would make a full-table compaction
+    // O(partitions x live files) in manifest reads at 100 TB scale
+    val liveByDir: Map[String, Set[String]] = latestManifest().getOrElse(Nil)
+      .groupBy(_.takeWhile(_ != '/'))
+      .map { case (dn, fs) => dn -> fs.map(_.drop(dn.length + 1)).toSet }
     parts.flatMap { case (d, dir) =>
       // LIVE files only, from the manifest: trash-parked originals of a
       // prior compaction are still in the directory within the
       // retention and must be neither re-read (double rows) nor
       // re-counted toward the file-count trigger
-      val live = latestManifest().getOrElse(Nil)
-        .filter(_.startsWith(dir.getName + "/"))
-        .map(_.stripPrefix(dir.getName + "/")).toSet
+      val live = liveByDir.getOrElse(dir.getName, Set.empty)
       val files = fs.listStatus(dir).toSeq
         .filter(f => f.isFile && live.contains(f.getPath.getName))
       val bytes = files.map(_.getLen).sum
@@ -1889,9 +1909,15 @@ final class TargetTable(
         val stage = new Path(path + s"__compact_${java.util.UUID.randomUUID().toString.take(8)}")
         try {
           val reader = userSchema.fold(spark.read)(s => spark.read.schema(s))
-          reader.parquet(files.map(_.getPath.toString): _*)
-            .coalesce(targetFiles)
-            .write.mode("overwrite").parquet(stage.toString)
+          val merged = reader.parquet(files.map(_.getPath.toString): _*)
+          val arranged =
+            if (clusterBy.isEmpty) merged.coalesce(targetFiles)
+            else merged
+              // range-cluster: disjoint key ranges per output file +
+              // sorted row groups inside each — maximal min/max pruning
+              .repartitionByRange(targetFiles, clusterBy.map(col): _*)
+              .sortWithinPartitions(clusterBy.map(col): _*)
+          arranged.write.mode("overwrite").parquet(stage.toString)
           // staged part files get fresh job UUIDs — no collision with
           // the originals' names, so moving them in is collision-free
           val staged = fs.listStatus(stage).toSeq
@@ -1912,7 +1938,9 @@ final class TargetTable(
           writeTrash(origRel)
           failCompactPoint(3) // originals parked; marker not yet cleared
           clearCompactIntent()
-          Some(CompactionStat(d, files.size, targetFiles, bytes))
+          // report the ACTUAL staged count: range clustering may emit
+          // fewer files than requested when the key space is skewed
+          Some(CompactionStat(d, files.size, staged.size, bytes))
         } finally if (fs.exists(stage)) fs.delete(stage, true)
       }
     }

@@ -342,6 +342,39 @@ object IbtpQueries {
       |FROM unioned GROUP BY 1, 2 HAVING COUNT(*) > 1
       |ORDER BY day, event_type""".stripMargin
 
+  /** Clustered compaction under the hash gate: ingest raw events as
+    * two appends per day-partition (each partition ends fragmented,
+    * every file spanning the full user_id range — the worst case for
+    * min/max pruning), then `compact(clusterBy = user_id)` merges and
+    * RANGE-CLUSTERS each partition. The oracle is the one-shot SELECT:
+    * compaction (clustered or not) must be invisible to contents; the
+    * clustering itself — disjoint per-file key ranges — is pinned by
+    * ReaderSnapshotSpec's clustered-compaction case. This is the
+    * OPTIMIZE/Z-ORDER-lite maintenance a 100 TB table runs so selective
+    * predicates touch one file per partition instead of all of them.
+    */
+  def compactCluster(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+    val targetDir = Files.createTempDirectory("ibtp_q_cluster").toString
+    val target = new TargetTable(spark, targetDir, "ts", countRows = false)
+    // a TOTAL split: NULL user_ids go to the even slice, so the two
+    // appends partition the rows exactly at every scale
+    val even = coalesce(col("user_id") % 2, lit(0)) === 0
+    target.init(ev.filter(even))
+    target.append(ev.filter(!even))
+    val stats = target.compact(clusterBy = Seq("user_id"))
+    require(stats.nonEmpty, "fragmented partitions must compact")
+    target.read()
+      .orderBy(col("ts"), col("event_id"))
+  }
+
+  val compactClusterSql: String =
+    """SELECT ts, event_id, user_id, event_type, value
+      |FROM events
+      |ORDER BY ts, event_id""".stripMargin
+
   /** Both loop queries share this one-shot full-range oracle. */
   val loopOracleSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,

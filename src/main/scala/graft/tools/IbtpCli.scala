@@ -29,7 +29,7 @@ import graft.sources.{GraftSession, Tables}
   * Maintenance-only invocations (no forward materialization):
   * {{{
   * runMain graft.tools.IbtpCli --compact-only --target /path/tbl \
-  *   --timestamp-field day [--target-file-bytes N]
+  *   --timestamp-field day [--target-file-bytes N] [--cluster-by k1,k2]
   * runMain graft.tools.IbtpCli --vacuum-only --target /path/tbl \
   *   --timestamp-field day [--retention-ms N]   (reap trash-parked files)
   * runMain graft.tools.IbtpCli --upgrade-manifest --target /path/tbl \
@@ -63,7 +63,11 @@ object IbtpCli {
         val t = new TargetTable(spark, req("target"), req("timestamp-field"))
         val stats = t.compact(
           targetFileBytes = opts.get("target-file-bytes").map(_.toLong)
-            .getOrElse(128L * 1024 * 1024))
+            .getOrElse(128L * 1024 * 1024),
+          // --cluster-by k1,k2: range-cluster rewritten partitions for
+          // min/max file and row-group pruning on those columns
+          clusterBy = opts.get("cluster-by")
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
         stats.foreach(st => println(
           s"[ibtp] compacted ${st.partitionLabel}: ${st.filesBefore} -> ${st.filesAfter} files"))
         if (stats.isEmpty) println("[ibtp] compact: nothing to do")

@@ -228,6 +228,42 @@ class ReaderSnapshotSpec extends SparkSpecBase {
       "the schema switch must land as one tiny delta version")
   }
 
+  test("clustered compaction yields disjoint key ranges per file, rows intact") {
+    // OPTIMIZE/Z-ORDER-lite: compact(clusterBy) must merge a
+    // fragmented partition into range-clustered files whose parquet
+    // min/max stats can prune selective predicates on the key — the
+    // scan-locality lever at 100 TB
+    val t = new TargetTable(spark, tmpDir("snap_cluster"), "day")
+    // 8 appends, each spraying the full key range into 2024-01-01:
+    // every small file covers (k0..k9) — the worst case for pruning
+    t.init(Seq((day("2024-01-01"), "k5", 0)).toDF("day", "k", "v"))
+    (1 to 8).foreach { i =>
+      t.append((0 to 9).map(j => (day("2024-01-01"), f"k$j", i * 100 + j))
+        .toDF("day", "k", "v"))
+    }
+    val before = t.read().collect().map(_.toString).sorted
+    // size the byte target for ~3 output files from the 9 small inputs
+    val dirFiles = new java.io.File(t.path, "p_date=2024-01-01").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    val targetBytes = math.max(1L, dirFiles.map(_.length).sum / 3)
+    val stats = t.compact(targetFileBytes = targetBytes, clusterBy = Seq("k"))
+    assert(stats.nonEmpty && stats.head.filesAfter > 1,
+      s"expected a multi-file clustered rewrite, got $stats")
+    assert(t.read().collect().map(_.toString).sorted.sameElements(before),
+      "clustering must not change table contents")
+    // per-file key ranges must be pairwise disjoint (range partitioning)
+    val ranges = t.read().inputFiles.filter(_.contains("p_date=2024-01-01"))
+      .map { f =>
+        val ks = spark.read.parquet(f).select("k").collect().map(_.getString(0))
+        (ks.min, ks.max)
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file key ranges overlap: $ranges")
+      case _ => ()
+    }
+  }
+
   test("concurrent appends sharing the NULL-ts partition lose no files") {
     // stagedAppend's per-FILE move design exists for exactly this:
     // two concurrent period appends can legally share ONE partition

@@ -542,16 +542,22 @@ final class TargetTable(
                 writeMarker(tornSidecar, s"torn=${t.mkString(",")}\n")
               t
           }
-          // park first (idempotent — vacuum tolerates double-parked and
-          // absent files), THEN un-publish: at no instant is a
-          // manifest-listed file off the live paths. The rollback
+          // un-publish FIRST, park after: a file must never be
+          // simultaneously trash-parked AND live in the latest manifest
+          // — a standalone vacuum(0) between the two would physically
+          // delete manifest-live files (vacuum's invariant is that
+          // parked entries are absent from every manifest committed
+          // after parking). The window the other order avoided —
+          // unpublished-but-not-yet-parked across a crash — is covered
+          // by the sidecar: the re-run re-parks the recorded torn set,
+          // and nothing deletes unparked files meanwhile. The rollback
           // commit carries the prior header forward — the sidecar may
           // legitimately trail a crashed schema-changing replace whose
           // own repair runs separately.
-          writeTrash(torn.filter(rel => fs.exists(new Path(path, rel))))
           val stillListed = torn.filter(manifest.toSet.contains)
           if (stillListed.nonEmpty)
             commitManifestDelta(add = Nil, remove = stillListed)
+          writeTrash(torn.filter(rel => fs.exists(new Path(path, rel))))
           files.filterNot(torn.toSet).foreach { rel =>
             val p = new Path(path, rel)
             if (fs.exists(p)) fs.delete(p, false)
@@ -1205,17 +1211,25 @@ final class TargetTable(
     else {
       val ckptIdx = vs.lastIndexWhere(!_.isDelta)
       val files = scala.collection.mutable.LinkedHashSet.empty[String]
-      if (ckptIdx >= 0)
-        readLines(vs(ckptIdx).p).foreach(l => if (!l.startsWith("#")) files += l)
+      // the effective header is the NEWEST version's, captured while
+      // that file is read anyway (no second open — one GET per file)
+      var header: Seq[String] = Nil
+      if (ckptIdx >= 0) {
+        val lines = readLines(vs(ckptIdx).p)
+        if (ckptIdx == vs.size - 1) header = lines.takeWhile(_.startsWith("#"))
+        lines.foreach(l => if (!l.startsWith("#")) files += l)
+      }
       vs.drop(ckptIdx + 1).foreach { v =>
-        readLines(v.p).foreach { l =>
+        val lines = readLines(v.p)
+        if (v eq vs.last) header = lines.takeWhile(_.startsWith("#"))
+        lines.foreach { l =>
           if (l.startsWith("#")) ()
           else if (l.startsWith("+")) files += l.substring(1)
           else if (l.startsWith("-")) files -= l.substring(1)
           else files += l
         }
       }
-      Some(readHeaderLines(vs.last.p).filterNot(_ == DeltaMarker) ++ files.toSeq)
+      Some(header.filterNot(_ == DeltaMarker) ++ files.toSeq)
     }
   }
 
@@ -1293,10 +1307,26 @@ final class TargetTable(
     *    the seal landed, renamed after) detects the newer epoch, deletes
     *    its own — already shadowed — version, and aborts; a LEASE-LESS
     *    caller (outside the runner discipline) re-lands its content
-    *    under the newer epoch instead, so its mutation is never
-    *    silently discarded by replay.
+    *    under the newer epoch instead — `content` is a THUNK re-invoked
+    *    per attempt, so a fold/checkpoint re-land recomputes from the
+    *    now-current state and can never resurrect a listing the
+    *    newer-epoch writer already changed;
+    *  - post-rename, a held-lease commit also re-verifies LEASE
+    *    ownership. This closes the one interleaving the epoch listing
+    *    alone cannot see: a zombie whose rename AND post-rename listing
+    *    both land inside the takeover seal's read→rename window would
+    *    otherwise report success (and clear its append marker) while
+    *    the seal shadows its version. The lease file is replaced at
+    *    claim time, strictly BEFORE the seal reads its basis — so
+    *    either the zombie's post-rename lease read sees the foreign id
+    *    (roll back own version, abort; the kept marker lets repair roll
+    *    the files back) or the claim had not happened yet and the
+    *    seal's basis legitimately includes the zombie's version. An
+    *    unreadable lease here is conservatively treated as lost: only a
+    *    claimant mid-claim can make it unreadable (our own heartbeat
+    *    rewrite shares this monitor).
     */
-  private def commitVersion(content: String, isDelta: Boolean): Unit = synchronized {
+  private def commitVersion(content: () => String, isDelta: Boolean): Unit = synchronized {
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     var attempts = 0
     while (true) {
@@ -1310,40 +1340,52 @@ final class TargetTable(
       val tmp = new Path(manifestDir,
         s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = fs.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
+      try out.write(content().getBytes("UTF-8")) finally out.close()
       if (!fs.rename(tmp, new Path(manifestDir, name))) {
         fs.delete(tmp, false)
         if (attempts >= 5) throw new IllegalStateException(
           s"could not commit manifest $name under $manifestDir after " +
             s"$attempts attempts — is another writer running without the lease?")
       } else {
-        val epochAfter = manifestVersions().map(_.epoch).maxOption.getOrElse(0L)
-        if (epochAfter > epoch) {
+        val after = manifestVersions()
+        val epochAfter = after.map(_.epoch).maxOption.getOrElse(0L)
+        val leaseOk = heldLeaseId.forall(id =>
+          scala.util.Try(readKv(leaseFile, required = Seq("lease_id")))
+            .toOption.flatten.flatMap(_.get("lease_id")).contains(id))
+        if (epochAfter > epoch || !leaseOk) {
           fs.delete(new Path(manifestDir, name), false)
-          if (heldEpoch.isDefined) fenced(epochAfter)
+          if (heldEpoch.isDefined) fenced(math.max(epochAfter, epoch))
           if (attempts >= 5) throw new IllegalStateException(
             s"could not commit manifest under $manifestDir: repeatedly " +
               s"outpaced by newer writer epochs (now $epochAfter)")
-          // lease-less caller: loop and re-land under the newer epoch
+          // lease-less caller: loop and re-land (recomputed) content
+          // under the newer epoch
         } else {
-          pruneVersions()
+          pruneVersions(after)
           return
         }
       }
     }
   }
 
-  /** Drop versions replay no longer needs: everything strictly before
-    * the latest checkpoint, except that the newest
-    * [[TargetTable.ManifestKeep]] versions are always retained (parity
-    * with the single-file era's history window).
+  /** Drop versions no reader can still need. The unit of protection is
+    * a STATE, not a file: a reader replays the newest checkpoint AT OR
+    * BEFORE its chosen version plus the deltas up to it, so pruning
+    * must retain the full replay CHAIN of each of the newest
+    * [[TargetTable.ManifestKeep]] states — the same reader window the
+    * single-file design gave (a reader's plan survives ManifestKeep
+    * subsequent commits), which a naive keep-newest-K-files rule
+    * breaks: the fold commit would delete the very checkpoint a
+    * concurrently-planning reader is mid-replay on.
     */
-  private def pruneVersions(): Unit = {
-    val vs = manifestVersions().sortBy(_.key)
-    val lastCkpt = vs.lastIndexWhere(!_.isDelta)
-    if (lastCkpt >= 0) {
-      val keepFrom = math.min(lastCkpt, math.max(0, vs.size - ManifestKeep))
-      vs.take(keepFrom).foreach(v => fs.delete(v.p, false))
+  private def pruneVersions(listed: Seq[ManifestVersion] = Nil): Unit = {
+    val vs = (if (listed.nonEmpty) listed else manifestVersions()).sortBy(_.key)
+    // the oldest protected state, and the checkpoint its replay starts
+    // from; no checkpoint at or before it -> keep everything
+    val oldestProtected = vs.size - ManifestKeep
+    if (oldestProtected > 0) {
+      val base = vs.take(oldestProtected + 1).lastIndexWhere(!_.isDelta)
+      if (base > 0) vs.take(base).foreach(v => fs.delete(v.p, false))
     }
   }
 
@@ -1358,7 +1400,7 @@ final class TargetTable(
   private def commitManifest(
       files: Seq[String], schema: Option[StructType] = storedSchema): Unit =
     commitVersion(
-      (schema.map("#schema=" + _.json).toSeq ++ files.distinct.sorted)
+      () => (schema.map("#schema=" + _.json).toSeq ++ files.distinct.sorted)
         .mkString("", "\n", "\n"),
       isDelta = false)
 
@@ -1379,17 +1421,23 @@ final class TargetTable(
     val vs = manifestVersions().sortBy(_.key)
     val lastCkpt = vs.lastIndexWhere(!_.isDelta)
     val deltaRun = vs.size - 1 - lastCkpt
-    if (lastCkpt < 0 || deltaRun + 1 >= ManifestCheckpointEvery) {
-      val cur = latestManifest().getOrElse(Nil)
-      commitManifest(
-        cur.filterNot(remove.toSet) ++ add,
-        schema.orElse(latestCommittedSchema()).orElse(storedSchema))
-    } else {
-      val header = schema.orElse(latestCommittedSchema()).orElse(storedSchema)
+    def headerLines(): Seq[String] =
+      schema.orElse(latestCommittedSchema()).orElse(storedSchema)
         .map("#schema=" + _.json).toSeq
+    if (lastCkpt < 0 || deltaRun + 1 >= ManifestCheckpointEvery) {
+      // fold content is a THUNK: a lease-less re-land after losing an
+      // epoch race recomputes from the then-current replay instead of
+      // resurrecting the pre-race listing (commitVersion re-invokes it)
+      commitVersion(
+        () => (headerLines() ++
+          (latestManifest().getOrElse(Nil).filterNot(remove.toSet) ++ add)
+            .distinct.sorted).mkString("", "\n", "\n"),
+        isDelta = false)
+    } else {
       val body = remove.distinct.sorted.map("-" + _) ++
         add.distinct.sorted.map("+" + _)
-      commitVersion((DeltaMarker +: (header ++ body)).mkString("", "\n", "\n"),
+      commitVersion(
+        () => (DeltaMarker +: (headerLines() ++ body)).mkString("", "\n", "\n"),
         isDelta = true)
     }
   }
@@ -1509,17 +1557,35 @@ final class TargetTable(
       val cutoff = System.currentTimeMillis() - olderThanMillis
       var removed = 0
       val touchedDirs = scala.collection.mutable.Set[Path]()
+      // defensive invariant, cheap at one replay per vacuum: a file the
+      // LATEST manifest lists as live is NEVER reaped, whatever a trash
+      // list says — a crash inside a repair (or an operator replanting
+      // state by hand) must not let `--vacuum-only --retention-ms 0`
+      // delete data out from under every current reader. Such entries
+      // stay parked (the list is retained) for a later vacuum after the
+      // un-publish completes.
+      val live = latestManifest().getOrElse(Nil).toSet
       fs.listStatus(trashDir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".list"))
         .foreach { st =>
           val parked = st.getPath.getName.takeWhile(_ != '_').toLongOption
           if (parked.exists(_ <= cutoff)) {
-            readLines(st.getPath).foreach { rel =>
+            val (liveNow, reapable) = readLines(st.getPath).partition(live.contains)
+            reapable.foreach { rel =>
               val p = new Path(path, rel)
               if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
               touchedDirs += p.getParent
             }
-            fs.delete(st.getPath, false)
+            if (liveNow.isEmpty) fs.delete(st.getPath, false)
+            else {
+              TargetTable.log.warn(
+                s"vacuum on $path: ${liveNow.size} parked file(s) are LIVE in " +
+                  "the latest manifest (interrupted repair?) — keeping them " +
+                  "parked, reaping the rest")
+              val out = fs.create(st.getPath, true)
+              try out.write(liveNow.mkString("", "\n", "\n").getBytes("UTF-8"))
+              finally out.close()
+            }
           }
         }
       // a partition replaced entirely away keeps its directory only as
@@ -2121,19 +2187,20 @@ final class TargetTable(
       val n = writeCounted(fresh, stage.toString, "overwrite")
       val stagedRel = listStagedRel(stage)
       val touched = stagedRel.map(_.takeWhile(_ != '/')).toSet
-      val also = alsoReplace()
       // no-op fast path: nothing staged, nothing to drop, no schema to
       // switch (an empty streaming micro-batch, a backfill of a
       // genuinely empty window) must not litter the log with empty
-      // commits or churn markers
-      if (stagedRel.isEmpty && also.isEmpty && newSchema.isEmpty)
+      // commits or churn markers. alsoReplace() is re-evaluated inside
+      // the monitor below — the authoritative read; this probe only
+      // decides whether there is any work at all.
+      if (stagedRel.isEmpty && alsoReplace().isEmpty && newSchema.isEmpty)
         return (n, Set.empty)
       // read-modify-write under the instance monitor: a concurrent
       // in-process period append basing its commit on the same prior
       // version must not have its files dropped (cross-process writers
       // are serialized by the lease)
       synchronized {
-        val replaced = touched ++ also
+        val replaced = touched ++ alsoReplace()
         val prev = latestManifest().getOrElse(Nil)
         val origRel = prev.filter(f => replaced.contains(f.takeWhile(_ != '/')))
         writeMarker(intentFile,

@@ -209,6 +209,62 @@ class ReaderSnapshotSpec extends SparkSpecBase {
       "replay must chain the legacy checkpoint and the new delta")
   }
 
+  test("pruning keeps every replay chain a recent reader could still need") {
+    // the unit of protection is a STATE: a reader that listed the log
+    // just before a checkpoint fold is replaying the OLD checkpoint +
+    // its deltas — the fold commit must not delete them (that would be
+    // a regression of the single-file era's ManifestKeep window); only
+    // ManifestKeep further commits may.
+    val t = build("snap_prune_chain")
+    val mdir = new java.io.File(t.path, TargetTable.ManifestDirName)
+    def versions() = mdir.listFiles().map(_.getName)
+      .filter(n => !n.startsWith(".")).sorted.toSeq
+    val firstCkpt = versions().head
+    assert(firstCkpt.endsWith(".list"))
+    // drive appends up to and past the checkpoint fold
+    var i = 0
+    while (versions().count(_.endsWith(".list")) < 2 && i < 20) {
+      i += 1
+      t.append(Seq((day("2024-01-06"), s"p$i", i)).toDF("day", "k", "v"))
+    }
+    assert(versions().count(_.endsWith(".list")) >= 2, "fold never happened")
+    assert(versions().contains(firstCkpt),
+      "the fold must NOT delete the old checkpoint — a reader that " +
+        "listed just before it is replaying exactly that chain")
+    val expect = t.read().count()
+    // ManifestKeep more commits age the old chain out
+    (1 to TargetTable.ManifestKeep).foreach { j =>
+      t.append(Seq((day("2024-01-07"), s"q$j", j)).toDF("day", "k", "v"))
+    }
+    assert(!versions().contains(firstCkpt),
+      "aged-out chains must be pruned eventually")
+    assert(t.read().count() == expect + TargetTable.ManifestKeep)
+  }
+
+  test("vacuum never reaps a file the latest manifest lists as live") {
+    // defensive invariant: whatever a trash list claims (an interrupted
+    // repair, a hand-edited state), --vacuum-only --retention-ms 0 must
+    // not delete data out from under current readers
+    val t = build("snap_vacuum_guard")
+    val liveRel = t.latestManifest().get.head
+    val deadDir = new java.io.File(t.path, TargetTable.TrashDirName)
+    deadDir.mkdirs()
+    // expired-looking poisoned list: one LIVE file + one absent name
+    java.nio.file.Files.writeString(
+      new java.io.File(deadDir, "0_poison.list").toPath,
+      s"$liveRel\np_date=2024-01-01/part-already-gone.parquet\n")
+    val before = t.read().count()
+    t.vacuum(0L)
+    assert(new java.io.File(t.path, liveRel).exists(),
+      "a manifest-live file must survive vacuum regardless of parking")
+    assert(t.read().count() == before)
+    // the live entry stays parked for a later (legitimate) vacuum
+    val remaining = deadDir.listFiles().filter(_.getName.endsWith(".list"))
+      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).toArray())
+    assert(remaining.contains(liveRel),
+      "the guarded entry must remain parked, not be silently dropped")
+  }
+
   test("a schema-only change rides a header delta, not a full rewrite") {
     val t = build("snap_hdr")
     val filesBefore = t.latestManifest().get.sorted

@@ -278,6 +278,49 @@ class WriterLeaseSpec extends SparkSpecBase {
     assert(t3.read().collect().toSeq.map(_.toString).sorted == before)
   }
 
+  test("a commit whose lease was replaced mid-flight rolls back even at an equal epoch") {
+    // the one interleaving the epoch listing alone cannot see: a zombie
+    // whose version rename AND post-rename listing both land inside the
+    // takeover seal's read->rename window. The commit layer must also
+    // verify LEASE ownership post-rename — the lease file is replaced
+    // at claim time, strictly before the seal reads its basis — so the
+    // zombie rolls its version back and keeps its append marker for
+    // repair, instead of reporting success on a commit the seal is
+    // about to shadow.
+    val path = tmpDir("lease_commit_guard")
+    val zombie = new TargetTable(spark, path, "day")
+    IbtpRunner.run(spark, model, zombie, params)
+    val before = zombie.read().collect().toSeq.map(_.toString).sorted
+    val mdir = new java.io.File(path, TargetTable.ManifestDirName)
+    def versionCount() = mdir.listFiles().count(!_.getName.startsWith("."))
+    val zid = zombie.acquireWriterLease()
+    val nVersions = versionCount()
+    // simulate the claim landing mid-commit: foreign lease, NO seal yet
+    // (epoch listing alone would pass — that is the point)
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(
+      new org.apache.hadoop.fs.Path(path + TargetTable.LeaseSuffix), true)
+    try out.write(
+      s"holder=1@claimant\nlease_id=claim99\nepoch=999\nheartbeat=${
+        System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      zombie.append(model.query(spark, PeriodBounds(jan1, jan1.plusDays(1))))
+    }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    assert(versionCount() == nVersions,
+      "the rolled-back commit must not leave a version file behind")
+    assert(zombie.read().collect().toSeq.map(_.toString).sorted == before)
+    // the append marker survived, so the new holder's repair rolls the
+    // moved-in files back
+    val t2 = new TargetTable(spark, path, "day")
+    assert(t2.repairOrphanedAppends() == 1)
+    assert(t2.read().collect().toSeq.map(_.toString).sorted == before)
+    zombie.releaseWriterLease(zid)
+    hfs.delete(new org.apache.hadoop.fs.Path(path + TargetTable.LeaseSuffix), false)
+  }
+
   test("takeover races never double-acquire across a tight injected-settle loop") {
     // tight loop over the takeover race with a SHORT FIXED settle (no
     // randomized jitter, no wall-clock luck). The honest contract of a

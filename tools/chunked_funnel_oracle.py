@@ -277,13 +277,16 @@ def adjudicate_q66(out_dir, sf_dir, chunks):
         sql = json.load(f)["q66_containment_pairs"]
     ctes, final = split_ctes(sql)
     names = [n for n, _, _ in ctes]
-    assert "shared" in names, f"q66 replay shape changed: {names}"
+    assert "shared" in names and "dfs" in names and \
+        names.index("dfs") < names.index("shared"), \
+        f"q66 replay shape changed: {names}"
     cut = names.index("shared")
     for n, _, b in ctes[:cut]:
         stage_logged(con, n, b)
     # feasibility probe: the self-join materializes Sigma(df^2) rows
+    # (NULL when nothing survives the cap — an empty but valid replay)
     sdf2 = con.sql(
-        "SELECT SUM(df * df) FROM dfs WHERE df <= 64").fetchone()[0]
+        "SELECT COALESCE(SUM(df * df), 0) FROM dfs WHERE df <= 64").fetchone()[0]
     log(f"{'probe':10s} capped sum(df^2) = {sdf2:,}")
     shared_body = ctes[cut][2]
     anchor = "FROM ex a JOIN ex b ON a.g = b.g"

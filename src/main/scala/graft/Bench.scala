@@ -29,8 +29,8 @@ object Bench {
     def calibOnce(): Double = {
       import org.apache.spark.sql.functions.{col, shiftright, sum, xxhash64}
       val t0 = System.nanoTime()
-      // shift to 32 bits before summing: 64M full-range hashes would
-      // overflow the ANSI Long SUM
+      // shift to 32 bits before summing: 256M full-range 64-bit hashes
+      // would overflow the ANSI Long SUM; shifted, 2^28 x 2^32 = 2^60 < 2^63
       spark.range(0, 256L * 1000 * 1000, 1, 8)
         .select(sum(shiftright(xxhash64(col("id")), 32)))
         .write.format("noop").mode("overwrite").save()

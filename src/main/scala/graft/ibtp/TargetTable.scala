@@ -940,6 +940,13 @@ final class TargetTable(
     id
   }
 
+  /** Test hook: runs after the seal reads its manifest basis and before
+    * the seal commit renames — the window a lease-less commit can race
+    * ([[sealEpoch]]'s raced-fold covers it; the spec lands a commit here
+    * to drive that path deterministically).
+    */
+  private[ibtp] var onSealBasis: () => Unit = () => ()
+
   /** Seal a takeover: re-land the CURRENT manifest state as a
     * checkpoint under the just-acquired (strictly newer) epoch, before
     * this holder mutates anything. From this instant any commit the
@@ -950,12 +957,74 @@ final class TargetTable(
     * ([[commitVersion]]). Pre-manifest tables have nothing to seal
     * (their readers plan by directory listing, which no commit can
     * protect — the same documented exposure as their refresh path).
+    *
+    * RACED LEASE-LESS COMMITS: a held-lease zombie self-detects via the
+    * post-rename lease read (the lease file is replaced strictly before
+    * this seal reads its basis), but a LEASE-LESS writer whose delta
+    * renames AND post-rename-relists inside the basis-read→seal-rename
+    * window passes every check (epochAfter == its epoch, leaseOk vacuous),
+    * reports success and clears its append marker — while this seal's
+    * checkpoint would shadow it in epoch-major replay: files on disk, in
+    * no replayed manifest, with no marker left for repair. So after each
+    * seal rename we re-list; any lower-epoch version with seq beyond the
+    * folded basis raced it and its writer may have declared success — its
+    * content is folded in and the state re-sealed. Converges: once the
+    * seal is visible, a lease-less commit's own pre-rename listing sees
+    * the newer epoch and lands under it (not raced); only commits already
+    * in flight at the first seal can loop here. Folding a version whose
+    * writer in fact self-aborted (deleted its marker? no — kept it) is
+    * safe in the other direction too: the kept marker lets
+    * [[repairOrphanedAppends]] un-publish the files later, and replay's
+    * set semantics make a fold + the writer's own re-land idempotent.
     */
-  private def sealEpoch(): Unit =
-    latestManifestRaw().foreach { raw =>
-      commitManifest(raw.filterNot(_.startsWith("#")),
-        schemaOfManifestLines(raw).orElse(storedSchema))
+  private[ibtp] def sealEpoch(): Unit = {
+    val myEpoch = heldEpoch.getOrElse(Long.MaxValue)
+    val basis0 = manifestVersions()
+    if (basis0.isEmpty) return
+    var covered = basis0.map(_.seq).max
+    val raw = latestManifestRaw().get
+    val schema = schemaOfManifestLines(raw).orElse(storedSchema)
+    val state = scala.collection.mutable.LinkedHashMap.from(
+      raw.filterNot(_.startsWith("#")).map(l => pathOf(l) -> l))
+    onSealBasis()
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      commitManifest(state.values.toSeq, schema)
+      val raced = manifestVersions()
+        .filter(v => v.epoch < myEpoch && v.seq > covered).sortBy(_.key)
+      if (raced.isEmpty) return
+      if (attempts >= 8)
+        throw new IllegalStateException(
+          s"target $path: epoch seal keeps racing lease-less commits " +
+            s"after $attempts attempts — stop the undisciplined writer")
+      raced.foreach { v =>
+        // the version may self-delete concurrently (its writer's own
+        // post-rename check caught the new epoch): then its writer
+        // re-lands under the new epoch itself — nothing to fold
+        val lines = scala.util.Try(readLines(v.p)).toOption.getOrElse(Nil)
+        // a raced CHECKPOINT holds the full live set as its writer
+        // computed it (same-epoch seq order implies it subsumes every
+        // earlier raced delta) — it replaces the state, carrying its
+        // removes; a delta merges
+        if (!v.isDelta && lines.nonEmpty) state.clear()
+        lines.foreach { l =>
+          if (l.startsWith("#")) ()
+          else if (v.isDelta && l.startsWith("+")) {
+            val b = l.substring(1); state += pathOf(b) -> b
+          }
+          else if (v.isDelta && l.startsWith("-")) state -= l.substring(1)
+          else state += pathOf(l) -> l
+        }
+        covered = math.max(covered, v.seq)
+      }
     }
+  }
+
+  /** Path part of a manifest body line (the line may carry a
+    * tab-separated per-file stats blob — see the data-skipping section).
+    */
+  private def pathOf(line: String): String = line.takeWhile(_ != '\t')
 
   /** When THIS holder last successfully wrote its heartbeat, and the
     * staleness window it acquired under — used to detect that we were
@@ -1582,9 +1651,19 @@ final class TargetTable(
                 s"vacuum on $path: ${liveNow.size} parked file(s) are LIVE in " +
                   "the latest manifest (interrupted repair?) — keeping them " +
                   "parked, reaping the rest")
-              val out = fs.create(st.getPath, true)
-              try out.write(liveNow.mkString("", "\n", "\n").getBytes("UTF-8"))
-              finally out.close()
+              // temp+rename, never an in-place truncate: a crash mid-
+              // rewrite must not tear the list (names lost from it stop
+              // being excluded by trashedFiles() and a later relist would
+              // absorb the leaked on-disk files as live rows). The fresh
+              // list keeps the ORIGINAL park time — its entries already
+              // served their retention and stay reap-eligible the moment
+              // the un-publish completes; duplicates across lists are
+              // harmless (vacuum tolerates absent files).
+              writeMarker(
+                new Path(trashDir,
+                  s"${parked.get}_${java.util.UUID.randomUUID().toString.take(8)}.list"),
+                liveNow.mkString("", "\n", "\n"))
+              fs.delete(st.getPath, false)
             }
           }
         }

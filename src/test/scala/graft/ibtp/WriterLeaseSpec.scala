@@ -278,6 +278,57 @@ class WriterLeaseSpec extends SparkSpecBase {
     assert(t3.read().collect().toSeq.map(_.toString).sorted == before)
   }
 
+  test("a lease-less commit racing the takeover seal is folded into the re-seal") {
+    // The held-lease zombie self-detects post-rename via the lease read;
+    // a LEASE-LESS writer has no such counterpart: its delta can rename
+    // AND post-rename-relist entirely inside the seal's basis-read ->
+    // rename window, so it passes every check (epochAfter == its epoch,
+    // leaseOk vacuous), reports success and deletes its append marker —
+    // and the seal's checkpoint would shadow it in epoch-major replay
+    // (files on disk, in no manifest, no marker for repair: a later
+    // relist absorbs them as duplicate live rows). The seal must detect
+    // the raced version after its own rename and fold it in. The
+    // onSealBasis hook lands the lease-less append exactly inside that
+    // window — deterministically, where wall-clock jitter never could.
+    val path = tmpDir("lease_seal_raced")
+    val t0 = new TargetTable(spark, path, "day")
+    IbtpRunner.run(spark, model, t0, params) // manifest table exists
+    val before = t0.read().collect().toSeq.map(_.toString).sorted
+    val racedRow = model.query(spark, PeriodBounds(jan1, jan1.plusDays(1)))
+      .collect().toSeq.map(_.toString)
+    // plant a stale foreign lease so the next acquire is a TAKEOVER
+    java.nio.file.Files.writeString(leaseFile(path).toPath,
+      s"holder=0@dead\nlease_id=deadbeef\nheartbeat=${
+        System.currentTimeMillis() - TargetTable.LeaseStaleMs - 60000}\n")
+    val t2 = new TargetTable(spark, path, "day")
+    @volatile var racedDone = false
+    t2.onSealBasis = () => {
+      // the raced lease-less append: runs synchronously inside the
+      // basis-read -> seal-rename window, start to finish — its own
+      // post-rename listing happens BEFORE the seal lands, so it
+      // legitimately reports success and clears its marker
+      val t3 = new TargetTable(spark, path, "day")
+      t3.append(model.query(spark, PeriodBounds(jan1, jan1.plusDays(1))))
+      racedDone = true
+    }
+    val id2 = t2.acquireWriterLease()
+    try {
+      assert(racedDone, "the raced append must have completed inside the seal window")
+      // no append marker survived — the raced writer declared success,
+      // so ONLY the seal's fold can keep its rows visible
+      val markers = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith(TargetTable.AppendIntentPrefix))
+      assert(markers.isEmpty, s"raced append left markers: ${markers.mkString(",")}")
+      val after = t2.read().collect().toSeq.map(_.toString).sorted
+      assert(after == (before ++ racedRow).sorted,
+        "the raced lease-less append's rows must survive the seal (folded in)")
+    } finally t2.releaseWriterLease(id2)
+    // and the folded state is durable: a fresh reader sees it too
+    val t4 = new TargetTable(spark, path, "day")
+    assert(t4.read().collect().toSeq.map(_.toString).sorted ==
+      (before ++ racedRow).sorted)
+  }
+
   test("a commit whose lease was replaced mid-flight rolls back even at an equal epoch") {
     // the one interleaving the epoch listing alone cannot see: a zombie
     // whose version rename AND post-rename listing both land inside the

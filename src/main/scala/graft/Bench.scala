@@ -36,7 +36,36 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibSec = { calibOnce(); Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1) }
+    // I/O-shaped probe: write + read a fixed ~50 MB parquet through the
+    // page cache. The round-11 anomaly showed the pure-CPU probe alone
+    // can point the WRONG way (CPU 1.56x faster while the suite ran
+    // 1.17x slower): a host can be CPU-fast and I/O-slow, and most of
+    // the suite is scan-bound. Two probe axes make that distinguishable.
+    def ioCalibOnce(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val dir = java.nio.file.Files.createTempDirectory("graft_iocalib").toString
+      val t0 = System.nanoTime()
+      spark.range(0, 4L * 1000 * 1000, 1, 8)
+        .select(col("id"), xxhash64(col("id")).as("h"),
+          col("id").cast("string").as("s"))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .select(sum(col("h"))).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+      }
+      try rmr(new java.io.File(dir)) catch { case _: Throwable => () }
+      sec
+    }
+    def calib3(f: () => Double): Double = Seq(f(), f(), f()).sorted.apply(1)
+    // BRACKET the suite: one calibration at start, one at end (round-11's
+    // single start-of-run sample could not see load arriving mid-suite).
+    // The MIN of the two is the host's demonstrated capability; a large
+    // pre/post spread flags a drifting host (see BASELINE.md for the
+    // interpretation rule).
+    val calibPre   = { calibOnce(); calib3(calibOnce) }
+    val ioCalibPre = calib3(ioCalibOnce)
     // Per-query BEST-OF-2 inside the one invocation: a single-query
     // warm-up warms the JVM but not a cold page cache, and the round-3
     // driver run (cold VM) showed the allocation-heavy text pipelines
@@ -77,7 +106,17 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
     val errField = if (nErr > 0) s""","errors":$nErr""" else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"queries":$qs,"sf":"$sfDir"$errField}"""
+    val calibPost   = calib3(calibOnce)
+    val ioCalibPost = calib3(ioCalibOnce)
+    // calib_sec keeps its r11 meaning (one CPU number to normalize by)
+    // as the MIN of the bracket — the host's demonstrated capability
+    val calibSec   = math.min(calibPre, calibPost)
+    val ioCalibSec = math.min(ioCalibPre, ioCalibPost)
+    val calibFields =
+      f""""calib_sec":$calibSec%.4f,"calib_sec_pre":$calibPre%.4f,""" +
+        f""""calib_sec_post":$calibPost%.4f,"io_calib_sec":$ioCalibSec%.4f,""" +
+        f""""io_calib_sec_pre":$ioCalibPre%.4f,"io_calib_sec_post":$ioCalibPost%.4f"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$calibFields,"queries":$qs,"sf":"$sfDir"$errField}"""
     // sidecar copy for machine consumption (sbt decorates stdout with
     // an [info] prefix that a strict JSON parse of the output trips on)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)
@@ -91,6 +130,6 @@ object Bench {
     // verdict-relevant numbers also go on a SHORT final line that no tail
     // capture can truncate; the per-query detail lives in BENCH_LAST.json
     // and in the full line above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_sec":$total,"calib_sec":$calibSec,"n_queries":${results.size},"errors":$nErr,"queries_file":"BENCH_LAST.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_sec":$total,$calibFields,"n_queries":${results.size},"errors":$nErr,"queries_file":"BENCH_LAST.json"}""")
   }
 }

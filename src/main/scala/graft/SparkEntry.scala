@@ -129,6 +129,7 @@ object SparkEntry {
     "q84_period_autosize" -> (IbtpQueries.loopAutoSized _),
     "q85_rewrite_widen" -> (IbtpQueries.loopRewriteWiden _),
     "q86_compact_cluster" -> (IbtpQueries.compactCluster _),
+    "q87_skip_read" -> (IbtpQueries.skipRead _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -216,5 +217,6 @@ object SparkEntry {
     "q84_period_autosize" -> IbtpQueries.loopOracleSql,
     "q85_rewrite_widen" -> IbtpQueries.loopRewriteWidenSql,
     "q86_compact_cluster" -> IbtpQueries.compactClusterSql,
+    "q87_skip_read" -> IbtpQueries.skipReadSql,
   )
 }

@@ -185,16 +185,25 @@ object CentroidMatrix {
     new CentroidMatrix(sorted.map(_._1), flat, dim, norms)
   }
 
+  /** Fail-loudly cap on [[fromDataFrame]]'s driver collect. The
+    * coarse-quantizer contract is k·dim doubles (kilobytes to a few
+    * MB); a caller that points this at a data-plane table should get a
+    * diagnosis, not a driver OOM. 65536 centroids × 1024 dims ≈ 0.5 GB
+    * — already far past any sane IVF list count for one executor tier.
+    */
+  @volatile var maxCentroidRows: Int = 65536
+
   /** Collect a (centroid_id, vecCol) DataFrame — float or double
     * elements — into a matrix. A driver action at plan-build time,
-    * bounded by the coarse-quantizer contract (k·dim doubles).
+    * bounded by the coarse-quantizer contract (k·dim doubles) and
+    * guarded by [[maxCentroidRows]]: the collect itself is limited, so
+    * the failure mode is an exception, never a driver OOM.
     */
   def fromDataFrame(
       centroids: org.apache.spark.sql.DataFrame, vecCol: String): CentroidMatrix =
-    apply(centroids
+    apply(boundedRows(centroids
       .select(org.apache.spark.sql.functions.col("centroid_id").cast("long"),
-        org.apache.spark.sql.functions.col(vecCol))
-      .collect()
+        org.apache.spark.sql.functions.col(vecCol)))
       .map { r =>
         val arr = r.getSeq[Any](1).map {
           case f: java.lang.Float  => f.toDouble
@@ -204,6 +213,22 @@ object CentroidMatrix {
         }.toArray
         (r.getLong(0), arr)
       }.toIndexedSeq)
+
+  /** The guarded collect: LIMIT cap+1 runs on the executors, so a
+    * data-plane-sized input costs one row over the cap, not a driver
+    * heap.
+    */
+  private def boundedRows(
+      df: org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxCentroidRows + 1).collect()
+    if (rows.length > maxCentroidRows)
+      throw new IllegalStateException(
+        s"CentroidMatrix.fromDataFrame: centroid collect exceeded its " +
+          s"$maxCentroidRows-row control-plane cap — this input is " +
+          "data-plane-sized; pass the coarse-quantizer centroids, not the corpus " +
+          "(raise CentroidMatrix.maxCentroidRows only if you truly mean it)")
+    rows
+  }
 }
 
 private object VectorExprTypes {

@@ -14,7 +14,11 @@ package graft.ibtp
   * pre-delta design rewrote the full listing on EVERY commit — its
   * median tracked N.
   *
-  * Prints one JSON line per N: median/mean/max commit ms and replay ms.
+  * Prints one JSON line per N: median/mean/max commit ms, replay ms,
+  * and the READ-PLANNING row — how long a cluster-key point query takes
+  * to prune N statted entries driver-side, and how many files survive
+  * (the data-skipping payoff: pruned planning is manifest-only; without
+  * it the scan opens all N footers).
   */
 object ManifestBench {
   def main(args: Array[String]): Unit = {
@@ -26,10 +30,18 @@ object ManifestBench {
       val t = new TargetTable(spark, dir, "ts")
       val mdir = new java.io.File(dir, TargetTable.ManifestDirName)
       mdir.mkdirs()
-      val lines = (1 to n).map(i => f"p_date=2024-01-01/part-$i%08d.parquet")
+      // synthetic clustered layout: each file records a DISJOINT 1k-wide
+      // user_id range, the shape compact(clusterBy) maintains
+      def b64(s: String) =
+        java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+      val lines = (1 to n).map { i =>
+        f"p_date=2024-01-01/part-$i%08d.parquet" +
+          s"\tcol=${b64("user_id")},t=long,min=${i * 1000L}," +
+          s"max=${i * 1000L + 999L},rows=1000"
+      }
       java.nio.file.Files.writeString(
         new java.io.File(mdir, "v0000000001_0000000001.list").toPath,
-        lines.mkString("", "\n", "\n"))
+        "#statscol=user_id\n" + lines.mkString("", "\n", "\n"))
       val perCommitMs = (1 to commitsPerSize).map { i =>
         val t0 = System.nanoTime()
         t.commitManifestAppended(Seq(f"p_date=2024-01-02/part-new-$i%04d.parquet"))
@@ -39,12 +51,21 @@ object ManifestBench {
       val t1 = System.nanoTime()
       val live = t.latestManifest().get.size
       val replayMs = (System.nanoTime() - t1) / 1e6
+      // read planning: a point query against the clustered key — prune
+      // cost (one replay + driver-side stat compare) and the file count
+      // the scan would open, vs the N it would open with no stats
+      val point = (n / 2) * 1000L + 500L
+      val t2 = System.nanoTime()
+      val (kept, total) = t.planFilesForRange("user_id", point, point)
+      val pruneMs = (System.nanoTime() - t2) / 1e6
       println(
         s"""{"live_files":$n,"commits":$commitsPerSize,""" +
           f""""commit_ms_median":${sorted(sorted.size / 2)}%.3f,""" +
           f""""commit_ms_mean":${perCommitMs.sum / perCommitMs.size}%.3f,""" +
           f""""commit_ms_max":${sorted.last}%.3f,""" +
-          f""""replay_ms":$replayMs%.3f,"replayed_live":$live}""")
+          f""""replay_ms":$replayMs%.3f,"replayed_live":$live,""" +
+          f""""prune_ms":$pruneMs%.3f,"planned_files":${kept.size},""" +
+          s""""planned_total":$total}""")
     }
     spark.stop()
   }

@@ -173,13 +173,21 @@ final class TargetTable(
     * would. Pre-manifest tables fall back to directory listing until
     * their first mutation commits a manifest.
     */
-  private def readRaw(): DataFrame = {
+  private def readRaw(): DataFrame = readRawPruned(_ => true)
+
+  /** [[readRaw]] with a driver-side file-pruning predicate over each
+    * raw live body line — the data-skipping hook [[readWhere]] plans
+    * through ([[compilePruner]]). The predicate must be CONSERVATIVE
+    * (keep on unknown): entries without stats always pass.
+    */
+  private def readRawPruned(keep: String => Boolean): DataFrame = {
     // ONE manifest read for both the file set and the schema: the
     // header travels with the version, so a reader planning mid-refresh
     // gets the old files WITH the old schema or the new with the new,
     // never a mix (headerless pre-header manifests → sidecar schema)
     val raw = latestManifestRaw()
-    val manifestFiles = raw.map(_.filterNot(_.startsWith("#")))
+    val manifestFiles = raw.map(_.filterNot(_.startsWith("#"))
+      .filter(keep).map(pathOf))
     val schema = raw.flatMap(schemaOfManifestLines).orElse(storedSchema)
     val reader = schema
       .fold(spark.read)(s => spark.read.schema(s))
@@ -432,8 +440,13 @@ final class TargetTable(
       if (!fs.exists(dst)) fs.mkdirs(dst)
       val stagedRel = listStagedRel(stage)
       if (stagedRel.nonEmpty) {
+        // skip stats ride the commit when the table declares a stats
+        // column — footers read in the stage dir, before the moves
+        // (markers and repair always use the PLAIN paths)
+        val stagedLines = enrichWithStats(stagedRel, stage, latestStatsCol())
         val marker = new Path(path, AppendIntentPrefix + id)
         writeMarker(marker, s"files=${stagedRel.mkString(",")}\n")
+        crashPoint("append:marker")
         // per-FILE moves only, never a whole-directory rename: two
         // concurrent appends can legally share ONE partition (NULL-ts
         // rows both land in __HIVE_DEFAULT_PARTITION__, outside the
@@ -450,11 +463,14 @@ final class TargetTable(
               s"could not move staged append file $rel into $path: " +
                 "aborting before the manifest commit " +
                 "(repairOrphanedAppends rolls the partial move back)")
+          crashPoint("append:move")
         }
         failAppendPoint(1) // files moved in; manifest still pre-append
-        commitManifestAppended(stagedRel)
+        commitManifestAppended(stagedLines)
         failAppendPoint(2) // committed; marker not yet cleared
+        crashPoint("append:commit")
         fs.delete(marker, false)
+        crashPoint("append:cleared")
       }
       n
     } finally if (fs.exists(stage)) fs.delete(stage, true)
@@ -542,6 +558,7 @@ final class TargetTable(
                 writeMarker(tornSidecar, s"torn=${t.mkString(",")}\n")
               t
           }
+          crashPoint("repairA:sidecar")
           // un-publish FIRST, park after: a file must never be
           // simultaneously trash-parked AND live in the latest manifest
           // — a standalone vacuum(0) between the two would physically
@@ -557,14 +574,19 @@ final class TargetTable(
           val stillListed = torn.filter(manifest.toSet.contains)
           if (stillListed.nonEmpty)
             commitManifestDelta(add = Nil, remove = stillListed)
+          crashPoint("repairA:unpublish")
           writeTrash(torn.filter(rel => fs.exists(new Path(path, rel))))
+          crashPoint("repairA:park")
           files.filterNot(torn.toSet).foreach { rel =>
             val p = new Path(path, rel)
             if (fs.exists(p)) fs.delete(p, false)
+            crashPoint("repairA:delete")
           }
       }
       fs.delete(m, false)
+      crashPoint("repairA:marker")
       if (fs.exists(tornSidecar)) fs.delete(tornSidecar, false)
+      crashPoint("repairA:sidecar-clear")
     }
     rolledBack
   }
@@ -633,15 +655,18 @@ final class TargetTable(
         TargetTable.log.warn(s"repairing orphaned replace on $path: " +
           s"rolling FORWARD (parking ${orig.size} replaced originals)")
         writeTrash(orig.filter(rel => fs.exists(new Path(path, rel))))
+        crashPoint("repairR:park")
       } else {
         TargetTable.log.warn(s"repairing orphaned replace on $path: " +
           s"rolling BACK (removing ${staged.size} staged files)")
         staged.foreach { rel =>
           val p = new Path(path, rel)
           if (fs.exists(p)) fs.delete(p, false)
+          crashPoint("repairR:delete")
         }
       }
       clearIntent()
+      crashPoint("repairR:cleared")
       if (fs.exists(writtenSidecarFile)) fs.delete(writtenSidecarFile, false)
       // a SCHEMA-CHANGING replace (snapshot full refresh / widening
       // rewrite) records its intended schema in the marker and syncs
@@ -653,9 +678,22 @@ final class TargetTable(
       if (committed)
         kv.get("schema").foreach(j =>
           writeSidecarFileOnly(DataType.fromJson(j).asInstanceOf[StructType]))
+      crashPoint("repairR:sidecar")
       if (committed) "forward" else "back"
     }
   }
+
+  /** Exhaustive crash-point injection: called at EVERY
+    * marker/move/commit/park/clear boundary of the mutation state
+    * machines (append, snapshot replace, compaction) and their crash
+    * repairs, tagged with a stable name. Production is a no-op; the
+    * crash-sweep spec installs a counter that throws at the Nth
+    * invocation and enumerates N until the operation completes — so
+    * every boundary, including the data-dependent per-file ones, is a
+    * tested crash point rather than a hand-picked one.
+    */
+  private[ibtp] var crashHook: String => Unit = _ => ()
+  private def crashPoint(name: String): Unit = crashHook(name)
 
   /** Test hook: throw after replace phase `n` (1 = staged files moved
     * in, manifest not yet committed; 2 = manifest committed, originals
@@ -767,8 +805,17 @@ final class TargetTable(
     if (heldLeaseId.isDefined) body
     else {
       val id = acquireWriterLease(staleAfterMillis)
-      try body
-      finally releaseWriterLease(id)
+      try {
+        // opportunistic pre-manifest upgrade: the first WRITE-LOCKED
+        // open of a table that predates the manifest era commits one
+        // (repair-first relist — idempotent, and we already hold the
+        // lease, so it cannot absorb a live sibling's staged files).
+        // From this instant its readers plan off commits instead of
+        // directory listings, closing the documented dir-listing
+        // blackout windows without requiring `--upgrade-manifest`.
+        if (manifestVersions().isEmpty && exists) relistManifest()
+        body
+      } finally releaseWriterLease(id)
     }
 
   private def leaseContent(id: String, epoch: Long): String = {
@@ -1279,26 +1326,31 @@ final class TargetTable(
     if (vs.isEmpty) None
     else {
       val ckptIdx = vs.lastIndexWhere(!_.isDelta)
-      val files = scala.collection.mutable.LinkedHashSet.empty[String]
+      // keyed by the PATH part: a body line may carry a tab-separated
+      // per-file stats blob, and a delta's `-path` removal must match
+      // the enriched line it shadows
+      val files = scala.collection.mutable.LinkedHashMap.empty[String, String]
       // the effective header is the NEWEST version's, captured while
       // that file is read anyway (no second open — one GET per file)
       var header: Seq[String] = Nil
       if (ckptIdx >= 0) {
         val lines = readLines(vs(ckptIdx).p)
         if (ckptIdx == vs.size - 1) header = lines.takeWhile(_.startsWith("#"))
-        lines.foreach(l => if (!l.startsWith("#")) files += l)
+        lines.foreach(l => if (!l.startsWith("#")) files += pathOf(l) -> l)
       }
       vs.drop(ckptIdx + 1).foreach { v =>
         val lines = readLines(v.p)
         if (v eq vs.last) header = lines.takeWhile(_.startsWith("#"))
         lines.foreach { l =>
           if (l.startsWith("#")) ()
-          else if (l.startsWith("+")) files += l.substring(1)
+          else if (l.startsWith("+")) {
+            val b = l.substring(1); files += pathOf(b) -> b
+          }
           else if (l.startsWith("-")) files -= l.substring(1)
-          else files += l
+          else files += pathOf(l) -> l
         }
       }
-      Some(header.filterNot(_ == DeltaMarker) ++ files.toSeq)
+      Some(header.filterNot(_ == DeltaMarker) ++ files.values.toSeq)
     }
   }
 
@@ -1306,16 +1358,34 @@ final class TargetTable(
     * schema carry for delta commits (no replay): every commit embeds
     * the then-current schema, so the newest header is authoritative.
     */
-  private def latestCommittedSchema(): Option[StructType] =
+  /** Header lines of the NEWEST committed version alone — one cheap
+    * read; every commit re-embeds the full header, so the newest one is
+    * authoritative for both the schema and the stats column.
+    */
+  private def latestHeaderLines(): Seq[String] =
     manifestVersions().maxByOption(_.key)
-      .flatMap(v => schemaOfManifestLines(readHeaderLines(v.p)))
+      .map(v => readHeaderLines(v.p)).getOrElse(Nil)
+
+  private def latestCommittedSchema(): Option[StructType] =
+    schemaOfManifestLines(latestHeaderLines())
 
   /** Relative live-file paths of the latest committed manifest, if this
     * target has one (tables written before the manifest era read via
-    * directory listing until their next mutation commits one).
+    * directory listing until their next mutation commits one). Paths
+    * only — the stats blob a body line may carry is stripped.
     */
   private[ibtp] def latestManifest(): Option[Seq[String]] =
-    latestManifestRaw().map(_.filterNot(_.startsWith("#")))
+    latestManifestRaw().map(_.filterNot(_.startsWith("#")).map(pathOf))
+
+  /** Full body LINES of the latest committed manifest (path plus any
+    * per-file stats blob) — what stats-preserving rewrites must carry.
+    */
+  private def latestManifestBody(): Seq[String] =
+    latestManifestRaw().map(_.filterNot(_.startsWith("#"))).getOrElse(Nil)
+
+  /** Live files with their parsed data-skipping stats, if any. */
+  private[ibtp] def latestManifestEntries(): Seq[(String, Option[FileSkipStat])] =
+    latestManifestBody().map(l => pathOf(l) -> statOf(l))
 
   private def schemaOfManifestLines(lines: Seq[String]): Option[StructType] =
     lines.find(_.startsWith("#schema="))
@@ -1327,6 +1397,268 @@ final class TargetTable(
     */
   private[ibtp] def latestManifestSchema(): Option[StructType] =
     latestManifestRaw().flatMap(schemaOfManifestLines)
+
+  // ---- per-file data-skipping stats -------------------------------------
+  // The delta log closed the WRITE-side scale ceiling; without file-level
+  // stats the READ side still plans every live file, so a cluster-key
+  // point query on a compacted table opens a million footers to prune a
+  // million row groups. Manifest body lines therefore carry an OPTIONAL
+  // tab-separated stats blob — min/max of one declared column plus the
+  // row count, read from the parquet FOOTERS of just-staged files at
+  // write time (O(staged) small reads) — and [[readWhere]] prunes the
+  // planned file list driver-side from the manifest alone, Delta-style:
+  // zero footer opens for skipped files. The stats column is declared in
+  // the header (`#statscol=`, set by `compact(clusterBy)` and carried
+  // forward by every commit); entries without stats are always planned
+  // (conservative), so relists/upgrades degrade to scan-all, never to
+  // wrong answers. Content correctness never depends on the stats: the
+  // pruning predicate is also applied as a residual filter.
+
+  private def statsColOfLines(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith("#statscol="))
+      .map(_.stripPrefix("#statscol=")).filter(_.nonEmpty)
+
+  /** The declared data-skipping column, from the newest header. */
+  private[ibtp] def latestStatsCol(): Option[String] =
+    statsColOfLines(latestHeaderLines())
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** String bounds ride Base64 (no column name or value can collide
+    * with the line format — tabs, commas, newlines); numeric bounds
+    * ride plain, so the hot pruning path parses them with zero decode.
+    */
+  private def encVal(v: String, typ: String): String =
+    if (typ == "string") b64(v) else v
+  private def decVal(v: String, typ: String): String =
+    if (typ == "string") unb64(v) else v
+
+  /** Serialize a stat as the tab-suffix of a manifest body line, fixed
+    * field order (the fast pruner parses positionally).
+    */
+  private def encodeStat(s: FileSkipStat): String =
+    s"col=${b64(s.col)},t=${s.typ},min=${encVal(s.min, s.typ)}," +
+      s"max=${encVal(s.max, s.typ)},rows=${s.rows}"
+
+  /** Parse a body line's stats blob; anything malformed degrades to
+    * None (planned, never pruned) rather than failing a read.
+    */
+  private def statOf(line: String): Option[FileSkipStat] = {
+    val i = line.indexOf('\t')
+    if (i < 0) None
+    else scala.util.Try {
+      val kv = line.substring(i + 1).split(",").flatMap { p =>
+        p.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _           => None
+        }
+      }.toMap
+      for {
+        c  <- kv.get("col"); t <- kv.get("t")
+        mn <- kv.get("min"); mx <- kv.get("max")
+        r  <- kv.get("rows").flatMap(_.toLongOption)
+      } yield FileSkipStat(unb64(c), t, decVal(mn, t), decVal(mx, t), r)
+    }.toOption.flatten
+  }
+
+  /** Compile a pruning predicate over RAW body lines for one query —
+    * the column match compares the ENCODED name (no per-entry decode),
+    * bounds canonicalize once, and the per-entry work is two indexOf
+    * walks plus a numeric parse. This is the driver-side cost a 1M-file
+    * plan pays per entry, so it must stay allocation-light.
+    * Conservative: any malformed/foreign blob keeps the file.
+    */
+  private def compilePruner(
+      column: String, lo: Any, hi: Any): String => Boolean = {
+    val prefix = "col=" + b64(column) + ",t="
+    // canonical bounds per possible stat type, computed once
+    val loL = canonBound(lo, "long");   val hiL = canonBound(hi, "long")
+    val loD = canonBound(lo, "double"); val hiD = canonBound(hi, "double")
+    val loS = canonBound(lo, "string"); val hiS = canonBound(hi, "string")
+    (line: String) => {
+      val tab = line.indexOf('\t')
+      if (tab < 0) true
+      else {
+        val blob = line.substring(tab + 1)
+        if (!blob.startsWith(prefix)) true
+        else scala.util.Try {
+          val tEnd  = blob.indexOf(",min=", prefix.length)
+          val typ   = blob.substring(prefix.length, tEnd)
+          val mEnd  = blob.indexOf(",max=", tEnd + 5)
+          val minS  = blob.substring(tEnd + 5, mEnd)
+          val rEnd  = blob.indexOf(",rows=", mEnd + 5)
+          val maxS  = blob.substring(mEnd + 5, rEnd)
+          typ match {
+            case "long" => (loL, hiL) match {
+              case (Some(l), Some(h)) =>
+                maxS.toLong >= l.asInstanceOf[Long] &&
+                  minS.toLong <= h.asInstanceOf[Long]
+              case _ => true
+            }
+            case "double" => (loD, hiD) match {
+              case (Some(l), Some(h)) =>
+                maxS.toDouble >= l.asInstanceOf[Double] &&
+                  minS.toDouble <= h.asInstanceOf[Double]
+              case _ => true
+            }
+            case "string" => (loS, hiS) match {
+              case (Some(l), Some(h)) =>
+                unb64(maxS).compareTo(l.asInstanceOf[String]) >= 0 &&
+                  unb64(minS).compareTo(h.asInstanceOf[String]) <= 0
+              case _ => true
+            }
+            case _ => true
+          }
+        }.getOrElse(true)
+      }
+    }
+  }
+
+  /** Canonicalize a caller-supplied bound into a stat's value space:
+    * `long` covers integrals, DATE (epoch days) and TIMESTAMP (epoch
+    * micros); `double` the floating types; `string` UTF-8 strings.
+    * None = incomparable (wrong-typed bound) — the caller must then
+    * keep the file (prune only on proof).
+    */
+  private def canonBound(v: Any, typ: String): Option[Any] = (typ, v) match {
+    case ("long", d: java.sql.Date)        => Some(d.toLocalDate.toEpochDay)
+    case ("long", d: java.time.LocalDate)  => Some(d.toEpochDay)
+    case ("long", t: java.sql.Timestamp)   =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+    case ("long", t: java.time.Instant)    =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case ("long", n: Number)               => Some(n.longValue())
+    case ("double", n: Number)             => Some(n.doubleValue())
+    case ("string", s: String)             => Some(s)
+    case _                                 => None
+  }
+
+  /** Read min/max/rowcount of `column` from the parquet FOOTERS of
+    * just-staged files — write-side cost O(staged files), which is what
+    * lets [[readWhere]] prune at plan time with zero footer opens. A
+    * file whose footer lacks usable stats for the column (unsupported
+    * physical type, NaN-polluted double range, stats dropped as
+    * oversized) yields no entry and is simply never pruned.
+    */
+  private def footerStats(
+      files: Seq[(String, Path)], column: String): Map[String, FileSkipStat] = {
+    import scala.jdk.CollectionConverters._
+    import scala.language.existentials // parquet's Statistics[T <: Comparable[T]]
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.flatMap { case (rel, p) =>
+      scala.util.Try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          // per-block (typ, min, max) in canonical space; ANY block
+          // without usable stats disqualifies the whole file
+          val per: Seq[Option[(String, Any, Any)]] = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == column)
+              .flatMap { c =>
+                val st = c.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                else {
+                  val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+                  def lmin = st.genericGetMin.asInstanceOf[Number].longValue()
+                  def lmax = st.genericGetMax.asInstanceOf[Number].longValue()
+                  c.getPrimitiveType.getPrimitiveTypeName match {
+                    case INT32 => Some(("long", lmin, lmax))
+                    case INT64 =>
+                      val scale = ann match {
+                        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                          ts.getUnit match {
+                            case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                            case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                            // NANOS would need a lossy divide whose
+                            // rounding direction differs for min vs max
+                            // — not worth it for a type Spark never writes
+                            case _ => 0L
+                          }
+                        case _ => 1L
+                      }
+                      if (scale == 0L) None
+                      else Some(("long", lmin * scale, lmax * scale))
+                    case FLOAT | DOUBLE =>
+                      val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                      val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                      if (mn.isNaN || mx.isNaN) None else Some(("double", mn, mx))
+                    case BINARY
+                        if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                      Some(("string",
+                        st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8,
+                        st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8))
+                    case _ => None
+                  }
+                }
+              }
+          }
+          if (per.isEmpty || per.exists(_.isEmpty)) None
+          else {
+            val ss = per.flatten
+            val typ = ss.head._1
+            def less(a: Any, b: Any): Boolean = typ match {
+              case "long"   => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+              case "double" => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+              case _        => a.asInstanceOf[String] < b.asInstanceOf[String]
+            }
+            val mn = ss.map(_._2).reduce((a, b) => if (less(a, b)) a else b)
+            val mx = ss.map(_._3).reduce((a, b) => if (less(a, b)) b else a)
+            Some(rel -> FileSkipStat(column, typ, mn.toString, mx.toString, rows))
+          }
+        } finally r.close()
+      }.toOption.flatten
+    }.toMap
+  }
+
+  /** Attach per-file skip stats to staged relative paths (footer reads
+    * against `base` — the stage dir, BEFORE the files move). No declared
+    * stats column → lines pass through unchanged.
+    */
+  private def enrichWithStats(
+      stagedRel: Seq[String], base: Path,
+      column: Option[String]): Seq[String] =
+    column match {
+      case None => stagedRel
+      case Some(c) =>
+        val stats = footerStats(stagedRel.map(r => r -> new Path(base, r)), c)
+        stagedRel.map(r => stats.get(r).fold(r)(s => r + "\t" + encodeStat(s)))
+    }
+
+  /** Range read with DRIVER-SIDE file skipping: plans only the live
+    * files whose recorded [min, max] for `column` intersects [lo, hi]
+    * (inclusive), plus every file without stats — then applies the
+    * exact predicate as a residual filter, so the answer never depends
+    * on the stats. On a `compact(clusterBy = column)`-maintained table
+    * this is the read that touches O(matching) files instead of opening
+    * every live footer — the manifest analogue of the reference's
+    * period-predicate pruning (`insert_by_timeperiod_helpers.sql:94-104`)
+    * applied to a non-partition column.
+    */
+  def readWhere(column: String, lo: Any, hi: Any): DataFrame =
+    readRawPruned(compilePruner(column, lo, hi))
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+      .drop(PartitionCol)
+
+  /** Plan-time pruning probe: (files kept for [lo, hi], total live
+    * files) — the EXPLAIN-style companion to [[readWhere]]: what a
+    * spec, bench, or operator asserts on without running a scan.
+    */
+  def planFilesForRange(
+      column: String, lo: Any, hi: Any): (Seq[String], Int) = {
+    val body = latestManifestBody()
+    val keep = compilePruner(column, lo, hi)
+    (body.collect { case l if keep(l) => pathOf(l) }, body.size)
+  }
 
   /** Writer epoch this instance's held lease was acquired under (None
     * when no lease is held). Every acquire takes a STRICTLY NEWER epoch
@@ -1423,6 +1755,20 @@ final class TargetTable(
             .toOption.flatten.flatMap(_.get("lease_id")).contains(id))
         if (epochAfter > epoch || !leaseOk) {
           fs.delete(new Path(manifestDir, name), false)
+          if (heldEpoch.isDefined && !leaseOk && epochAfter <= epoch) {
+            // diagnose the lease loss as what it is (a claimant replaced
+            // or clobbered the lease mid-commit) — the epoch message
+            // would claim a newer epoch that does not exist
+            val e = new IllegalStateException(
+              s"target $path: manifest commit fenced — lease ownership " +
+                "could not be verified after the version rename (a rival " +
+                "claim landed mid-commit); this version was rolled back, " +
+                "retry once the other writer completes")
+            leaseLost = Some(e)
+            heldLeaseId = None
+            heldEpoch = None
+            throw e
+          }
           if (heldEpoch.isDefined) fenced(math.max(epochAfter, epoch))
           if (attempts >= 5) throw new IllegalStateException(
             s"could not commit manifest under $manifestDir: repeatedly " +
@@ -1467,11 +1813,18 @@ final class TargetTable(
     * instant ([[readRaw]]).
     */
   private def commitManifest(
-      files: Seq[String], schema: Option[StructType] = storedSchema): Unit =
+      files: Seq[String], schema: Option[StructType] = storedSchema,
+      statsCol: Option[String] = null): Unit = {
+    // null sentinel = "carry the newest header's stats column forward"
+    // (one cheap header read), evaluated only when the caller doesn't
+    // already hold it; None explicitly clears
+    val sc = if (statsCol == null) latestStatsCol() else statsCol
     commitVersion(
-      () => (schema.map("#schema=" + _.json).toSeq ++ files.distinct.sorted)
+      () => (schema.map("#schema=" + _.json).toSeq ++
+        sc.map("#statscol=" + _).toSeq ++ files.distinct.sorted)
         .mkString("", "\n", "\n"),
       isDelta = false)
+  }
 
   /** Commit an incremental change as a DELTA version — O(add + remove)
     * text I/O regardless of how many files the table holds, which is
@@ -1486,20 +1839,27 @@ final class TargetTable(
     */
   private def commitManifestDelta(
       add: Seq[String], remove: Seq[String],
-      schema: Option[StructType] = None): Unit = synchronized {
+      schema: Option[StructType] = None,
+      statsCol: Option[String] = None): Unit = synchronized {
     val vs = manifestVersions().sortBy(_.key)
     val lastCkpt = vs.lastIndexWhere(!_.isDelta)
     val deltaRun = vs.size - 1 - lastCkpt
-    def headerLines(): Seq[String] =
-      schema.orElse(latestCommittedSchema()).orElse(storedSchema)
-        .map("#schema=" + _.json).toSeq
+    def headerLines(): Seq[String] = {
+      // ONE newest-header probe feeds both carried fields
+      val latest = latestHeaderLines()
+      schema.orElse(schemaOfManifestLines(latest)).orElse(storedSchema)
+        .map("#schema=" + _.json).toSeq ++
+        statsCol.orElse(statsColOfLines(latest)).map("#statscol=" + _).toSeq
+    }
     if (lastCkpt < 0 || deltaRun + 1 >= ManifestCheckpointEvery) {
       // fold content is a THUNK: a lease-less re-land after losing an
       // epoch race recomputes from the then-current replay instead of
-      // resurrecting the pre-race listing (commitVersion re-invokes it)
+      // resurrecting the pre-race listing (commitVersion re-invokes it).
+      // The fold replays full BODY lines, so per-file stats survive it.
+      val removeSet = remove.toSet
       commitVersion(
         () => (headerLines() ++
-          (latestManifest().getOrElse(Nil).filterNot(remove.toSet) ++ add)
+          (latestManifestBody().filterNot(l => removeSet(pathOf(l))) ++ add)
             .distinct.sorted).mkString("", "\n", "\n"),
         isDelta = false)
     } else {
@@ -2038,6 +2398,12 @@ final class TargetTable(
     val liveByDir: Map[String, Set[String]] = latestManifest().getOrElse(Nil)
       .groupBy(_.takeWhile(_ != '/'))
       .map { case (dn, fs) => dn -> fs.map(_.drop(dn.length + 1)).toSet }
+    // the data-skipping column this run records per rewritten file: a
+    // clustered compaction DECLARES its cluster key as the table's stats
+    // column (all later appends stat it too); a plain compaction keeps
+    // statting whatever was declared before. Hoisted: one header read
+    // per run, not per partition.
+    val statsCol = clusterBy.headOption.orElse(latestStatsCol())
     parts.flatMap { case (d, dir) =>
       // LIVE files only, from the manifest: trash-parked originals of a
       // prior compaction are still in the directory within the
@@ -2072,17 +2438,37 @@ final class TargetTable(
             s"date=${d.fold(HiveDefaultPartition)(fmt.format)}\n" +
               s"orig=${files.map(_.getPath.getName).mkString(",")}\n" +
               s"staged=${staged.map(_.getName).mkString(",")}\n")
-          staged.foreach(s => fs.rename(s, new Path(dir, s.getName)))
-          failCompactPoint(1) // staged in place; manifest still pre-compaction
-          val origRel   = files.map(f => s"${dir.getName}/${f.getPath.getName}")
+          crashPoint("compact:marker")
+          // footer stats BEFORE the moves, while the staged files still
+          // live flat in the stage dir (compact writes one partition,
+          // unpartitioned); the commit lines carry them
           val stagedRel = staged.map(s => s"${dir.getName}/${s.getName}")
+          val stagedLines = statsCol match {
+            case None => stagedRel
+            case Some(c) =>
+              val byRel = footerStats(
+                staged.map(s => s"${dir.getName}/${s.getName}" -> s), c)
+              stagedRel.map(r => byRel.get(r).fold(r)(st => r + "\t" + encodeStat(st)))
+          }
+          staged.foreach { s =>
+            fs.rename(s, new Path(dir, s.getName))
+            crashPoint("compact:move")
+          }
+          failCompactPoint(1) // staged in place; manifest still pre-compaction
+          val origRel = files.map(f => s"${dir.getName}/${f.getPath.getName}")
           // THE atomic switch: old set -> new set, as one delta bounded
-          // by this partition's file count (never an O(table) rewrite)
-          commitManifestDelta(add = stagedRel, remove = origRel)
+          // by this partition's file count (never an O(table) rewrite).
+          // A clustered run also declares its key as the stats column
+          // (idempotent — carried by every later header).
+          commitManifestDelta(add = stagedLines, remove = origRel,
+            statsCol = clusterBy.headOption)
           failCompactPoint(2) // manifest switched; originals still on disk
+          crashPoint("compact:commit")
           writeTrash(origRel)
           failCompactPoint(3) // originals parked; marker not yet cleared
+          crashPoint("compact:trash")
           clearCompactIntent()
+          crashPoint("compact:cleared")
           // report the ACTUAL staged count: range clustering may emit
           // fewer files than requested when the key space is skewed
           Some(CompactionStat(d, files.size, staged.size, bytes))
@@ -2143,15 +2529,18 @@ final class TargetTable(
           // may double-park on re-crash — vacuum tolerates absent files.
           writeTrash(orig.map(o => s"$dirName/$o")
             .filter(rel => fs.exists(new Path(path, rel))))
+          crashPoint("repairC:park")
         } else {
           // back: the staged copies were never published — remove them
           staged.foreach { s =>
             val p = new Path(dir, s)
             if (fs.exists(p)) fs.delete(p, false)
+            crashPoint("repairC:delete")
           }
         }
       }
       clearCompactIntent()
+      crashPoint("repairC:cleared")
       d
     }
 
@@ -2265,6 +2654,10 @@ final class TargetTable(
     try {
       val n = writeCounted(fresh, stage.toString, "overwrite")
       val stagedRel = listStagedRel(stage)
+      // skip stats for the declared stats column ride the commit lines
+      // (footer reads in the stage dir, before the moves); markers,
+      // trash lists and repair stay on the PLAIN paths
+      val stagedLines = enrichWithStats(stagedRel, stage, latestStatsCol())
       val touched = stagedRel.map(_.takeWhile(_ != '/')).toSet
       // no-op fast path: nothing staged, nothing to drop, no schema to
       // switch (an empty streaming micro-batch, a backfill of a
@@ -2280,11 +2673,15 @@ final class TargetTable(
       // are serialized by the lease)
       synchronized {
         val replaced = touched ++ alsoReplace()
-        val prev = latestManifest().getOrElse(Nil)
+        // full BODY lines so untouched files keep their skip stats
+        // through the checkpoint fold; origRel stays plain paths
+        val prevBody = latestManifestBody()
+        val prev = prevBody.map(pathOf)
         val origRel = prev.filter(f => replaced.contains(f.takeWhile(_ != '/')))
         writeMarker(intentFile,
           s"orig=${origRel.mkString(",")}\nstaged=${stagedRel.mkString(",")}\n" +
             newSchema.fold("")(s => s"schema=${s.json}\n"))
+        crashPoint("replace:marker")
         stagedRel.foreach { rel =>
           val dir = new Path(path, rel.takeWhile(_ != '/'))
           if (!fs.exists(dir)) fs.mkdirs(dir)
@@ -2296,6 +2693,7 @@ final class TargetTable(
               s"could not move staged file $rel into $path: aborting " +
                 "before the manifest commit (repairOrphanedReplace rolls " +
                 "the partial staging back)")
+          crashPoint("replace:move")
         }
         failReplacePoint(1) // staged in place; manifest still pre-replace
         // THE atomic switch: old set -> new set. A replace that drops
@@ -2303,22 +2701,27 @@ final class TargetTable(
         // rewrite) folds straight to a checkpoint — its delta would be
         // O(table) lines anyway, and the checkpoint resets the replay
         // chain; a period-sized replace rides an O(touched) delta.
-        if (prev.isEmpty || origRel.size * 2 >= prev.size)
+        if (prev.isEmpty || origRel.size * 2 >= prev.size) {
+          val origSet = origRel.toSet
           commitManifest(
-            prev.filterNot(origRel.toSet) ++ stagedRel,
+            prevBody.filterNot(l => origSet(pathOf(l))) ++ stagedLines,
             newSchema.orElse(storedSchema))
-        else
-          commitManifestDelta(add = stagedRel, remove = origRel,
+        } else
+          commitManifestDelta(add = stagedLines, remove = origRel,
             schema = newSchema)
+        crashPoint("replace:commit")
         // a schema-changing replace (snapshot full refresh / widening
         // rewrite) syncs the write-side sidecar right after the commit;
         // a crash in between heals in repairOrphanedReplace's sidecar
         // sync — readers were never exposed (they plan off the header)
         newSchema.foreach(writeSidecarFileOnly)
         failReplacePoint(2) // switched; originals still on disk, unparked
+        crashPoint("replace:sidecar")
         writeTrash(origRel)
         failReplacePoint(3) // originals parked; marker not yet cleared
+        crashPoint("replace:trash")
         clearIntent()
+        crashPoint("replace:cleared")
       }
       val dates = touched
         .filter(_ != s"$PartitionCol=$HiveDefaultPartition")
@@ -2346,6 +2749,14 @@ object TargetTable {
       epoch: Long, seq: Long, isDelta: Boolean, p: org.apache.hadoop.fs.Path) {
     def key: (Long, Long) = (epoch, seq)
   }
+
+  /** Per-file data-skipping stats carried on a manifest body line:
+    * min/max of one declared column (`typ` names the canonical value
+    * space — long | double | string) plus the file's row count. See the
+    * data-skipping section of [[TargetTable]].
+    */
+  private[ibtp] final case class FileSkipStat(
+      col: String, typ: String, min: String, max: String, rows: Long)
 
   /** Internal day-partition column added next to the user's columns. */
   val PartitionCol = "p_date"

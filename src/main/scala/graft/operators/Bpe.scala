@@ -31,11 +31,27 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Fail-loudly cap on the merge-table size both trainers hold on the
+    * driver (one small tuple per merge; real tokenizers stop around
+    * 32–256k). A runaway nMerges would otherwise grow driver state and
+    * run a Spark job per merge step, so it is rejected up front.
+    */
+  @volatile var maxMerges: Int = 262144
+
+  private def checkMerges(nMerges: Int): Unit = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(nMerges <= maxMerges,
+      s"nMerges=$nMerges exceeds the $maxMerges control-plane cap " +
+        "(driver-held merge table, one Spark job per step) — real BPE " +
+        "vocabularies stop far below this; raise Bpe.maxMerges only if " +
+        "you truly mean it")
+  }
+
   /** Learn `nMerges` merges; output one row per merge:
     * (step, merge_left, merge_right, pair_count).
     */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    checkMerges(nMerges)
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
@@ -108,7 +124,7 @@ object Bpe {
   def trainMergesBatched(
       docs: DataFrame, textCol: String, nMerges: Int,
       batchSize: Int = 64): DataFrame = {
-    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    checkMerges(nMerges)
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val spark = docs.sparkSession
     val words = docs

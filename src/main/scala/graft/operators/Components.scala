@@ -36,6 +36,48 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components extends Logging {
 
+  /** Lineage-truncation strategy for the per-round label sets.
+    * Default (None) is `localCheckpoint` — executor-local blocks, fast,
+    * but a lost executor loses blocks and fails the JOB on a real
+    * cluster (acceptable local-mode / retry-the-job semantics). Set a
+    * RELIABLE checkpoint directory (HDFS/object-store path on a real
+    * cluster) and rounds checkpoint through storage instead: lost
+    * executors recompute from the checkpoint files, at the cost of one
+    * write+read of the (id,label) set per round. The checkpoint files
+    * accumulate for the run's duration (Spark reclaims them with the
+    * RDD GC when `spark.cleaner.referenceTracking.cleanCheckpoints` is
+    * set); label sets are 16 bytes/node — at 1B nodes a round writes
+    * ~16 GB, noise next to the corpus it deduplicates.
+    */
+  @volatile var checkpointDir: Option[String] = None
+
+  /** The last dir this object passed to setCheckpointDir — Spark
+    * appends a UUID subdir, so getCheckpointDir can't be compared back.
+    */
+  @volatile private var ckptDirSet: Option[String] = None
+
+  /** Truncate lineage per the configured strategy (eager either way —
+    * convergence Observations fire on materialization).
+    */
+  private def truncated(df: DataFrame): DataFrame = checkpointDir match {
+    case None => df.localCheckpoint()
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      if (!ckptDirSet.contains(dir) || sc.getCheckpointDir.isEmpty) {
+        sc.setCheckpointDir(dir)
+        ckptDirSet = Some(dir)
+      }
+      df.checkpoint()
+  }
+
+  /** Free a truncated round's storage where the strategy allows it
+    * (executor-local blocks are explicitly dropped; reliable checkpoint
+    * files are left for Spark's reference-tracking GC).
+    */
+  private def free(df: DataFrame): Unit =
+    if (checkpointDir.isEmpty)
+      org.apache.spark.sql.graft.ColumnBridge.freeLocalCheckpoint(df)
+
   /** Assign each node of `nodes` the minimum node id reachable over
     * `edges` (undirected). Ids must be integral (castable to long) and
     * edge endpoints must come from `nodes`' id domain. Returns
@@ -71,9 +113,8 @@ object Components extends Logging {
     // max(old) recovers it), and an Observation metric counts
     // lbl != old rows while the eager localCheckpoint materializes —
     // zero extra passes over the label set per round.
-    var labels = nodes
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
-      .localCheckpoint()
+    var labels = truncated(nodes
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl")))
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
@@ -86,16 +127,16 @@ object Components extends Logging {
       val nullLbl = lit(null).cast("long")
       val obs = new org.apache.spark.sql.Observation(
         s"cc_round_${round}_${java.util.UUID.randomUUID()}")
-      val next = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
-        .unionAll(nbr.select(col("id"), col("lbl"), nullLbl.as("old")))
-        .unionAll(jump.select(col("id"), col("lbl"), nullLbl.as("old")))
-        .groupBy(col("id"))
-        .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
-        .observe(obs, sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
-        .select(col("id"), col("lbl"))
-        .localCheckpoint() // eager: materializes and fires the observation
+      val next = truncated( // eager: materializes and fires the observation
+        labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+          .unionAll(nbr.select(col("id"), col("lbl"), nullLbl.as("old")))
+          .unionAll(jump.select(col("id"), col("lbl"), nullLbl.as("old")))
+          .groupBy(col("id"))
+          .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
+          .observe(obs, sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+          .select(col("id"), col("lbl")))
       converged = obs.get("changed").asInstanceOf[Long] == 0L
-      org.apache.spark.sql.graft.ColumnBridge.freeLocalCheckpoint(labels)
+      free(labels)
       labels = next
       round += 1
     }

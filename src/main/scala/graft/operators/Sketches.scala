@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Fail-loudly cap on [[mergedFrequencies]]' driver collect (one
+    * kilobyte-sized sketch blob per day is the contract).
+    */
+  @volatile var maxSketchRows: Int = 65536
+
   /** One HLL sketch per day for `keyCol` (plus the day's row count):
     * the persistable per-period state. Map-side partial sketches ride
     * the single aggregation; the shuffle carries sketch bytes, not
@@ -69,8 +74,17 @@ object Sketches {
       daily: DataFrame, items: Seq[Long],
       cmsCol: String = "cms"): Map[Long, Long] = {
     import org.apache.spark.util.sketch.CountMinSketch
-    val blobs = daily.select(col(cmsCol)).collect()
-      .map(_.getAs[Array[Byte]](0))
+    // LIMIT cap+1 keeps the guard on the executors: a caller pointing
+    // this at the raw stream (instead of per-day sketch rows) gets a
+    // diagnosis, never a driver OOM — 65536 kilobyte-blobs ≈ 180 years
+    // of daily sketches, far past the contract
+    val rows = daily.select(col(cmsCol)).limit(maxSketchRows + 1).collect()
+    if (rows.length > maxSketchRows)
+      throw new IllegalStateException(
+        s"mergedFrequencies: sketch collect exceeded its $maxSketchRows-row " +
+          "control-plane cap — pass per-day sketch rows, not the raw stream " +
+          "(raise Sketches.maxSketchRows only if you truly mean it)")
+    val blobs = rows.map(_.getAs[Array[Byte]](0))
     require(blobs.nonEmpty, "no sketches to merge")
     val merged = blobs
       .map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))

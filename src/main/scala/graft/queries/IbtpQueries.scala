@@ -375,6 +375,48 @@ object IbtpQueries {
       |FROM events
       |ORDER BY ts, event_id""".stripMargin
 
+  /** Manifest data-skipping under the hash gate: fragmented ingest of
+    * the low three user_id quartiles, `compact(clusterBy = user_id)`
+    * (declares the stats column, records per-file min/max from the
+    * staged footers), then the top quartile appended as a separate
+    * commit — its files carry a narrow recorded range. The read plans
+    * through [[TargetTable.readWhere]], which prunes the file list
+    * DRIVER-SIDE from the manifest stats (zero footer opens for skipped
+    * files) and the query REQUIRES that pruning actually dropped files,
+    * so the hash gate adjudicates both the plan behavior and the
+    * contents. At 100 TB this is the difference between a cluster-key
+    * point query opening every live footer and opening only the files
+    * whose recorded range can hold the key.
+    */
+  def skipRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+    val mx = ev.agg(max(col("user_id"))).head.getLong(0)
+    val q3 = 3L * mx / 4L
+    val targetDir = Files.createTempDirectory("ibtp_q_skip").toString
+    val target = new TargetTable(spark, targetDir, "ts", countRows = false)
+    val even = coalesce(col("user_id") % 2, lit(0)) === 0
+    val base = ev.filter(col("user_id") <= q3)
+    target.init(base.filter(even))
+    target.append(base.filter(!even))
+    require(target.compact(clusterBy = Seq("user_id")).nonEmpty,
+      "fragmented partitions must compact")
+    target.append(ev.filter(col("user_id") > q3))
+    val (kept, total) = target.planFilesForRange("user_id", q3 + 1L, mx)
+    require(kept.size < total,
+      s"data skipping must prune the planned file list (kept ${kept.size} of $total)")
+    target.readWhere("user_id", q3 + 1L, mx)
+      .orderBy(col("ts"), col("event_id"))
+  }
+
+  val skipReadSql: String =
+    """WITH b AS (SELECT (3 * MAX(user_id)) // 4 AS q3 FROM events)
+      |SELECT ts, event_id, user_id, event_type, value
+      |FROM events, b
+      |WHERE user_id > b.q3
+      |ORDER BY ts, event_id""".stripMargin
+
   /** Both loop queries share this one-shot full-range oracle. */
   val loopOracleSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,

@@ -39,10 +39,18 @@ def main(out_path, run_paths):
     # host-speed calibration (pure-CPU microbench emitted per run):
     # normalize cross-round totals by the calib ratio before reading a
     # delta as a code regression
-    calibs = [r["calib_sec"] for r in runs if "calib_sec" in r]
-    if calibs:
-        doc["calib_sec"] = round(statistics.median(calibs), 3)
-        doc["calib_runs"] = [round(c, 3) for c in calibs]
+    # since round 12 each run brackets the suite (pre+post, min kept)
+    # and adds an I/O-shaped probe next to the pure-CPU one
+    for field in ("calib_sec", "io_calib_sec",
+                  "calib_sec_pre", "calib_sec_post",
+                  "io_calib_sec_pre", "io_calib_sec_post"):
+        vals = [r[field] for r in runs if field in r]
+        if vals:
+            doc[field] = round(statistics.median(vals), 3)
+            if field in ("calib_sec", "io_calib_sec"):
+                doc[field + "_runs"] = [round(c, 3) for c in vals]
+    if "calib_sec" in doc:
+        doc["calib_runs"] = doc.pop("calib_sec_runs")  # legacy field name
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(out_path, "total:", doc["value"], "runs:", doc["runs"])

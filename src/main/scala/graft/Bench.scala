@@ -19,6 +19,37 @@ object Bench {
     // untimed warmup: JIT + parquet footer caches, so the first timed
     // query isn't charged for JVM warm-up
     try exec("q01_scan_filter_project") catch { case _: Throwable => () }
+    // also warm the STREAMING stack (micro-batch execution, state-store
+    // provider, checkpoint WAL classes): q83 is the suite's only
+    // streaming query, so without this it alone pays the stack's
+    // one-time class-loading/JIT inside its timed window — measured
+    // ~3.2 s first-execution penalty on a fresh JVM, independent of the
+    // page cache (drop_caches changed nothing), which is exactly the
+    // driver-context q83 spike of rounds 9-11. Every batch query
+    // shares the q01-warmed batch stack; this is the same parity for
+    // the streaming one.
+    try {
+      import org.apache.spark.sql.functions.{count => cnt, lit => l, window => win, col => c}
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warm_stream").toString
+      spark.range(0, 100).selectExpr(
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) as ts", "id as v")
+        .write.mode("overwrite").parquet(s"$wdir/in")
+      val q = spark.readStream
+        .schema("ts timestamp, v long").parquet(s"$wdir/in")
+        .withWatermark("ts", "1 minute")
+        .groupBy(win(c("ts"), "1 minute")).agg(cnt(l(1)))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$wdir/ckp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // consume every partition: Spark 4 validates state-store
+          // commits and rejects a foreachBatch that drops the frame
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      q.awaitTermination()
+    } catch { case _: Throwable => () }
     // fixed pure-CPU calibration microbench: data-independent, so it
     // measures the HOST's speed at bench time, not the engine's. The VM
     // runs in bimodal speed windows (70-75 s vs 87-102 s totals with
@@ -42,7 +73,7 @@ object Bench {
     // 1.17x slower): a host can be CPU-fast and I/O-slow, and most of
     // the suite is scan-bound. Two probe axes make that distinguishable.
     def ioCalibOnce(): Double = {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      import org.apache.spark.sql.functions.{col, shiftright, sum, xxhash64}
       val dir = java.nio.file.Files.createTempDirectory("graft_iocalib").toString
       val t0 = System.nanoTime()
       spark.range(0, 4L * 1000 * 1000, 1, 8)
@@ -50,7 +81,9 @@ object Bench {
           col("id").cast("string").as("s"))
         .write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
-        .select(sum(col("h"))).write.format("noop").mode("overwrite").save()
+        // shift before summing — raw 64-bit hashes overflow an ANSI SUM
+        .select(sum(shiftright(col("h"), 32)))
+        .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       def rmr(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()

@@ -277,21 +277,28 @@ class IbtpRunnerSpec extends SparkSpecBase {
   }
 
   test("crashed full-refresh swap self-heals at every phase via the swap intent (pre-manifest tables)") {
-    // phase 2 is THE window the round-4 audit flagged: old table renamed
+    // Since the opportunistic upgrade (round 12), the RUNNER commits a
+    // manifest at its first write-locked open, so a runner-driven
+    // refresh of a legacy table takes the snapshot-replace path (the
+    // spec below). The backup swap remains the contract for a DIRECT
+    // init() on a pre-manifest table (no lease there — reference
+    // fidelity, B16), so that is the driver under test here.
+    // Phase 2 is THE window the round-4 audit flagged: old table renamed
     // out, new one not yet renamed in — a reader sees no target and a
     // plain re-run would silently rebuild from scratch
     for (phase <- Seq(1, 2, 3)) {
       val target = new TargetTable(spark, tmpDir(s"ibtp_swap$phase"), "day")
       runner(target)
-      demanifest(target) // pre-manifest era: refresh takes the swap path
+      demanifest(target) // pre-manifest era: direct init takes the swap path
       target.failSwapAt = phase
-      intercept[IllegalStateException] { runner(target, mode = RunMode.FullRefresh) }
+      intercept[IllegalStateException] {
+        target.init(oneShot(jan1, jan1.plusDays(1)))
+      }
       target.failSwapAt = 0
       if (phase == 2) assert(!target.exists,
         "phase-2 crash leaves no visible target (the window under test)")
       // repair alone rolls FORWARD to the refreshed init chunk (the
-      // staged data was committed before the intent was written);
-      // full-refresh init carries period 0, the loop appends the rest
+      // staged data was committed before the intent was written)
       assert(target.repairOrphanedSwap(), s"phase $phase: expected a repair")
       assert(!target.repairOrphanedSwap(), "repair must clear the intent")
       assertSameRows(target.read(), oneShot(jan1, jan1.plusDays(1)))
@@ -299,10 +306,13 @@ class IbtpRunnerSpec extends SparkSpecBase {
       val res = runner(target)
       assert(res.rowsInserted > 0, s"phase $phase: resume must continue the loop")
       assertSameRows(target.read(), oneShot(jan1, feb1))
-      // and the runner path heals WITHOUT an explicit repair call too
+      // and the runner heals a crashed DIRECT init without an explicit
+      // repair call too (start-of-run swap repair)
       demanifest(target)
       target.failSwapAt = phase
-      intercept[IllegalStateException] { runner(target, mode = RunMode.FullRefresh) }
+      intercept[IllegalStateException] {
+        target.init(oneShot(jan1, jan1.plusDays(1)))
+      }
       target.failSwapAt = 0
       runner(target)
       assertSameRows(target.read(), oneShot(jan1, feb1))

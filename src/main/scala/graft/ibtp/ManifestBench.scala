@@ -42,7 +42,17 @@ object ManifestBench {
       java.nio.file.Files.writeString(
         new java.io.File(mdir, "v0000000001_0000000001.list").toPath,
         "#statscol=user_id\n" + lines.mkString("", "\n", "\n"))
+      // MBENCH_IDLE_MS emulates the inter-commit work a real run does
+      // (a period's Spark job, seconds long): checkpoint folds are
+      // asynchronous since round 12, so with ANY idle between commits
+      // the fold overlaps it and the caller-thread commit cost stays at
+      // the delta median even on the every-Nth commit. The default
+      // tight loop (idle 0) remains the worst case — the next commit
+      // blocks on the instance monitor while the fold runs, so the MEAN
+      // still absorbs fold cost there.
+      val idleMs = sys.env.get("MBENCH_IDLE_MS").flatMap(_.toLongOption).getOrElse(0L)
       val perCommitMs = (1 to commitsPerSize).map { i =>
+        if (idleMs > 0) Thread.sleep(idleMs)
         val t0 = System.nanoTime()
         t.commitManifestAppended(Seq(f"p_date=2024-01-02/part-new-$i%04d.parquet"))
         (System.nanoTime() - t0) / 1e6

@@ -1851,11 +1851,13 @@ final class TargetTable(
         .map("#schema=" + _.json).toSeq ++
         statsCol.orElse(statsColOfLines(latest)).map("#statscol=" + _).toSeq
     }
-    if (lastCkpt < 0 || deltaRun + 1 >= ManifestCheckpointEvery) {
-      // fold content is a THUNK: a lease-less re-land after losing an
-      // epoch race recomputes from the then-current replay instead of
-      // resurrecting the pre-race listing (commitVersion re-invokes it).
-      // The fold replays full BODY lines, so per-file stats survive it.
+    if (lastCkpt < 0) {
+      // no checkpoint to chain from (first post-upgrade commit): fold
+      // synchronously. The content is a THUNK: a lease-less re-land
+      // after losing an epoch race recomputes from the then-current
+      // replay instead of resurrecting the pre-race listing
+      // (commitVersion re-invokes it). Full BODY lines, so per-file
+      // stats survive the fold.
       val removeSet = remove.toSet
       commitVersion(
         () => (headerLines() ++
@@ -1868,6 +1870,64 @@ final class TargetTable(
       commitVersion(
         () => (DeltaMarker +: (headerLines() ++ body)).mkString("", "\n", "\n"),
         isDelta = true)
+      // fold OFF the commit path: the hot commit stays O(staged names)
+      // even on the every-Nth commit — the O(live) checkpoint write
+      // happens on the background thread, overlapping the caller's next
+      // Spark job, serialized against commits by the instance monitor
+      if (deltaRun + 1 >= ManifestCheckpointEvery) scheduleFold()
+    }
+  }
+
+  /** One pending background fold at a time (newSingleThreadExecutor
+    * also serializes them); a fold that fails or is lost to a crash is
+    * simply re-scheduled by a later commit — the delta chain stays
+    * replayable at any length, the checkpoint only bounds its cost.
+    */
+  @volatile private[ibtp] var foldPending = false
+  private lazy val foldExecutor = java.util.concurrent.Executors
+    .newSingleThreadExecutor(r => {
+      val t = new Thread(r, s"graft-manifest-fold-${new Path(path).getName}")
+      t.setDaemon(true)
+      t
+    })
+
+  private def scheduleFold(): Unit = if (!foldPending) {
+    foldPending = true
+    foldExecutor.submit(new Runnable {
+      def run(): Unit =
+        try foldToCheckpoint()
+        catch {
+          case e: Throwable => TargetTable.log.warn(
+            s"background manifest fold on $path failed " +
+              s"(a later commit re-schedules it): $e")
+        } finally foldPending = false
+    })
+    ()
+  }
+
+  /** Fold the current delta chain into a fresh checkpoint if one is
+    * (still) due — the async half of [[commitManifestDelta]]. Runs
+    * under the instance monitor like every commit; re-checks the chain
+    * length inside it, so a fold that raced another fold (or a replace
+    * that already checkpointed) degrades to a no-op. Safe without the
+    * lease: commitVersion re-lands a lease-less fold under a newer
+    * epoch with recomputed content.
+    */
+  private def foldToCheckpoint(): Unit = synchronized {
+    val vs = manifestVersions().sortBy(_.key)
+    val lastCkpt = vs.lastIndexWhere(!_.isDelta)
+    if (vs.nonEmpty && (lastCkpt < 0 ||
+        vs.size - 1 - lastCkpt >= ManifestCheckpointEvery)) {
+      def headerLines(): Seq[String] = {
+        val latest = latestHeaderLines()
+        schemaOfManifestLines(latest).orElse(storedSchema)
+          .map("#schema=" + _.json).toSeq ++
+          statsColOfLines(latest).map("#statscol=" + _).toSeq
+      }
+      commitVersion(
+        () => (headerLines() ++ latestManifestBody().distinct.sorted)
+          .mkString("", "\n", "\n"),
+        isDelta = false)
     }
   }
 

@@ -109,6 +109,41 @@ class ManifestSkipSpec extends SparkSpecBase {
       t2.read().filter(col("user_id") === 3L))
   }
 
+  test("a lost background fold is harmless: long delta chains replay; a later commit re-folds") {
+    // the async fold (round 12) is an OPTIMIZATION — bounding replay
+    // cost — never a correctness dependency: simulate every fold being
+    // lost (crash/kill of the background thread) by pinning foldPending,
+    // grow the chain far past ManifestCheckpointEvery, and the table
+    // must answer exactly; un-pinning lets the next commit fold.
+    val dir = tmpDir("skip_nofold") + "/tbl"
+    val t = new TargetTable(spark, dir, "ts", countRows = false)
+    t.init(events.filter(col("user_id") <= 3))
+    t.foldPending = true // every scheduleFold() is now a lost fold
+    (1 to TargetTable.ManifestCheckpointEvery * 2).foreach { i =>
+      t.append(events.filter(col("user_id") === (4 + i % 8).toLong).limit(2))
+    }
+    val mdir = new java.io.File(dir, TargetTable.ManifestDirName)
+    def deltas() = mdir.listFiles().count(_.getName.endsWith(".delta"))
+    assert(deltas() > TargetTable.ManifestCheckpointEvery,
+      "setup: the chain must have outgrown the fold cadence")
+    val want = t.read().count()
+    assert(new TargetTable(spark, dir, "ts").read().count() == want,
+      "a fresh reader must replay the long chain exactly")
+    // un-pin: the next commit schedules a real fold. Old delta FILES
+    // linger until pruning ages their states out, so the signal is a
+    // NEW checkpoint landing (replay tail resets), not file deletion.
+    def checkpoints() = mdir.listFiles().count(_.getName.endsWith(".list"))
+    val ckptsBefore = checkpoints()
+    t.foldPending = false
+    t.append(events.filter(col("user_id") === 3L).limit(2))
+    val deadline = System.currentTimeMillis() + 30000
+    while (checkpoints() <= ckptsBefore &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(checkpoints() > ckptsBefore,
+      "the re-scheduled fold must land a fresh checkpoint")
+    assert(t.read().count() == want + 2)
+  }
+
   test("stats survive checkpoint folds and snapshot replaces of other partitions") {
     val t = buildClustered(tmpDir("skip_survive") + "/tbl")
     def stattedCount() = t.latestManifestEntries().count(_._2.isDefined)

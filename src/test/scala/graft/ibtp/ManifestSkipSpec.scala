@@ -77,6 +77,17 @@ class ManifestSkipSpec extends SparkSpecBase {
     }
   }
 
+  test("readWhere's residual predicate reaches the parquet scan (PushedFilters)") {
+    // the manifest prunes FILES; inside the kept files the same
+    // predicate must still prune ROW GROUPS via parquet min/max —
+    // i.e. reach the scan as a pushed filter, not a post-scan Filter
+    val t = buildClustered(tmpDir("skip_pushdown") + "/tbl")
+    val p = t.readWhere("user_id", 8L, 11L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(user_id,8)") &&
+      p.contains("LessThanOrEqual(user_id,11)"), p)
+  }
+
   test("readWhere answers exactly like the unpruned filtered read") {
     val t = buildClustered(tmpDir("skip_exact") + "/tbl")
     // point, range, range spanning slices, empty range

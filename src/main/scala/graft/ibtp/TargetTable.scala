@@ -1660,6 +1660,25 @@ final class TargetTable(
     (body.collect { case l if keep(l) => pathOf(l) }, body.size)
   }
 
+  /** Metadata-only COUNT(*): the sum of the per-file row counts the
+    * manifest stats record — zero scan, zero footer opens — available
+    * exactly when EVERY live file carries stats (None otherwise: a
+    * partial sum would be a wrong answer, so the caller falls back to
+    * a counted scan). The stats-backed analogue of a warehouse's
+    * statistics-served `SELECT COUNT(*)`; at 100 TB the difference
+    * between a metadata lookup and a million-file scan job.
+    */
+  def fastRowCount(): Option[Long] =
+    if (latestManifest().isEmpty) None // pre-manifest: no commit to trust
+    else {
+      // an EMPTY manifest is an exact zero (schema-sample init);
+      // any stat-less entry forfeits the whole answer — a partial sum
+      // would be silently wrong
+      val entries = latestManifestEntries()
+      if (entries.exists(_._2.isEmpty)) None
+      else Some(entries.map(_._2.get.rows).sum)
+    }
+
   /** Writer epoch this instance's held lease was acquired under (None
     * when no lease is held). Every acquire takes a STRICTLY NEWER epoch
     * than any epoch ever committed or recorded in the lease it replaces

@@ -120,6 +120,28 @@ class ManifestSkipSpec extends SparkSpecBase {
       t2.read().filter(col("user_id") === 3L))
   }
 
+  test("fastRowCount serves COUNT(*) from stats only when every file has them") {
+    // no stats declared: scans would be needed -> None
+    val t0 = new TargetTable(spark, tmpDir("skip_count0") + "/tbl", "ts",
+      countRows = false)
+    t0.init(events.filter(col("user_id") <= 7))
+    assert(t0.fastRowCount().isEmpty,
+      "stat-less files must forfeit the metadata count")
+    // the clustered layout stats EVERY live file (compaction rewrites
+    // every fragmented partition; the later appends stat their own
+    // files) -> the exact count comes from metadata alone
+    val t = buildClustered(tmpDir("skip_count") + "/tbl")
+    assert(t.fastRowCount().contains(t.read().count()),
+      "all-statted table must serve the exact count from metadata")
+    // appends keep it exact (their files carry stats too)
+    t.append(events.filter(col("user_id") === 9L))
+    assert(t.fastRowCount().contains(t.read().count()))
+    // a relist (stats lost) degrades honestly back to None
+    t.relistManifest()
+    assert(t.fastRowCount().isEmpty,
+      "a relisted (stat-less) manifest must not fake a count")
+  }
+
   test("a lost background fold is harmless: long delta chains replay; a later commit re-folds") {
     // the async fold (round 12) is an OPTIMIZATION — bounding replay
     // cost — never a correctness dependency: simulate every fold being

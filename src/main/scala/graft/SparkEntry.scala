@@ -130,6 +130,10 @@ object SparkEntry {
     "q85_rewrite_widen" -> (IbtpQueries.loopRewriteWiden _),
     "q86_compact_cluster" -> (IbtpQueries.compactCluster _),
     "q87_skip_read" -> (IbtpQueries.skipRead _),
+    "q88_chunk_dedup" -> (CurationQueries.chunkDedup _),
+    "q89_bpe_encode" -> (ExtensionQueries.bpeEncode _),
+    "q90_dsir_weights" -> (ExtensionQueries.dsirWeights _),
+    "q91_temperature_mixture" -> (CurationQueries.temperatureMixture _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -218,5 +222,9 @@ object SparkEntry {
     "q85_rewrite_widen" -> IbtpQueries.loopRewriteWidenSql,
     "q86_compact_cluster" -> IbtpQueries.compactClusterSql,
     "q87_skip_read" -> IbtpQueries.skipReadSql,
+    "q88_chunk_dedup" -> CurationQueries.chunkDedupSql,
+    "q89_bpe_encode" -> ExtensionQueries.bpeEncodeSql,
+    "q90_dsir_weights" -> ExtensionQueries.dsirWeightsSql,
+    "q91_temperature_mixture" -> CurationQueries.temperatureMixtureSql,
   )
 }

@@ -89,6 +89,14 @@ object TextHashUtil {
   def shingleHashArray(s: UTF8String, n: Int): ArrayData =
     new GenericArrayData(shingleHashes(s, n))
 
+  /** Per-token hashes WITH multiplicity, in document order — the
+    * feature extractor for bag-of-hashed-ngrams models (DSIR), where
+    * a token counts once per occurrence, unlike the DISTINCT shingle
+    * sets the dedup operators key on.
+    */
+  def tokenHashArray(s: UTF8String): ArrayData =
+    new GenericArrayData(tokenHashes(s))
+
   /** MinHash signature: permutation i is the bijection
     * h -> a_i*h + b_i (mod 2^64, a_i odd); signature element i is the
     * minimum over the document's distinct shingle hashes.
@@ -244,6 +252,19 @@ case class ShingleHashes(child: Expression, shingleN: Int) extends UnaryExpressi
   override def prettyName: String = "shingle_hashes"
 }
 
+/** `token_hashes(text)` — per-token hashes with multiplicity. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.tokenHashArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextHashUtil.tokenHashArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+  override def prettyName: String = "token_hashes"
+}
+
 /** `winnow_fingerprint(text, k, w)` — distinct window-min gram hashes. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -305,6 +326,9 @@ object TextHashFunctions {
 
   def shingle_hashes(text: Column, shingleN: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), shingleN))
+
+  def token_hashes(text: Column): Column =
+    ColumnBridge.column(TokenHashes(ColumnBridge.expression(text)))
 
   def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, w))

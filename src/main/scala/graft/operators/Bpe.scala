@@ -202,4 +202,48 @@ object Bpe {
     import spark.implicits._
     merges.result().toDF("step", "merge_left", "merge_right", "pair_count")
   }
+
+  /** Collects a trainer output (step, merge_left, merge_right, ...)
+    * into the ordered driver-side merge table [[encode]] takes — the
+    * same bounded control-plane collect the trainers already make
+    * (one small tuple per merge, capped by [[maxMerges]]).
+    */
+  def collectMerges(mergesDf: DataFrame): Seq[(String, String)] = {
+    val rows = mergesDf
+      .select(col("step"), col("merge_left"), col("merge_right"))
+      .limit(maxMerges + 1)
+      .collect()
+    require(rows.length <= maxMerges,
+      s"merge table exceeds the $maxMerges control-plane cap")
+    rows.sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** Encodes documents under a trained merge table: (doc_id, n_tokens,
+    * encoded) where `encoded` is the bracketed-symbol string (words
+    * joined by spaces) and `n_tokens` its symbol count. Tokenization
+    * matches the trainer: lowercased whitespace tokens, `[a-z]+` only.
+    *
+    * The merge table rides into the executors as ONE broadcast-sized
+    * reference object inside a native expression
+    * ([[graft.functions.expressions.BpeEncode]]) — per-word cost is
+    * independent of merge count, the whole encode is a single
+    * narrow map pass (no shuffle, no join), and the projection stays
+    * inside whole-stage codegen. This is the corpus→token-ids half of
+    * the tokenizer story; [[trainMerges]] is the training half.
+    */
+  def encode(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= maxMerges,
+      s"merge table exceeds the $maxMerges control-plane cap")
+    val enc = graft.functions.expressions.BpeFunctions
+      .bpe_encode(lower(col(textCol)), merges)
+    docs
+      .select(col(idCol).as("doc_id"), enc.as("encoded"))
+      .select(col("doc_id"),
+        (length(col("encoded")) -
+          length(replace(col("encoded"), lit("<"), lit("")))).cast("int")
+          .as("n_tokens"),
+        col("encoded"))
+  }
 }

@@ -634,4 +634,76 @@ object Dedup extends Logging {
       .agg(max_by(payload, ord).as("graft_latest"))
       .select(col("graft_latest.*"))
   }
+
+  /** Corpus-frequency boilerplate removal — the RefinedWeb/CCNet
+    * "line dedup" pass (Penedo et al. 2023, arXiv:2306.01116 §3;
+    * Wenzek et al. 2019 §4.1), over fixed non-overlapping
+    * `chunkWords`-token chunks since this engine treats text as token
+    * streams: a chunk that occurs in at least `maxDocs` DISTINCT
+    * documents is boilerplate (headers, footers, navigation, license
+    * blurbs repeat across pages; content does not) and is dropped from
+    * EVERY document — including its first occurrence, which is what
+    * distinguishes this pass from [[spanDedup]]'s first-occurrence-wins
+    * rule. Complements it the way CCNet's paragraph dedup complements
+    * C4's span dedup.
+    *
+    * Scale shape (the [[spanDedup]] contract): chunk strings exist only
+    * transiently inside one projection and reduce to (hash, len) before
+    * any exchange; the document-frequency aggregation shuffles 16-byte
+    * keys twice (distinct (chunk, doc), then the count — both with
+    * map-side partials); the hot set re-joins the chunk keys as a
+    * LEFT ANTI join on those 16-byte keys; and reassembly slices each
+    * doc's OWN token array by surviving index, so text crosses exactly
+    * one exchange (the reassembly join). Hash collisions: a 64-bit-hash
+    * + length collision between distinct chunks would conflate them
+    * (2^-64-scale; the same belt-and-braces contract as [[exactGroups]]).
+    *
+    * Returns (doc_id, clean_text, kept_chunks, total_chunks); documents
+    * that were pure boilerplate survive with empty clean_text so the
+    * caller decides the drop policy.
+    */
+  def boilerplateChunkDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 8, maxDocs: Int = 2): DataFrame = {
+    require(chunkWords > 0, "chunkWords must be positive")
+    require(maxDocs >= 2, "maxDocs < 2 would drop every chunk")
+    val toks = when(length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+      .withColumn("total_chunks",
+        ceil(size(col("w")) / lit(chunkWords.toDouble)).cast("long"))
+    val chunks = base
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int(total_chunks) - 1), " +
+          s"i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))")))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+      .select(col("doc_id"), col("chunk_idx"),
+        xxhash64(col("chunk_text")).as("chunk_hash"),
+        length(col("chunk_text")).as("chunk_len"))
+    // document frequency per distinct chunk key: distinct first so a
+    // chunk repeated WITHIN one doc counts that doc once
+    val hot = chunks
+      .select(col("chunk_hash"), col("chunk_len"), col("doc_id"))
+      .distinct()
+      .groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= maxDocs)
+      .select(col("chunk_hash"), col("chunk_len"))
+    val keptIdx = chunks
+      .join(hot, Seq("chunk_hash", "chunk_len"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("chunk_idx"))).as("keep_idx"),
+        count(lit(1)).as("kept_chunks"))
+    base
+      .join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(array_join(expr(
+          s"transform(keep_idx, i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))"),
+          " "), lit("")).as("clean_text"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        col("total_chunks"))
+  }
 }

@@ -129,4 +129,49 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < floor(col("graft_rate") * Buckets))
       .drop("graft_rate")
   }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * pretraining sampler (exponentiated weighting, α ∈ (0, 1]: mBERT,
+    * XLM-R (Conneau et al. 2020, arXiv:1911.02116 §3), multilingual T5):
+    * stratum i with n_i tokens samples with probability
+    * p_i ∝ n_i^α — α = 1 is proportional (head strata dominate), α → 0
+    * approaches uniform (tail strata upsampled). Returns one row per
+    * stratum: (stratum, n_tokens, weight, expected_epochs) where
+    * expected_epochs = budget·p_i / n_i is how many times the stratum
+    * would repeat inside a `budgetTokens` training mix (the low-resource
+    * over-sampling factor the papers tune α by).
+    *
+    * Scale shape: the corpus collapses to one count row per stratum
+    * (map-side partials); everything after is arithmetic on that tiny
+    * table with the normalizer joined back broadcast. Determinism:
+    * n_i^α computes in double (IEEE pow, correctly rounded for α = 0.5's
+    * sqrt; quantized to DECIMAL(18,9) either way), the normalizer is an
+    * exact decimal sum of those quantized terms, and each output sees
+    * ONE double division + round — order-free under any partitioning.
+    */
+  def temperatureMixture(
+      df: DataFrame, strataCol: String, sizeCol: Column,
+      alpha: Double = 0.5, budgetTokens: Long = 1000000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    import org.apache.spark.sql.types.DecimalType
+    // α = 0.5 routes through sqrt: IEEE-754 REQUIRES sqrt correctly
+    // rounded (bit-identical across engines) where pow is only ~1 ulp
+    val na = if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+             else pow(col("n_tokens").cast("double"), lit(alpha))
+    val counts = df.groupBy(col(strataCol))
+      .agg(sum(sizeCol.cast("long")).as("n_tokens"))
+      .select(col(strataCol), col("n_tokens"),
+        na.cast(DecimalType(28, 9)).as("graft_na"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("graft_na")).as("graft_z"))))
+      .select(col(strataCol), col("n_tokens"),
+        round(col("graft_na").cast("double") / col("graft_z").cast("double"), 6)
+          .as("weight"),
+        // same double op order as the oracle: ((na/z) · budget) / n —
+        // a decimal product would overflow precision 38 and round
+        round(col("graft_na").cast("double") / col("graft_z").cast("double")
+            * budgetTokens / col("n_tokens"), 6)
+          .as("expected_epochs"))
+  }
 }

@@ -443,6 +443,96 @@ object CurationQueries {
       |LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Corpus-frequency boilerplate removal (RefinedWeb-style line
+    * dedup over 8-token chunks): a chunk occurring in ≥ 2 distinct
+    * documents drops EVERYWHERE (headers/footers/license boilerplate),
+    * unlike q64's first-occurrence-wins. The fixture's shared phrasing
+    * makes ~5% of chunks hot, so the pass removes real content at
+    * every scale.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateChunkDedup(Tables.documents(spark, dir),
+      "doc_id", "text", chunkWords = 8, maxDocs = 2)
+      .orderBy(col("doc_id"))
+
+  /** DuckDB oracle: same chunks via list slicing, document frequency
+    * per chunk string, anti-join via LEFT JOIN + IS NULL, ordered
+    * STRING_AGG reassembly.
+    */
+  val chunkDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS w
+      |  FROM documents
+      |),
+      |idx AS (
+      |  SELECT doc_id, w,
+      |         UNNEST(RANGE(0, CAST(CEIL(LEN(w) / 8.0) AS BIGINT))) AS chunk_idx
+      |  FROM toks WHERE LEN(w) > 0
+      |),
+      |ch AS (
+      |  SELECT doc_id, chunk_idx,
+      |         ARRAY_TO_STRING(LIST_SLICE(w, chunk_idx * 8 + 1, chunk_idx * 8 + 8), ' ') AS chunk_text
+      |  FROM idx
+      |),
+      |hot AS (
+      |  SELECT chunk_text FROM ch GROUP BY chunk_text
+      |  HAVING COUNT(DISTINCT doc_id) >= 2
+      |),
+      |kept AS (
+      |  SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text
+      |  FROM ch LEFT JOIN hot USING (chunk_text)
+      |  WHERE hot.chunk_text IS NULL
+      |),
+      |rebuilt AS (
+      |  SELECT doc_id,
+      |         STRING_AGG(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+      |         COUNT(*) AS kept_chunks
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |       COALESCE(r.clean_text, '') AS clean_text,
+      |       COALESCE(r.kept_chunks, 0) AS kept_chunks,
+      |       CAST(CEIL(LEN(t.w) / 8.0) AS BIGINT) AS total_chunks
+      |FROM toks t
+      |LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Temperature-scaled mixture weights over languages (α = 0.5,
+    * 1M-token budget): the multilingual-pretraining sampler — one
+    * count row per language, sqrt weighting, per-language expected
+    * epochs under the budget.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixture(Tables.documents(spark, dir),
+      "lang", TextFunctions.tokenCount(col("text")),
+      alpha = 0.5, budgetTokens = 1000000L)
+      .orderBy(col("lang"))
+
+  /** DuckDB oracle: identical arithmetic — IEEE sqrt (correctly
+    * rounded in both engines) quantized to DECIMAL(28,9), exact
+    * decimal normalizer sum, the same double op order for both
+    * outputs.
+    */
+  val temperatureMixtureSql: String =
+    """WITH c AS (
+      |  SELECT lang,
+      |         CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang
+      |),
+      |q AS (
+      |  SELECT lang, n_tokens,
+      |         CAST(SQRT(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,9)) AS na
+      |  FROM c
+      |),
+      |z AS (SELECT SUM(na) AS z FROM q)
+      |SELECT lang, n_tokens,
+      |       ROUND(CAST(na AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight,
+      |       ROUND(CAST(na AS DOUBLE) / CAST(z.z AS DOUBLE) * 1000000 / n_tokens, 6) AS expected_epochs
+      |FROM q, z
+      |ORDER BY lang""".stripMargin
+
   /** Schema-level profile of orders: one aggregation pass, one row per
     * column. Integer/string columns only — float min/max would compare
     * engine FORMATTING, not values.

@@ -137,19 +137,22 @@ object ExtensionQueries {
     * list comprehension) runs the same semantics at sf1.0 in ~110 s
     * with zero spill.
     */
+  // FNV-1a over the token's characters + splitmix64 finalizer — the
+  // engine's TextHashUtil.hashRange, ASCII corpus assumed (q22 note).
+  // Expects the token in scope as `t`; shared by the q21/q62 replay
+  // and q90's hashed-feature buckets.
+  private lazy val fnvMix: String =
+    s"""(WITH f AS (
+       |  SELECT list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+       |      list_transform(range(1, length(t)+1),
+       |        i -> CAST(ord(substr(t, CAST(i AS INTEGER), 1)) AS UBIGINT))),
+       |    (h, b) -> ${wrapMulSql("xor(h, b)", "1099511628211")}) AS h0),
+       | m1 AS (SELECT ${wrapMulSql("xor(h0, h0 >> 30)", "13787848793156543929")} AS h1 FROM f),
+       | m2 AS (SELECT ${wrapMulSql("xor(h1, h1 >> 27)", "10723151780598845931")} AS h2 FROM m1)
+       | SELECT xor(h2, h2 >> 31) FROM m2)""".stripMargin
+
   private val minhashReplayCtes: String = {
-    // FNV-1a over the token's characters + splitmix64 finalizer — the
-    // engine's TextHashUtil.hashRange, ASCII corpus assumed (q22 note)
-    val fnvMix =
-      s"""(WITH f AS (
-         |  SELECT list_reduce(
-         |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
-         |      list_transform(range(1, length(t)+1),
-         |        i -> CAST(ord(substr(t, CAST(i AS INTEGER), 1)) AS UBIGINT))),
-         |    (h, b) -> ${wrapMulSql("xor(h, b)", "1099511628211")}) AS h0),
-         | m1 AS (SELECT ${wrapMulSql("xor(h0, h0 >> 30)", "13787848793156543929")} AS h1 FROM f),
-         | m2 AS (SELECT ${wrapMulSql("xor(h1, h1 >> 27)", "10723151780598845931")} AS h2 FROM m1)
-         | SELECT xor(h2, h2 >> 31) FROM m2)""".stripMargin
     s"""corpus0 AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -825,7 +828,11 @@ object ExtensionQueries {
     * same overlapping pair counts, same (count DESC, pair ASC)
     * argmax.
     */
-  val bpeMergesSql: String = {
+  /** The q81 training replay as shareable CTEs: words → v0 → (p_i,
+    * m_i, v_i) for i = 1..n. `m_i` holds merge i as a single (l, r, n)
+    * row; q89's encode oracle applies the same merges.
+    */
+  private def bpeTrainCtes(n: Int): String = {
     def stage(i: Int) =
       s"""p$i AS (SELECT z[1] AS l, z[2] AS r, SUM(cnt) AS n
          |  FROM (SELECT cnt, UNNEST(LIST_ZIP(syms, syms[2:])) AS z
@@ -834,18 +841,123 @@ object ExtensionQueries {
          |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
          |v$i AS (SELECT REPLACE(s, '<'||m$i.l||'><'||m$i.r||'>', '<'||m$i.l||m$i.r||'>') AS s, cnt
          |  FROM v${i - 1}, m$i)""".stripMargin
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
        |v0 AS (SELECT '<' || ARRAY_TO_STRING(SPLIT(w, ''), '><') || '>' AS s, cnt FROM words),
-       |${Seq(1, 2, 3).map(stage).mkString(",\n")}
+       |${(1 to n).map(stage).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeMergesSql: String =
+    s"""WITH ${bpeTrainCtes(3)}
        |SELECT * FROM (
        |  SELECT 1 AS step, l AS merge_left, r AS merge_right, CAST(n AS BIGINT) AS pair_count FROM m1
        |  UNION ALL SELECT 2, l, r, CAST(n AS BIGINT) FROM m2
        |  UNION ALL SELECT 3, l, r, CAST(n AS BIGINT) FROM m3)
        |ORDER BY step""".stripMargin
+
+  /** BPE ENCODING under the q81-trained merge table: the corpus →
+    * bracketed-symbol token stream half of the tokenizer story. Trains
+    * the same 3 merges (one bounded control-plane collect), then
+    * encodes every document in a single narrow map pass through the
+    * native greedy-rank expression — per-word cost independent of
+    * merge count, no shuffle, whole-stage codegen.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.operators.Bpe.collectMerges(
+      graft.operators.Bpe.trainMerges(docs, "text", nMerges = 3))
+    graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
   }
+
+  /** DuckDB oracle: re-trains the 3 merges with the q81 replay CTEs,
+    * then applies them IN STEP ORDER as left-to-right non-overlapping
+    * replaces on each document's bracketed words — the replace-chain
+    * semantics the greedy rank encoder is spec-proven equivalent to
+    * (BpeSpec "greedy ≡ replace chain").
+    */
+  val bpeEncodeSql: String =
+    s"""WITH ${bpeTrainCtes(3)},
+       |db AS (
+       |  SELECT doc_id,
+       |         ARRAY_TO_STRING(LIST_TRANSFORM(
+       |           LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+       |                       w -> regexp_matches(w, '^[a-z]+$$')),
+       |           w -> '<' || ARRAY_TO_STRING(SPLIT(w, ''), '><') || '>'), ' ') AS s
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id,
+       |         REPLACE(REPLACE(REPLACE(s,
+       |           '<'||m1.l||'><'||m1.r||'>', '<'||m1.l||m1.r||'>'),
+       |           '<'||m2.l||'><'||m2.r||'>', '<'||m2.l||m2.r||'>'),
+       |           '<'||m3.l||'><'||m3.r||'>', '<'||m3.l||m3.r||'>') AS encoded
+       |  FROM db, m1, m2, m3)
+       |SELECT doc_id,
+       |       CAST(LENGTH(encoded) - LENGTH(REPLACE(encoded, '<', '')) AS INT) AS n_tokens,
+       |       encoded
+       |FROM enc
+       |ORDER BY doc_id""".stripMargin
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * every document scored by the log likelihood ratio of its hashed
+    * unigram feature bag under the lang='en' target slice vs the whole
+    * corpus; selected = looks more target- than raw-like. 256 hash
+    * buckets, add-1 smoothing, the q82 DECIMAL(18,9) quantization.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Dsir.importanceWeights(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+      buckets = 256, cutoff = 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: the identical pipeline — same FNV-1a+splitmix64
+    * token hashes (the q21 macro), same low-8-bit buckets WITH
+    * multiplicity, both smoothed models over all 256 buckets with
+    * ln quantized to DECIMAL(18,9) before the exact decimal
+    * subtraction and per-doc decimal dot product, one double division
+    * + round at the end.
+    */
+  val dsirWeightsSql: String =
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, lang,
+       |         UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS t
+       |  FROM documents),
+       |tok AS (SELECT doc_id, lang, t FROM tok0 WHERE t <> ''),
+       |th AS (SELECT doc_id, lang, $fnvMix AS h FROM tok),
+       |tb AS (SELECT doc_id, lang, CAST(h % 256 AS BIGINT) AS bucket FROM th),
+       |allb AS (SELECT UNNEST(RANGE(0, 256)) AS bucket),
+       |rawc AS (SELECT bucket, COUNT(*) AS c FROM tb GROUP BY 1),
+       |tgtc AS (SELECT bucket, COUNT(*) AS c FROM tb WHERE lang = 'en' GROUP BY 1),
+       |rawp AS (
+       |  SELECT a.bucket,
+       |         CAST(LN(CAST(COALESCE(r.c, 0) + 1 AS DOUBLE) / CAST(tt.t + 256 AS DOUBLE))
+       |              AS DECIMAL(18,9)) AS logp
+       |  FROM allb a LEFT JOIN rawc r USING (bucket),
+       |       (SELECT CAST(SUM(c) AS BIGINT) AS t FROM rawc) tt),
+       |tgtp AS (
+       |  SELECT a.bucket,
+       |         CAST(LN(CAST(COALESCE(r.c, 0) + 1 AS DOUBLE) / CAST(tt.t + 256 AS DOUBLE))
+       |              AS DECIMAL(18,9)) AS logp
+       |  FROM allb a LEFT JOIN tgtc r USING (bucket),
+       |       (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tgtc) tt),
+       |ratio AS (SELECT bucket, tgtp.logp - rawp.logp AS lr FROM tgtp JOIN rawp USING (bucket)),
+       |doc AS (
+       |  -- + 0.0 folds IEEE ROUND's -0.0 (tiny negative sums round to
+       |  -- negative zero) onto +0.0; Spark's BigDecimal HALF_UP round
+       |  -- cannot produce a signed zero, so the engines only agree
+       |  -- after the fold. Ratios straddle zero ONLY in this query —
+       |  -- q82's log-probs are always strongly negative.
+       |  SELECT tb.doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       |         ROUND(CAST(SUM(r.lr) AS DOUBLE) / COUNT(*), 6) + 0.0 AS avg_logratio
+       |  FROM tb JOIN ratio r USING (bucket) GROUP BY 1)
+       |SELECT doc_id, n_tokens, avg_logratio,
+       |       avg_logratio > 0.0 AS selected
+       |FROM doc
+       |ORDER BY doc_id""".stripMargin
 
   /** SemDeDup semantic dedup: within-cell exact-cosine duplicate
     * marking at threshold 0.95 over the IVF cells (same fixed

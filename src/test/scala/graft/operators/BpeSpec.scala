@@ -108,4 +108,47 @@ class BpeSpec extends SparkSpecBase {
     // stay an order of magnitude under sequential's ~2000
     assert(jobs < 200, s"expected bounded jobs for batched training, saw $jobs")
   }
+
+  test("encode matches hand computation; lowercases; drops non-[a-z]+ tokens") {
+    // merges from 'the cat the hat': (a,t), (h,e), (t,he)
+    val train = Seq((1L, "the cat the hat")).toDF("doc_id", "text")
+    val merges = Bpe.collectMerges(Bpe.trainMerges(train, "text", 3))
+    assert(merges == Seq(("a", "t"), ("h", "e"), ("t", "he")))
+    val got = Bpe.encode(
+      Seq((1L, "the cat that 123 Xy"), (2L, ""), (3L, "!?")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    // the → <the> (h,e then t,he); cat → <c><at>; that → <t><h><at>;
+    // 123 dropped; Xy lowercases to xy → <x><y>
+    assert(got(0).getString(2) == "<the> <c><at> <t><h><at> <x><y>")
+    assert(got(0).getInt(1) == 8)
+    assert(got(1).getString(2) == "" && got(1).getInt(1) == 0)
+    assert(got(2).getString(2) == "" && got(2).getInt(1) == 0)
+  }
+
+  test("greedy rank encode ≡ the rank-order replace chain (fixture corpus, 8 merges)") {
+    // the equivalence contract in BpeExpressions' scaladoc, pinned on
+    // real data: applying merges in step order as left-to-right
+    // non-overlapping replaces (the trainer's and the oracle's
+    // semantics) produces exactly the greedy min-rank encoder's output
+    val docs = table("documents")
+    val merges = Bpe.collectMerges(Bpe.trainMerges(docs, "text", 8))
+    assert(merges.size == 8)
+    val bracketed =
+      "array_join(transform(filter(split(lower(text), '\\\\s+'), " +
+        "w -> w rlike '^[a-z]+$'), w -> regexp_replace(w, '(.)', '<$1>')), ' ')"
+    val chain = merges.foldLeft(bracketed) { case (acc, (l, r)) =>
+      s"replace($acc, '<$l><$r>', '<$l$r>')"
+    }
+    val viaChain = docs.selectExpr("doc_id", s"$chain AS encoded")
+    val viaGreedy = Bpe.encode(docs, "doc_id", "text", merges)
+      .select($"doc_id", $"encoded")
+    assertSameRows(viaGreedy, viaChain)
+  }
+
+  test("encode with an empty merge table brackets every letter") {
+    val got = Bpe.encode(Seq((1L, "ab c")).toDF("doc_id", "text"),
+      "doc_id", "text", Nil).collect().head
+    assert(got.getString(2) == "<a><b> <c>" && got.getInt(1) == 3)
+  }
 }

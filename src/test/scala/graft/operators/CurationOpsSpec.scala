@@ -357,4 +357,74 @@ class CurationOpsSpec extends SparkSpecBase {
       .sortBy { case (t, n) => (-n, t) }.take(10)
     assert(got.toSeq == naive.toSeq)
   }
+
+  test("boilerplateChunkDedup drops hot chunks everywhere, including the first occurrence") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x1 x2 a b"),   // "x1 x2" shared with doc 2 → drops in BOTH
+      (2L, "x1 x2 c d"),
+      (3L, "e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateChunkDedup(d, "doc_id", "text", chunkWords = 2, maxDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "a b", 1L, 2L),
+      (2L, "c d", 1L, 2L),
+      (3L, "e f", 1L, 1L)))
+  }
+
+  test("boilerplateChunkDedup: within-doc repetition is not boilerplate; empty docs survive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "p q p q"),     // chunk "p q" twice in ONE doc — df = 1, kept
+      (2L, "z z"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateChunkDedup(d, "doc_id", "text", chunkWords = 2, maxDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "p q p q", 2L, 2L),
+      (2L, "z z", 1L, 1L),
+      (3L, "", 0L, 0L)))
+  }
+
+  test("boilerplateChunkDedup: pure-boilerplate docs survive with empty clean_text") {
+    import spark.implicits._
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "k m")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateChunkDedup(d, "doc_id", "text", chunkWords = 2, maxDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "", 0L), (2L, "", 0L), (3L, "k m", 1L)))
+  }
+
+  test("temperatureMixture: α=1 is proportional; α=0.5 upsamples the tail stratum") {
+    import spark.implicits._
+    // stratum a: 100 tokens (10 docs × 10), b: 400 (40 docs × 10)
+    val d = (0 until 10).map(i => (s"a$i", "a", ("t " * 10).trim)) ++
+      (0 until 40).map(i => (s"b$i", "b", ("t " * 10).trim))
+    val df = d.toDF("id", "lang", "text")
+    val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+    def byLang(alpha: Double) =
+      Sampling.temperatureMixture(df, "lang", toks, alpha, budgetTokens = 1000L)
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val p1 = byLang(1.0)
+    assert(p1 == Seq(("a", 100L, 0.2, 2.0), ("b", 400L, 0.8, 2.0)))
+    val p5 = byLang(0.5)
+    // sqrt: 10 / (10+20) = 1/3; epochs: (1/3)·1000/100 vs (2/3)·1000/400
+    assert(p5.map(_._1) == Seq("a", "b"))
+    assert(math.abs(p5(0)._3 - 0.333333) < 1e-9 && math.abs(p5(1)._3 - 0.666667) < 1e-9)
+    assert(math.abs(p5(0)._4 - 3.333333) < 1e-9 && math.abs(p5(1)._4 - 1.666667) < 1e-9)
+    // the tail stratum's SHARE rises as α falls — the sampler's point
+    assert(p5(0)._3 > p1(0)._3)
+  }
+
+  test("temperatureMixture weights sum to ~1 on the fixture languages") {
+    val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+    val w = Sampling.temperatureMixture(docs, "lang", toks, alpha = 0.5)
+      .agg(sum(col("weight"))).head.getDouble(0)
+    assert(math.abs(w - 1.0) < 1e-4, s"weights sum to $w")
+  }
 }

@@ -134,6 +134,7 @@ object SparkEntry {
     "q89_bpe_encode" -> (ExtensionQueries.bpeEncode _),
     "q90_dsir_weights" -> (ExtensionQueries.dsirWeights _),
     "q91_temperature_mixture" -> (CurationQueries.temperatureMixture _),
+    "q92_zorder_read" -> (IbtpQueries.zorderRead _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -226,5 +227,6 @@ object SparkEntry {
     "q89_bpe_encode" -> ExtensionQueries.bpeEncodeSql,
     "q90_dsir_weights" -> ExtensionQueries.dsirWeightsSql,
     "q91_temperature_mixture" -> CurationQueries.temperatureMixtureSql,
+    "q92_zorder_read" -> IbtpQueries.zorderReadSql,
   )
 }

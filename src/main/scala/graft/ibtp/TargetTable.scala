@@ -1383,9 +1383,11 @@ final class TargetTable(
   private def latestManifestBody(): Seq[String] =
     latestManifestRaw().map(_.filterNot(_.startsWith("#"))).getOrElse(Nil)
 
-  /** Live files with their parsed data-skipping stats, if any. */
-  private[ibtp] def latestManifestEntries(): Seq[(String, Option[FileSkipStat])] =
-    latestManifestBody().map(l => pathOf(l) -> statOf(l))
+  /** Live files with their parsed data-skipping stats (possibly one
+    * per declared stats column), if any.
+    */
+  private[ibtp] def latestManifestEntries(): Seq[(String, Seq[FileSkipStat])] =
+    latestManifestBody().map(l => pathOf(l) -> statsOf(l))
 
   private def schemaOfManifestLines(lines: Seq[String]): Option[StructType] =
     lines.find(_.startsWith("#schema="))
@@ -1402,25 +1404,34 @@ final class TargetTable(
   // The delta log closed the WRITE-side scale ceiling; without file-level
   // stats the READ side still plans every live file, so a cluster-key
   // point query on a compacted table opens a million footers to prune a
-  // million row groups. Manifest body lines therefore carry an OPTIONAL
-  // tab-separated stats blob — min/max of one declared column plus the
+  // million row groups. Manifest body lines therefore carry OPTIONAL
+  // tab-separated stats blobs — min/max of each declared column plus the
   // row count, read from the parquet FOOTERS of just-staged files at
   // write time (O(staged) small reads) — and [[readWhere]] prunes the
   // planned file list driver-side from the manifest alone, Delta-style:
-  // zero footer opens for skipped files. The stats column is declared in
-  // the header (`#statscol=`, set by `compact(clusterBy)` and carried
-  // forward by every commit); entries without stats are always planned
-  // (conservative), so relists/upgrades degrade to scan-all, never to
-  // wrong answers. Content correctness never depends on the stats: the
-  // pruning predicate is also applied as a residual filter.
+  // zero footer opens for skipped files. The stats columns are declared
+  // in the header (`#statscol=`, a comma-separated list set by
+  // `compact(clusterBy)` and carried forward by every commit; one blob
+  // per declared column per line, in declared order); entries without
+  // stats are always planned (conservative), so relists/upgrades degrade
+  // to scan-all, never to wrong answers. Content correctness never
+  // depends on the stats: the pruning predicate is also applied as a
+  // residual filter.
 
   private def statsColOfLines(lines: Seq[String]): Option[String] =
     lines.find(_.startsWith("#statscol="))
       .map(_.stripPrefix("#statscol=")).filter(_.nonEmpty)
 
-  /** The declared data-skipping column, from the newest header. */
+  /** The declared data-skipping column list, raw header form (a
+    * comma-separated string — the plumbing passes it through opaquely;
+    * legacy single-name headers are the one-element case).
+    */
   private[ibtp] def latestStatsCol(): Option[String] =
     statsColOfLines(latestHeaderLines())
+
+  /** The declared data-skipping columns, split. */
+  private[ibtp] def latestStatsCols(): Seq[String] =
+    latestStatsCol().toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
@@ -1444,14 +1455,12 @@ final class TargetTable(
     s"col=${b64(s.col)},t=${s.typ},min=${encVal(s.min, s.typ)}," +
       s"max=${encVal(s.max, s.typ)},rows=${s.rows}"
 
-  /** Parse a body line's stats blob; anything malformed degrades to
-    * None (planned, never pruned) rather than failing a read.
+  /** Parse ONE tab-delimited stats blob; anything malformed degrades
+    * to None (planned, never pruned) rather than failing a read.
     */
-  private def statOf(line: String): Option[FileSkipStat] = {
-    val i = line.indexOf('\t')
-    if (i < 0) None
-    else scala.util.Try {
-      val kv = line.substring(i + 1).split(",").flatMap { p =>
+  private def parseStatBlob(blob: String): Option[FileSkipStat] =
+    scala.util.Try {
+      val kv = blob.split(",").flatMap { p =>
         p.split("=", 2) match {
           case Array(k, v) => Some(k -> v)
           case _           => None
@@ -1463,6 +1472,12 @@ final class TargetTable(
         r  <- kv.get("rows").flatMap(_.toLongOption)
       } yield FileSkipStat(unb64(c), t, decVal(mn, t), decVal(mx, t), r)
     }.toOption.flatten
+
+  /** All stats blobs on a body line, declared order. */
+  private def statsOf(line: String): Seq[FileSkipStat] = {
+    val i = line.indexOf('\t')
+    if (i < 0) Nil
+    else line.substring(i + 1).split('\t').toSeq.flatMap(parseStatBlob)
   }
 
   /** Compile a pruning predicate over RAW body lines for one query —
@@ -1479,13 +1494,18 @@ final class TargetTable(
     val loL = canonBound(lo, "long");   val hiL = canonBound(hi, "long")
     val loD = canonBound(lo, "double"); val hiD = canonBound(hi, "double")
     val loS = canonBound(lo, "string"); val hiS = canonBound(hi, "string")
+    val seek = "\t" + prefix
     (line: String) => {
-      val tab = line.indexOf('\t')
-      if (tab < 0) true
+      // locate THIS column's blob anywhere in the tab-separated stats
+      // suffix (multi-column lines carry one blob per declared column);
+      // a line with no blob for the column is kept — prune on proof only
+      val at = line.indexOf(seek)
+      if (at < 0) true
       else {
-        val blob = line.substring(tab + 1)
-        if (!blob.startsWith(prefix)) true
-        else scala.util.Try {
+        val end0 = line.indexOf('\t', at + 1)
+        val end = if (end0 < 0) line.length else end0
+        val blob = line.substring(at + 1, end)
+        scala.util.Try {
           val tEnd  = blob.indexOf(",min=", prefix.length)
           val typ   = blob.substring(prefix.length, tEnd)
           val mEnd  = blob.indexOf(",max=", tEnd + 5)
@@ -1537,15 +1557,16 @@ final class TargetTable(
     case _                                 => None
   }
 
-  /** Read min/max/rowcount of `column` from the parquet FOOTERS of
-    * just-staged files — write-side cost O(staged files), which is what
-    * lets [[readWhere]] prune at plan time with zero footer opens. A
-    * file whose footer lacks usable stats for the column (unsupported
-    * physical type, NaN-polluted double range, stats dropped as
-    * oversized) yields no entry and is simply never pruned.
+  /** Read min/max/rowcount of `columns` from the parquet FOOTERS of
+    * just-staged files — ONE footer open per file regardless of column
+    * count; write-side cost O(staged files), which is what lets
+    * [[readWhere]] prune at plan time with zero footer opens. A file
+    * whose footer lacks usable stats for a column (unsupported physical
+    * type, NaN-polluted double range, stats dropped as oversized)
+    * yields no blob for THAT column and is simply never pruned on it.
     */
   private def footerStats(
-      files: Seq[(String, Path)], column: String): Map[String, FileSkipStat] = {
+      files: Seq[(String, Path)], columns: Seq[String]): Map[String, Seq[FileSkipStat]] = {
     import scala.jdk.CollectionConverters._
     import scala.language.existentials // parquet's Statistics[T <: Comparable[T]]
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -1558,8 +1579,25 @@ final class TargetTable(
         try {
           val blocks = r.getFooter.getBlocks.asScala.toSeq
           val rows = blocks.map(_.getRowCount).sum
-          // per-block (typ, min, max) in canonical space; ANY block
-          // without usable stats disqualifies the whole file
+          val stats = columns.flatMap(c => columnFooterStat(blocks, c, rows))
+          if (stats.isEmpty) None else Some(rel -> stats)
+        } finally r.close()
+      }.toOption.flatten
+    }.toMap
+  }
+
+  /** One column's canonical (typ, min, max) over a footer's blocks;
+    * ANY block without usable stats disqualifies the whole file for
+    * this column.
+    */
+  private def columnFooterStat(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      column: String, rows: Long): Option[FileSkipStat] = {
+    import scala.jdk.CollectionConverters._
+    import scala.language.existentials // parquet's Statistics[T <: Comparable[T]]
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    {
           val per: Seq[Option[(String, Any, Any)]] = blocks.map { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == column)
               .flatMap { c =>
@@ -1613,26 +1651,36 @@ final class TargetTable(
             }
             val mn = ss.map(_._2).reduce((a, b) => if (less(a, b)) a else b)
             val mx = ss.map(_._3).reduce((a, b) => if (less(a, b)) b else a)
-            Some(rel -> FileSkipStat(column, typ, mn.toString, mx.toString, rows))
+            Some(FileSkipStat(column, typ, mn.toString, mx.toString, rows))
           }
-        } finally r.close()
-      }.toOption.flatten
-    }.toMap
+    }
   }
 
   /** Attach per-file skip stats to staged relative paths (footer reads
     * against `base` — the stage dir, BEFORE the files move). No declared
-    * stats column → lines pass through unchanged.
+    * stats columns → lines pass through unchanged. `columnsCsv` is the
+    * raw header form (comma-separated).
     */
   private def enrichWithStats(
       stagedRel: Seq[String], base: Path,
-      column: Option[String]): Seq[String] =
-    column match {
-      case None => stagedRel
-      case Some(c) =>
-        val stats = footerStats(stagedRel.map(r => r -> new Path(base, r)), c)
-        stagedRel.map(r => stats.get(r).fold(r)(s => r + "\t" + encodeStat(s)))
+      columnsCsv: Option[String]): Seq[String] =
+    enrichPairsWithStats(stagedRel.map(r => r -> new Path(base, r)), columnsCsv)
+
+  /** [[enrichWithStats]] over explicit (relative path, file) pairs —
+    * one blob per declared column that produced usable footer stats,
+    * declared order.
+    */
+  private def enrichPairsWithStats(
+      pairs: Seq[(String, Path)], columnsCsv: Option[String]): Seq[String] = {
+    val cols = columnsCsv.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    if (cols.isEmpty) pairs.map(_._1)
+    else {
+      val stats = footerStats(pairs, cols)
+      pairs.map { case (r, _) =>
+        stats.get(r).fold(r)(ss => r + ss.map(s => "\t" + encodeStat(s)).mkString)
+      }
     }
+  }
 
   /** Range read with DRIVER-SIDE file skipping: plans only the live
     * files whose recorded [min, max] for `column` intersects [lo, hi]
@@ -1660,6 +1708,33 @@ final class TargetTable(
     (body.collect { case l if keep(l) => pathOf(l) }, body.size)
   }
 
+  /** Conjunctive data-skipping read: plans only the live files whose
+    * recorded ranges intersect EVERY (column, lo, hi) predicate —
+    * per-file pruners AND together, each conservative on its own — then
+    * applies the exact conjunction as a residual filter. On a
+    * Z-ORDERED table ([[compact]] `zorder = true`) every predicate
+    * prunes multiplicatively: each file covers a z-curve segment, so
+    * its min/max are narrow on ALL cluster dimensions at once — the
+    * multi-dimensional complement of single-key clustering.
+    */
+  def readWhereAll(preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readWhereAll needs at least one predicate")
+    val pruners = preds.map { case (c, lo, hi) => compilePruner(c, lo, hi) }
+    val residual = preds
+      .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduce(_ && _)
+    readRawPruned(l => pruners.forall(_(l)))
+      .filter(residual)
+      .drop(PartitionCol)
+  }
+
+  /** Plan-time probe for [[readWhereAll]]: (files kept, total live). */
+  def planFilesForAll(preds: Seq[(String, Any, Any)]): (Seq[String], Int) = {
+    val body = latestManifestBody()
+    val pruners = preds.map { case (c, lo, hi) => compilePruner(c, lo, hi) }
+    (body.collect { case l if pruners.forall(_(l)) => pathOf(l) }, body.size)
+  }
+
   /** Metadata-only COUNT(*): the sum of the per-file row counts the
     * manifest stats record — zero scan, zero footer opens — available
     * exactly when EVERY live file carries stats (None otherwise: a
@@ -1676,7 +1751,7 @@ final class TargetTable(
       // would be silently wrong
       val entries = latestManifestEntries()
       if (entries.exists(_._2.isEmpty)) None
-      else Some(entries.map(_._2.get.rows).sum)
+      else Some(entries.map(_._2.head.rows).sum)
     }
 
   /** Writer epoch this instance's held lease was acquired under (None
@@ -2427,22 +2502,40 @@ final class TargetTable(
     * periodic `compact(clusterBy = ...)` keeps exactly the
     * freshly-fragmented partitions clustered.
     */
+  /** `zorder = true` (with ≥ 2 `clusterBy` columns) lays each rewritten
+    * partition on a Morton curve instead of the lexicographic range
+    * sort: per-column equal-depth buckets (boundaries sampled per
+    * partition via `approxQuantile` — one extra pass next to the
+    * rewrite itself) interleave into a curve key, and files cut along
+    * the curve carry narrow min/max on EVERY cluster dimension — the
+    * manifest stats (recorded for all cluster columns either way) then
+    * prune [[readWhere]]/[[readWhereAll]] on any of them, where a
+    * lexicographic layout only serves its leading column. Delta's
+    * OPTIMIZE ZORDER BY, manifest-native.
+    */
   def compact(
       from: Option[LocalDate] = None,
       to: Option[LocalDate] = None,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Seq[String] = Nil): Seq[CompactionStat] =
+      clusterBy: Seq[String] = Nil,
+      zorder: Boolean = false): Seq[CompactionStat] =
     // compaction is a writer: its repairs and rewrites must not
     // interleave with a live materialization (reentrant when the runner
     // calls it under its own lease)
     if (!exists) Nil
-    else withWriterLease() { compactLocked(from, to, targetFileBytes, clusterBy) }
+    else withWriterLease() {
+      compactLocked(from, to, targetFileBytes, clusterBy, zorder)
+    }
 
   private def compactLocked(
       from: Option[LocalDate],
       to: Option[LocalDate],
       targetFileBytes: Long,
-      clusterBy: Seq[String] = Nil): Seq[CompactionStat] = {
+      clusterBy: Seq[String] = Nil,
+      zorder: Boolean = false): Seq[CompactionStat] = {
+    require(!zorder || clusterBy.size >= 2,
+      "zorder needs at least two clusterBy columns (one column is plain " +
+        "range clustering already)")
     repairOrphanedCompact()
     repairOrphanedReplace() // staged-uncommitted replace files must not be relisted as live
     repairOrphanedAppends() // ditto for a crashed predecessor's moved-but-uncommitted appends
@@ -2477,12 +2570,14 @@ final class TargetTable(
     val liveByDir: Map[String, Set[String]] = latestManifest().getOrElse(Nil)
       .groupBy(_.takeWhile(_ != '/'))
       .map { case (dn, fs) => dn -> fs.map(_.drop(dn.length + 1)).toSet }
-    // the data-skipping column this run records per rewritten file: a
-    // clustered compaction DECLARES its cluster key as the table's stats
-    // column (all later appends stat it too); a plain compaction keeps
-    // statting whatever was declared before. Hoisted: one header read
-    // per run, not per partition.
-    val statsCol = clusterBy.headOption.orElse(latestStatsCol())
+    // the data-skipping columns this run records per rewritten file: a
+    // clustered compaction DECLARES its cluster keys (ALL of them) as
+    // the table's stats columns (all later appends stat them too); a
+    // plain compaction keeps statting whatever was declared before.
+    // Hoisted: one header read per run, not per partition.
+    val statsCol =
+      if (clusterBy.nonEmpty) Some(clusterBy.mkString(","))
+      else latestStatsCol()
     parts.flatMap { case (d, dir) =>
       // LIVE files only, from the manifest: trash-parked originals of a
       // prior compaction are still in the directory within the
@@ -2502,6 +2597,26 @@ final class TargetTable(
           val merged = reader.parquet(files.map(_.getPath.toString): _*)
           val arranged =
             if (clusterBy.isEmpty) merged.coalesce(targetFiles)
+            else if (zorder) {
+              // Morton layout: equal-depth bucket boundaries sampled
+              // from THIS partition's data (layout-only — approximate
+              // boundaries cannot affect contents), then range-cut and
+              // sort along the interleaved curve key
+              val nb = 256
+              val probs = (1 until nb).map(_.toDouble / nb).toArray
+              val qcols = clusterBy.indices.map(i => s"__graft_zq$i")
+              val bnds = merged
+                .select(clusterBy.zip(qcols).map { case (c, q) =>
+                  col(c).cast("double").as(q) }: _*)
+                .stat.approxQuantile(qcols.toArray, probs, 0.01)
+                .map(_.filter(d => !d.isNaN))
+              val zk = graft.functions.expressions.ZOrderFunctions
+                .zorder_key(clusterBy.map(c => col(c).cast("double")), bnds.toSeq)
+              merged.withColumn("__graft_zk", zk)
+                .repartitionByRange(targetFiles, col("__graft_zk"))
+                .sortWithinPartitions(col("__graft_zk"))
+                .drop("__graft_zk")
+            }
             else merged
               // range-cluster: disjoint key ranges per output file +
               // sorted row groups inside each — maximal min/max pruning
@@ -2521,14 +2636,8 @@ final class TargetTable(
           // footer stats BEFORE the moves, while the staged files still
           // live flat in the stage dir (compact writes one partition,
           // unpartitioned); the commit lines carry them
-          val stagedRel = staged.map(s => s"${dir.getName}/${s.getName}")
-          val stagedLines = statsCol match {
-            case None => stagedRel
-            case Some(c) =>
-              val byRel = footerStats(
-                staged.map(s => s"${dir.getName}/${s.getName}" -> s), c)
-              stagedRel.map(r => byRel.get(r).fold(r)(st => r + "\t" + encodeStat(st)))
-          }
+          val stagedLines = enrichPairsWithStats(
+            staged.map(s => s"${dir.getName}/${s.getName}" -> s), statsCol)
           staged.foreach { s =>
             fs.rename(s, new Path(dir, s.getName))
             crashPoint("compact:move")
@@ -2540,7 +2649,8 @@ final class TargetTable(
           // A clustered run also declares its key as the stats column
           // (idempotent — carried by every later header).
           commitManifestDelta(add = stagedLines, remove = origRel,
-            statsCol = clusterBy.headOption)
+            statsCol = if (clusterBy.nonEmpty) Some(clusterBy.mkString(","))
+                       else None)
           failCompactPoint(2) // manifest switched; originals still on disk
           crashPoint("compact:commit")
           writeTrash(origRel)

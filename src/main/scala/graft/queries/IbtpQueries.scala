@@ -417,6 +417,61 @@ object IbtpQueries {
       |WHERE user_id > b.q3
       |ORDER BY ts, event_id""".stripMargin
 
+  /** Multi-dimensional data skipping under the hash gate: fragmented
+    * ingest of the low-quartile bulk, `compact(clusterBy = (user_id,
+    * event_id), zorder = true)` — Morton layout, per-file stats on BOTH
+    * dimensions — then two appends each narrow on a DIFFERENT dimension
+    * (top user quartile; top event quartile). The conjunctive read
+    * plans through [[TargetTable.readWhereAll]], and the query REQUIRES
+    * that EACH dimension's pruning dropped files on its own — the
+    * trailing dimension included, which is exactly what a
+    * lexicographic layout cannot serve. At 100 TB this is OPTIMIZE
+    * ZORDER BY: one clustered table answering selective predicates on
+    * any clustered column without opening off-range footers.
+    */
+  def zorderRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+    val mx = ev.agg(max(col("user_id")).as("u"), max(col("event_id")).as("e")).head
+    val (q3u, q3e) = (3L * mx.getLong(0) / 4L, 3L * mx.getLong(1) / 4L)
+    val targetDir = Files.createTempDirectory("ibtp_q_zorder").toString
+    val target = new TargetTable(spark, targetDir, "ts", countRows = false)
+    // a TOTAL split on coalesced keys: top-user slice, then top-event
+    // slice of the rest, then the bulk — every row lands exactly once
+    val u = coalesce(col("user_id"), lit(0L))
+    val e = coalesce(col("event_id"), lit(0L))
+    val topU = u > q3u
+    val topE = !topU && (e > q3e)
+    val base = ev.filter(!topU && !topE)
+    val even = coalesce(col("user_id") % 2, lit(0)) === 0
+    target.init(base.filter(even))
+    target.append(base.filter(!even))
+    require(target.compact(clusterBy = Seq("user_id", "event_id"),
+      zorder = true).nonEmpty, "fragmented partitions must compact")
+    target.append(ev.filter(topU))
+    target.append(ev.filter(topE))
+    // each dimension must prune on its own — user_id drops the top-user
+    // files, event_id drops the top-event files (zorder statted both)
+    val (ku, totU) = target.planFilesForRange("user_id", 0L, q3u)
+    val (ke, totE) = target.planFilesForRange("event_id", 0L, q3e)
+    require(ku.size < totU,
+      s"user_id pruning must drop files (kept ${ku.size} of $totU)")
+    require(ke.size < totE,
+      s"event_id pruning must drop files (kept ${ke.size} of $totE)")
+    target.readWhereAll(Seq(("user_id", 0L, q3u), ("event_id", 0L, q3e)))
+      .orderBy(col("ts"), col("event_id"))
+  }
+
+  val zorderReadSql: String =
+    """WITH b AS (SELECT (3 * MAX(user_id)) // 4 AS q3u,
+      |                  (3 * MAX(event_id)) // 4 AS q3e FROM events)
+      |SELECT ts, event_id, user_id, event_type, value
+      |FROM events, b
+      |WHERE user_id BETWEEN 0 AND b.q3u
+      |  AND event_id BETWEEN 0 AND b.q3e
+      |ORDER BY ts, event_id""".stripMargin
+
   /** Both loop queries share this one-shot full-range oracle. */
   val loopOracleSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,

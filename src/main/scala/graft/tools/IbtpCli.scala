@@ -30,6 +30,7 @@ import graft.sources.{GraftSession, Tables}
   * {{{
   * runMain graft.tools.IbtpCli --compact-only --target /path/tbl \
   *   --timestamp-field day [--target-file-bytes N] [--cluster-by k1,k2]
+  *   [--zorder]   (Morton layout: every cluster column prunes)
   * runMain graft.tools.IbtpCli --vacuum-only --target /path/tbl \
   *   --timestamp-field day [--retention-ms N]   (reap trash-parked files)
   * runMain graft.tools.IbtpCli --upgrade-manifest --target /path/tbl \
@@ -65,9 +66,12 @@ object IbtpCli {
           targetFileBytes = opts.get("target-file-bytes").map(_.toLong)
             .getOrElse(128L * 1024 * 1024),
           // --cluster-by k1,k2: range-cluster rewritten partitions for
-          // min/max file and row-group pruning on those columns
+          // min/max file and row-group pruning on those columns;
+          // --zorder lays them on a Morton curve instead so EVERY
+          // cluster column prunes, not just the leading one
           clusterBy = opts.get("cluster-by")
-            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+          zorder = opts.contains("zorder"))
         stats.foreach(st => println(
           s"[ibtp] compacted ${st.partitionLabel}: ${st.filesBefore} -> ${st.filesAfter} files"))
         if (stats.isEmpty) println("[ibtp] compact: nothing to do")

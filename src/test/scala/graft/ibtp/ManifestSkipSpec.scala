@@ -43,14 +43,15 @@ class ManifestSkipSpec extends SparkSpecBase {
     assert(t.latestStatsCol().contains("user_id"),
       "compact(clusterBy) must declare its key as the table's stats column")
     val entries = t.latestManifestEntries()
-    val statted = entries.filter(_._2.isDefined)
+    val statted = entries.filter(_._2.nonEmpty)
     assert(statted.nonEmpty, "compacted and appended files must carry stats")
-    statted.foreach { case (p, Some(s)) =>
+    statted.foreach { case (p, ss) =>
+      val s = ss.head
       assert(s.col == "user_id" && s.typ == "long", s"$p: $s")
       assert(s.min.toLong <= s.max.toLong && s.rows > 0, s"$p: $s")
     }
     // the appended slices really recorded their narrow ranges
-    assert(statted.exists(e => e._2.get.min.toLong >= 12),
+    assert(statted.exists(e => e._2.head.min.toLong >= 12),
       "the [12,14] append's files must record min >= 12")
   }
 
@@ -63,8 +64,9 @@ class ManifestSkipSpec extends SparkSpecBase {
       s"point query must prune: kept ${kept.size} of $total")
     // exactness of the pruning decision: kept ⟺ stat-less OR range-hit
     val expected = entries.collect {
-      case (p, None) => p
-      case (p, Some(s)) if s.min.toLong <= 13L && s.max.toLong >= 13L => p
+      case (p, ss) if !ss.exists(_.col == "user_id") => p
+      case (p, ss) if ss.exists(s =>
+        s.col == "user_id" && s.min.toLong <= 13L && s.max.toLong >= 13L) => p
     }
     assert(kept.sorted == expected.sorted)
     // and the SCAN plans a subset of the kept files — nothing more
@@ -179,7 +181,7 @@ class ManifestSkipSpec extends SparkSpecBase {
 
   test("stats survive checkpoint folds and snapshot replaces of other partitions") {
     val t = buildClustered(tmpDir("skip_survive") + "/tbl")
-    def stattedCount() = t.latestManifestEntries().count(_._2.isDefined)
+    def stattedCount() = t.latestManifestEntries().count(_._2.nonEmpty)
     val before = stattedCount()
     assert(before > 0)
     // enough no-op-ish commits to force a delta->checkpoint fold
@@ -200,11 +202,104 @@ class ManifestSkipSpec extends SparkSpecBase {
     val replacedDirs = (0 until 2).map(i => s"p_date=${from.plusDays(i)}")
     val replacedEntries = t.latestManifestEntries()
       .filter(e => replacedDirs.contains(e._1.takeWhile(_ != '/')))
-    assert(replacedEntries.nonEmpty && replacedEntries.forall(_._2.isDefined),
+    assert(replacedEntries.nonEmpty && replacedEntries.forall(_._2.nonEmpty),
       "replace-staged files must carry stats when a stats column is declared")
     // and the table still answers exactly
     assertSameRows(
       t.readWhere("user_id", 13L, 13L),
       t.read().filter(col("user_id") === 13L))
+  }
+
+  /** One day-partition, a 64×128 (user_id, event_id) grid ingested as
+    * 32 fragmented commits — enough files that compaction rewrites to
+    * ~a dozen output files whose layout the test can interrogate.
+    */
+  private def buildGrid(dir: String): TargetTable = {
+    import spark.implicits._
+    val rows = (0 until 8192).map { i =>
+      (java.sql.Timestamp.valueOf("2024-03-01 12:00:00"),
+        (i % 64).toLong, (i / 64).toLong, i.toDouble)
+    }.toDF("ts", "user_id", "event_id", "value")
+    val t = new TargetTable(spark, dir, "ts", countRows = false)
+    t.init(rows.filter($"event_id" < 4).coalesce(1))
+    (1 until 32).foreach { s =>
+      t.append(rows.filter($"event_id" >= s * 4 && $"event_id" < (s + 1) * 4)
+        .coalesce(1))
+    }
+    t
+  }
+
+  test("zorder compaction: both dimensions' stats recorded, both prune, contents exact") {
+    val t = buildGrid(tmpDir("skip_z") + "/tbl")
+    val want = t.read().count()
+    val stats = t.compact(clusterBy = Seq("user_id", "event_id"),
+      zorder = true, targetFileBytes = 16 * 1024)
+    assert(stats.nonEmpty, "fragmented grid must compact")
+    assert(t.latestStatsCols() == Seq("user_id", "event_id"),
+      "zorder must declare ALL cluster columns as stats columns")
+    val entries = t.latestManifestEntries()
+    val statted = entries.filter(_._2.nonEmpty)
+    assert(statted.nonEmpty &&
+      statted.forall(_._2.map(_.col) == Seq("user_id", "event_id")),
+      "every statted line must carry one blob per declared column, declared order")
+    assert(entries.size >= 4, s"need multiple files to demo pruning, got ${entries.size}")
+    // the curve layout prunes on EVERY dimension — not just a prefix
+    val (ku, total) = t.planFilesForRange("user_id", 8L, 15L)
+    val (ke, _)     = t.planFilesForRange("event_id", 16L, 31L)
+    assert(ku.size < total, s"user_id band must prune: ${ku.size} of $total")
+    assert(ke.size < total, s"event_id band must prune: ${ke.size} of $total")
+    // conjunction prunes at least as hard as either side
+    val (kb, _) = t.planFilesForAll(Seq(
+      ("user_id", 8L, 15L), ("event_id", 16L, 31L)))
+    assert(kb.size <= math.min(ku.size, ke.size))
+    // exact contents: conjunction read ≡ plain filtered read; rewrite
+    // content-invariant
+    assert(t.read().count() == want)
+    assertSameRows(
+      t.readWhereAll(Seq(("user_id", 8L, 15L), ("event_id", 16L, 31L))),
+      t.read().filter(col("user_id").between(8, 15) &&
+        col("event_id").between(16, 31)))
+  }
+
+  test("zorder beats lexicographic clustering on the trailing dimension") {
+    val tz = buildGrid(tmpDir("skip_zvs") + "/tblz")
+    val tl = buildGrid(tmpDir("skip_zvs") + "/tbll")
+    tz.compact(clusterBy = Seq("user_id", "event_id"), zorder = true,
+      targetFileBytes = 16 * 1024)
+    tl.compact(clusterBy = Seq("user_id", "event_id"),
+      targetFileBytes = 16 * 1024)
+    // lexicographic: user_id dominates the sort, so every file spans
+    // ~the full event_id range and a trailing-dimension band keeps
+    // (almost) everything; the curve keeps every dimension narrow
+    val (zKept, zTotal) = tz.planFilesForRange("event_id", 16L, 31L)
+    val (lKept, lTotal) = tl.planFilesForRange("event_id", 16L, 31L)
+    assert(zTotal >= 4 && lTotal >= 4, s"need files: z=$zTotal lex=$lTotal")
+    assert(zKept.size < lKept.size,
+      s"curve layout must out-prune lexicographic on the trailing dim: " +
+        s"z ${zKept.size}/$zTotal vs lex ${lKept.size}/$lTotal")
+    // both stay exact
+    assertSameRows(
+      tz.readWhere("event_id", 16L, 31L),
+      tl.readWhere("event_id", 16L, 31L))
+  }
+
+  test("multi-column stats serve fastRowCount and survive appends") {
+    val t = buildGrid(tmpDir("skip_zcount") + "/tbl")
+    t.compact(clusterBy = Seq("user_id", "event_id"), zorder = true,
+      targetFileBytes = 16 * 1024)
+    val want = t.read().count()
+    assert(t.fastRowCount().contains(want))
+    // appends after the 2-column declaration stat BOTH columns
+    import spark.implicits._
+    t.append(Seq((java.sql.Timestamp.valueOf("2024-03-02 12:00:00"),
+      999L, 999L, 0.0)).toDF("ts", "user_id", "event_id", "value"))
+    assert(t.fastRowCount().contains(want + 1))
+    val appended = t.latestManifestEntries()
+      .filter(_._1.startsWith("p_date=2024-03-02"))
+    assert(appended.nonEmpty &&
+      appended.forall(_._2.map(_.col) == Seq("user_id", "event_id")))
+    // the narrow appended file is prunable on the SECOND column alone
+    val (kept, total) = t.planFilesForRange("event_id", 999L, 999L)
+    assert(kept.size < total)
   }
 }

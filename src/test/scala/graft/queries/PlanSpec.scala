@@ -348,4 +348,53 @@ class PlanSpec extends SparkSpecBase {
       .findFirstIn(p).isDefined,
       s"within-cell pairs must come from a centroid_id equi-join:\n$p")
   }
+
+  test("boilerplateChunkDedup shuffles chunk keys, never chunk text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = graft.SparkEntry.queries("q88_chunk_dedup")(spark, sfDir)
+    df.collect()
+    val exchanges = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected the doc-frequency exchanges")
+    assert(!exchanges.exists(_.outputPartitioning.toString.contains("chunk_text")),
+      "frequency agg keyed on chunk text")
+    // the (hash, len)-keyed exchanges move no string payload — like
+    // spanDedup, reassembly slices each doc's OWN token array
+    val chunkExchanges = exchanges.filter(
+      _.outputPartitioning.toString.contains("chunk_hash"))
+    assert(chunkExchanges.nonEmpty, "chunk-hash exchange not found")
+    assert(chunkExchanges.forall(_.child.output.forall(_.dataType != StringType)),
+      "string column rides the chunk exchange")
+  }
+
+  test("BPE encode is one narrow map pass — no shuffle, inside codegen") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val merges = graft.operators.Bpe.collectMerges(
+      graft.operators.Bpe.trainMerges(table("documents"), "text", 3))
+    val df = graft.operators.Bpe.encode(table("documents"), "doc_id", "text", merges)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "encoding must not shuffle — the merge table rides as a reference object")
+    // the `*(n)` stage marker on the bpe_encode projection line IS the
+    // whole-stage-codegen pin (executedPlan.toString renders stages
+    // that way, not as WholeStageCodegen nodes)
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*bpe_encode""".r.findFirstIn(p).isDefined,
+      s"encode projection must stay inside whole-stage codegen:\n$p")
+  }
+
+  test("DSIR scoring broadcasts the bucket-ratio table; text never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.SparkEntry.queries("q90_dsir_weights")(spark, sfDir)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the 256-row log-ratio table must broadcast onto the scoring pass")
+    val exchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(!exchanges.exists(_.output.exists(_.name == "text")),
+      "document text must never ride an exchange — only bucket ids and decimals")
+  }
 }

@@ -34,14 +34,21 @@ object ManifestBench {
       // user_id range, the shape compact(clusterBy) maintains
       def b64(s: String) =
         java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+      // two-column stats: user_id disjoint 1k ranges (lexicographic
+      // leading key) PLUS a z-curve-shaped event_id range (bit-reversed
+      // index scaled to 1k-wide windows) — the multi-column layout
+      // compact(clusterBy, zorder) maintains
       val lines = (1 to n).map { i =>
+        val erev = (java.lang.Integer.reverse(i) >>> 12).toLong & 0xfffffL
         f"p_date=2024-01-01/part-$i%08d.parquet" +
           s"\tcol=${b64("user_id")},t=long,min=${i * 1000L}," +
-          s"max=${i * 1000L + 999L},rows=1000"
+          s"max=${i * 1000L + 999L},rows=1000" +
+          s"\tcol=${b64("event_id")},t=long,min=${erev * 1000L}," +
+          s"max=${erev * 1000L + 999L},rows=1000"
       }
       java.nio.file.Files.writeString(
         new java.io.File(mdir, "v0000000001_0000000001.list").toPath,
-        "#statscol=user_id\n" + lines.mkString("", "\n", "\n"))
+        "#statscol=user_id,event_id\n" + lines.mkString("", "\n", "\n"))
       // MBENCH_IDLE_MS emulates the inter-commit work a real run does
       // (a period's Spark job, seconds long): checkpoint folds are
       // asynchronous since round 12, so with ANY idle between commits
@@ -68,6 +75,14 @@ object ManifestBench {
       val t2 = System.nanoTime()
       val (kept, total) = t.planFilesForRange("user_id", point, point)
       val pruneMs = (System.nanoTime() - t2) / 1e6
+      // conjunctive prune on BOTH stats columns (readWhereAll's path):
+      // each per-line check is two blob seeks instead of one — the cost
+      // of multi-dimensional skipping at plan time
+      val epoint = ((java.lang.Integer.reverse(n / 2) >>> 12).toLong & 0xfffffL) * 1000L + 500L
+      val t3 = System.nanoTime()
+      val (kept2, _) = t.planFilesForAll(Seq(
+        ("user_id", point, point), ("event_id", epoint, epoint)))
+      val prune2Ms = (System.nanoTime() - t3) / 1e6
       println(
         s"""{"live_files":$n,"commits":$commitsPerSize,""" +
           f""""commit_ms_median":${sorted(sorted.size / 2)}%.3f,""" +
@@ -75,6 +90,7 @@ object ManifestBench {
           f""""commit_ms_max":${sorted.last}%.3f,""" +
           f""""replay_ms":$replayMs%.3f,"replayed_live":$live,""" +
           f""""prune_ms":$pruneMs%.3f,"planned_files":${kept.size},""" +
+          f""""prune2_ms":$prune2Ms%.3f,"planned_files_2d":${kept2.size},""" +
           s""""planned_total":$total}""")
     }
     spark.stop()

@@ -135,6 +135,8 @@ object SparkEntry {
     "q90_dsir_weights" -> (ExtensionQueries.dsirWeights _),
     "q91_temperature_mixture" -> (CurationQueries.temperatureMixture _),
     "q92_zorder_read" -> (IbtpQueries.zorderRead _),
+    "q93_set_read" -> (IbtpQueries.setRead _),
+    "q94_substring_scrub" -> (CurationQueries.substringScrub _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -228,5 +230,7 @@ object SparkEntry {
     "q90_dsir_weights" -> ExtensionQueries.dsirWeightsSql,
     "q91_temperature_mixture" -> CurationQueries.temperatureMixtureSql,
     "q92_zorder_read" -> IbtpQueries.zorderReadSql,
+    "q93_set_read" -> IbtpQueries.setReadSql,
+    "q94_substring_scrub" -> CurationQueries.substringScrubSql,
   )
 }

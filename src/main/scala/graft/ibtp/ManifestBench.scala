@@ -44,11 +44,16 @@ object ManifestBench {
           s"\tcol=${b64("user_id")},t=long,min=${i * 1000L}," +
           s"max=${i * 1000L + 999L},rows=1000" +
           s"\tcol=${b64("event_id")},t=long,min=${erev * 1000L}," +
-          s"max=${erev * 1000L + 999L},rows=1000"
+          s"max=${erev * 1000L + 999L},rows=1000" +
+          // categorical value sets: each file stores 2 of 20 languages —
+          // the dictionary-derived shape declareSetColumns maintains
+          s"\tset=${b64("lang")},t=string," +
+          s"v=${b64("l" + i % 20)};${b64("l" + (i + 7) % 20)}"
       }
       java.nio.file.Files.writeString(
         new java.io.File(mdir, "v0000000001_0000000001.list").toPath,
-        "#statscol=user_id,event_id\n" + lines.mkString("", "\n", "\n"))
+        "#statscol=user_id,event_id\n#setcol=lang\n" +
+          lines.mkString("", "\n", "\n"))
       // MBENCH_IDLE_MS emulates the inter-commit work a real run does
       // (a period's Spark job, seconds long): checkpoint folds are
       // asynchronous since round 12, so with ANY idle between commits
@@ -83,6 +88,11 @@ object ManifestBench {
       val (kept2, _) = t.planFilesForAll(Seq(
         ("user_id", point, point), ("event_id", epoint, epoint)))
       val prune2Ms = (System.nanoTime() - t3) / 1e6
+      // categorical membership prune (readWhereIn's path): one language
+      // of 20 keeps ~n/10 files (2 langs recorded per file)
+      val t4 = System.nanoTime()
+      val (keptIn, _) = t.planFilesForIn("lang", Seq("l3"))
+      val pruneInMs = (System.nanoTime() - t4) / 1e6
       println(
         s"""{"live_files":$n,"commits":$commitsPerSize,""" +
           f""""commit_ms_median":${sorted(sorted.size / 2)}%.3f,""" +
@@ -91,6 +101,7 @@ object ManifestBench {
           f""""replay_ms":$replayMs%.3f,"replayed_live":$live,""" +
           f""""prune_ms":$pruneMs%.3f,"planned_files":${kept.size},""" +
           f""""prune2_ms":$prune2Ms%.3f,"planned_files_2d":${kept2.size},""" +
+          f""""prune_in_ms":$pruneInMs%.3f,"planned_files_in":${keptIn.size},""" +
           s""""planned_total":$total}""")
     }
     spark.stop()

@@ -443,7 +443,7 @@ final class TargetTable(
         // skip stats ride the commit when the table declares a stats
         // column — footers read in the stage dir, before the moves
         // (markers and repair always use the PLAIN paths)
-        val stagedLines = enrichWithStats(stagedRel, stage, latestStatsCol())
+        val stagedLines = enrichWithStats(stagedRel, stage, latestStatsCol(), latestSetCol())
         val marker = new Path(path, AppendIntentPrefix + id)
         writeMarker(marker, s"files=${stagedRel.mkString(",")}\n")
         crashPoint("append:marker")
@@ -1422,6 +1422,31 @@ final class TargetTable(
     lines.find(_.startsWith("#statscol="))
       .map(_.stripPrefix("#statscol=")).filter(_.nonEmpty)
 
+  private def setColOfLines(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith("#setcol="))
+      .map(_.stripPrefix("#setcol=")).filter(_.nonEmpty)
+
+  /** The declared VALUE-SET skipping column list, raw header form (a
+    * comma-separated string, like `#statscol=`). Min/max stats answer
+    * range predicates on CLUSTERED columns; they are useless for a
+    * categorical point lookup on a column every file spans (`lang =
+    * 'de'` when each file holds all five languages mixed — min..max is
+    * always 'de'..'zh'). For the declared set columns, write paths
+    * additionally record each staged file's EXACT distinct-value set,
+    * read from the parquet DICTIONARY pages of the just-staged files
+    * (a fully dictionary-encoded chunk's dictionary IS its value set —
+    * one page per file, no data scan), capped at
+    * [[TargetTable.MaxSetValues]] values; [[readWhereIn]] then prunes
+    * the planned file list driver-side to the files whose recorded set
+    * intersects the queried values.
+    */
+  private[ibtp] def latestSetCol(): Option[String] =
+    setColOfLines(latestHeaderLines())
+
+  /** The declared value-set columns, split. */
+  private[ibtp] def latestSetCols(): Seq[String] =
+    latestSetCol().toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** The declared data-skipping column list, raw header form (a
     * comma-separated string — the plumbing passes it through opaquely;
     * legacy single-name headers are the one-element case).
@@ -1454,6 +1479,38 @@ final class TargetTable(
   private def encodeStat(s: FileSkipStat): String =
     s"col=${b64(s.col)},t=${s.typ},min=${encVal(s.min, s.typ)}," +
       s"max=${encVal(s.max, s.typ)},rows=${s.rows}"
+
+  /** Serialize a value set as a tab-suffix blob. Values separate with
+    * ';' — absent from the Base64 alphabet and from the canonical
+    * numeric forms, so no value can smuggle a separator.
+    */
+  private def encodeSetBlob(s: FileValueSet): String =
+    s"set=${b64(s.col)},t=${s.typ},v=${s.vals.map(encVal(_, s.typ)).mkString(";")}"
+
+  /** Parse ONE value-set blob; malformed → None (planned, not pruned). */
+  private def parseSetBlob(blob: String): Option[FileValueSet] =
+    scala.util.Try {
+      if (!blob.startsWith("set=")) None
+      else {
+        val tAt = blob.indexOf(",t=")
+        val vAt = blob.indexOf(",v=", tAt + 3)
+        val t = blob.substring(tAt + 3, vAt)
+        Some(FileValueSet(
+          unb64(blob.substring(4, tAt)), t,
+          blob.substring(vAt + 3).split(';').toSeq
+            .filter(_.nonEmpty).map(decVal(_, t))))
+      }
+    }.toOption.flatten
+
+  /** Live files with their parsed value sets, if any (test/probe view). */
+  private[ibtp] def latestManifestSets(): Seq[(String, Seq[FileValueSet])] = {
+    def setsOf(line: String): Seq[FileValueSet] = {
+      val i = line.indexOf('\t')
+      if (i < 0) Nil
+      else line.substring(i + 1).split('\t').toSeq.flatMap(parseSetBlob)
+    }
+    latestManifestBody().map(l => pathOf(l) -> setsOf(l))
+  }
 
   /** Parse ONE tab-delimited stats blob; anything malformed degrades
     * to None (planned, never pruned) rather than failing a read.
@@ -1565,12 +1622,17 @@ final class TargetTable(
     * type, NaN-polluted double range, stats dropped as oversized)
     * yields no blob for THAT column and is simply never pruned on it.
     */
-  private def footerStats(
-      files: Seq[(String, Path)], columns: Seq[String]): Map[String, Seq[FileSkipStat]] = {
+  /** Encoded skip blobs (min/max stats, then value sets) per staged
+    * file — ONE reader open per file regardless of column count; the
+    * value sets additionally read the dictionary PAGES (one small page
+    * per column chunk), still O(staged files) small I/O, never a data
+    * scan. A file that yields nothing for a column simply carries no
+    * blob for it and is never pruned on it.
+    */
+  private def footerBlobs(
+      files: Seq[(String, Path)], statCols: Seq[String],
+      setCols: Seq[String]): Map[String, Seq[String]] = {
     import scala.jdk.CollectionConverters._
-    import scala.language.existentials // parquet's Statistics[T <: Comparable[T]]
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sparkContext.hadoopConfiguration
     files.flatMap { case (rel, p) =>
       scala.util.Try {
@@ -1579,11 +1641,94 @@ final class TargetTable(
         try {
           val blocks = r.getFooter.getBlocks.asScala.toSeq
           val rows = blocks.map(_.getRowCount).sum
-          val stats = columns.flatMap(c => columnFooterStat(blocks, c, rows))
-          if (stats.isEmpty) None else Some(rel -> stats)
+          // dictionary stores come via the cursor API (the indexed
+          // accessor's return type is not public); one pass, in order
+          val stores =
+            if (setCols.isEmpty) Nil
+            else blocks.map { _ =>
+              val s = r.getNextDictionaryReader()
+              r.skipNextRowGroup()
+              s
+            }
+          val blobs =
+            statCols.flatMap(c => columnFooterStat(blocks, c, rows))
+              .map(encodeStat) ++
+            setCols.flatMap(c => columnValueSet(r, blocks.zip(stores), c))
+              .map(encodeSetBlob)
+          if (blobs.isEmpty) None else Some(rel -> blobs)
         } finally r.close()
       }.toOption.flatten
     }.toMap
+  }
+
+  /** One file's exact value set for `column`, from its parquet
+    * dictionary pages. Usable only when EVERY column chunk is fully
+    * dictionary-encoded (per EncodingStats — a PLAIN fallback page
+    * means values exist outside the dictionary) and the union of
+    * entries stays within [[TargetTable.MaxSetValues]]. A dictionary
+    * can only OVER-state the chunk's values (entries are added on
+    * occurrence; a page rewrite could orphan some), which keeps the
+    * pruning conservative: membership is proof of possible presence,
+    * absence is proof of absence.
+    */
+  private def columnValueSet(
+      reader: org.apache.parquet.hadoop.ParquetFileReader,
+      blocks: Seq[(org.apache.parquet.hadoop.metadata.BlockMetaData,
+        org.apache.parquet.column.page.DictionaryPageReadStore)],
+      column: String): Option[FileValueSet] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val schemaP = reader.getFooter.getFileMetaData.getSchema
+    val per: Seq[Option[(String, Seq[String])]] = blocks.map { case (b, store) =>
+      b.getColumns.asScala.find(_.getPath.toDotString == column).flatMap { c =>
+        val es = c.getEncodingStats
+        if (es == null || !es.hasDictionaryPages || es.hasNonDictionaryEncodedPages) None
+        else scala.util.Try {
+          val cd = schemaP.getColumnDescription(c.getPath.toArray)
+          val dp = store.readDictionaryPage(cd)
+          if (dp == null) None
+          else {
+            val dict = dp.getEncoding.initDictionary(cd, dp)
+            val ids = 0 to dict.getMaxId
+            val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+            // the same canonical value spaces as [[columnFooterStat]],
+            // so [[canonBound]] serves both pruners
+            c.getPrimitiveType.getPrimitiveTypeName match {
+              case INT32 =>
+                Some(("long", ids.map(i => dict.decodeToInt(i).toLong.toString)))
+              case INT64 =>
+                val scale = ann match {
+                  case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    ts.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                      case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                      case _ => 0L // NANOS: lossy divide, not worth it
+                    }
+                  case _ => 1L
+                }
+                if (scale == 0L) None
+                else Some(("long", ids.map(i => (dict.decodeToLong(i) * scale).toString)))
+              case FLOAT =>
+                Some(("double", ids.map(i => dict.decodeToFloat(i).toDouble.toString)))
+              case DOUBLE =>
+                Some(("double", ids.map(i => dict.decodeToDouble(i).toString)))
+              case BINARY
+                  if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                Some(("string", ids.map(i => dict.decodeToBinary(i).toStringUsingUTF8)))
+              case _ => None
+            }
+          }
+        }.toOption.flatten
+      }
+    }
+    if (per.isEmpty || per.exists(_.isEmpty)) None
+    else {
+      val typ = per.flatten.head._1
+      val vals = per.flatten.flatMap(_._2).distinct.sorted
+      if (vals.isEmpty || vals.size > TargetTable.MaxSetValues) None
+      else Some(FileValueSet(column, typ, vals))
+    }
   }
 
   /** One column's canonical (typ, min, max) over a footer's blocks;
@@ -1656,28 +1801,34 @@ final class TargetTable(
     }
   }
 
-  /** Attach per-file skip stats to staged relative paths (footer reads
-    * against `base` — the stage dir, BEFORE the files move). No declared
-    * stats columns → lines pass through unchanged. `columnsCsv` is the
-    * raw header form (comma-separated).
+  /** Attach per-file skip blobs (min/max stats + value sets) to staged
+    * relative paths (footer reads against `base` — the stage dir,
+    * BEFORE the files move). No declared columns → lines pass through
+    * unchanged. Both csv args are the raw header forms.
     */
   private def enrichWithStats(
       stagedRel: Seq[String], base: Path,
-      columnsCsv: Option[String]): Seq[String] =
-    enrichPairsWithStats(stagedRel.map(r => r -> new Path(base, r)), columnsCsv)
+      columnsCsv: Option[String],
+      setColumnsCsv: Option[String]): Seq[String] =
+    enrichPairsWithStats(
+      stagedRel.map(r => r -> new Path(base, r)), columnsCsv, setColumnsCsv)
 
   /** [[enrichWithStats]] over explicit (relative path, file) pairs —
-    * one blob per declared column that produced usable footer stats,
-    * declared order.
+    * one blob per declared column that produced usable footer stats or
+    * dictionary sets, declared order (stats first).
     */
   private def enrichPairsWithStats(
-      pairs: Seq[(String, Path)], columnsCsv: Option[String]): Seq[String] = {
-    val cols = columnsCsv.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    if (cols.isEmpty) pairs.map(_._1)
+      pairs: Seq[(String, Path)], columnsCsv: Option[String],
+      setColumnsCsv: Option[String]): Seq[String] = {
+    def split(csv: Option[String]) =
+      csv.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val statCols = split(columnsCsv)
+    val setCols = split(setColumnsCsv)
+    if (statCols.isEmpty && setCols.isEmpty) pairs.map(_._1)
     else {
-      val stats = footerStats(pairs, cols)
+      val blobs = footerBlobs(pairs, statCols, setCols)
       pairs.map { case (r, _) =>
-        stats.get(r).fold(r)(ss => r + ss.map(s => "\t" + encodeStat(s)).mkString)
+        blobs.get(r).fold(r)(bs => r + bs.map("\t" + _).mkString)
       }
     }
   }
@@ -1733,6 +1884,111 @@ final class TargetTable(
     val body = latestManifestBody()
     val pruners = preds.map { case (c, lo, hi) => compilePruner(c, lo, hi) }
     (body.collect { case l if pruners.forall(_(l)) => pathOf(l) }, body.size)
+  }
+
+  /** Declare the columns whose per-file EXACT value sets every later
+    * write records (from the staged files' parquet dictionary pages —
+    * see [[latestSetCol]]). The declaration is a header-only manifest
+    * commit under the writer lease, carried forward by every subsequent
+    * commit like the schema; files committed BEFORE the declaration
+    * carry no sets and are simply never pruned (a
+    * `compact(clusterBy=...)` rewrite re-stats them). Declare the
+    * CATEGORICAL columns point lookups filter on — language, source,
+    * event type — where min/max clustering cannot help because every
+    * file spans the whole (tiny) value range.
+    */
+  def declareSetColumns(cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.forall(_.nonEmpty),
+      "declareSetColumns needs at least one non-empty column name")
+    require(cols.forall(c => !c.contains(",") && !c.contains("\t") &&
+      !c.contains("\n")), "set column names cannot contain , \\t or \\n")
+    withWriterLease() {
+      if (latestManifest().isEmpty) commitManifestRelist()
+      commitManifestDelta(Nil, Nil, setCol = Some(cols.mkString(",")))
+    }
+  }
+
+  /** Compile a membership pruner over RAW body lines: keep a file iff
+    * its recorded value set for `column` intersects `values` — or it
+    * records no set (prune on proof of absence only). The queried
+    * values canonicalize ONCE per possible value space; per-entry work
+    * is an indexOf walk plus encoded-string comparisons (no decode:
+    * Base64 equality ⟺ string equality, canonical numeric strings are
+    * written and queried through the same canonicalization).
+    */
+  private def compileSetPruner(
+      column: String, values: Seq[Any]): String => Boolean = {
+    val prefix = "set=" + b64(column) + ",t="
+    val seek = "\t" + prefix
+    // None when ANY queried value is not representable in the space —
+    // then membership against that space proves nothing and the file
+    // is kept (same prune-on-proof-only rule as the range pruner)
+    def enc(typ: String): Option[Set[String]] = {
+      val cs = values.map(v => canonBound(v, typ))
+      if (cs.exists(_.isEmpty)) None
+      else Some(cs.flatten.map {
+        case s: String => b64(s)
+        case n         => n.toString
+      }.toSet)
+    }
+    val qLong = enc("long"); val qDouble = enc("double"); val qString = enc("string")
+    (line: String) => {
+      val at = line.indexOf(seek)
+      if (at < 0) true
+      else {
+        val end0 = line.indexOf('\t', at + 1)
+        val end = if (end0 < 0) line.length else end0
+        val blob = line.substring(at + 1, end)
+        scala.util.Try {
+          val vAt = blob.indexOf(",v=", prefix.length)
+          val typ = blob.substring(prefix.length, vAt)
+          val query = typ match {
+            case "long" => qLong
+            case "double" => qDouble
+            case "string" => qString
+            case _ => None // unknown space: keep
+          }
+          query match {
+            case None => true
+            case Some(q) =>
+              var i = vAt + 3
+              var hit = false
+              while (!hit && i <= blob.length) {
+                val j0 = blob.indexOf(';', i)
+                val j = if (j0 < 0) blob.length else j0
+                if (q.contains(blob.substring(i, j))) hit = true
+                i = j + 1
+              }
+              hit
+          }
+        }.getOrElse(true)
+      }
+    }
+  }
+
+  /** Membership read with DRIVER-SIDE file skipping: plans only the
+    * live files whose recorded value set for `column` intersects
+    * `values` (plus every file without a recorded set), then applies
+    * the exact IN predicate as a residual filter, so the answer never
+    * depends on the sets. The categorical complement of [[readWhere]]:
+    * a `lang = 'de'` lookup on a set-declared table touches only the
+    * files that ever stored a 'de' row — at 100 TB, the difference
+    * between a language slice scanning its own shard and scanning the
+    * whole corpus. NULL never matches an IN list, so dictionary sets
+    * (non-null values only) prune it soundly.
+    */
+  def readWhereIn(column: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readWhereIn needs at least one value")
+    readRawPruned(compileSetPruner(column, values))
+      .filter(col(column).isin(values: _*))
+      .drop(PartitionCol)
+  }
+
+  /** Plan-time probe for [[readWhereIn]]: (files kept, total live). */
+  def planFilesForIn(column: String, values: Seq[Any]): (Seq[String], Int) = {
+    val body = latestManifestBody()
+    val keep = compileSetPruner(column, values)
+    (body.collect { case l if keep(l) => pathOf(l) }, body.size)
   }
 
   /** Metadata-only COUNT(*): the sum of the per-file row counts the
@@ -1911,11 +2167,14 @@ final class TargetTable(
       statsCol: Option[String] = null): Unit = {
     // null sentinel = "carry the newest header's stats column forward"
     // (one cheap header read), evaluated only when the caller doesn't
-    // already hold it; None explicitly clears
+    // already hold it; None explicitly clears. The set-column header is
+    // ALWAYS carried — only [[declareSetColumns]] ever changes it.
     val sc = if (statsCol == null) latestStatsCol() else statsCol
+    val vc = latestSetCol()
     commitVersion(
       () => (schema.map("#schema=" + _.json).toSeq ++
-        sc.map("#statscol=" + _).toSeq ++ files.distinct.sorted)
+        sc.map("#statscol=" + _).toSeq ++
+        vc.map("#setcol=" + _).toSeq ++ files.distinct.sorted)
         .mkString("", "\n", "\n"),
       isDelta = false)
   }
@@ -1934,16 +2193,18 @@ final class TargetTable(
   private def commitManifestDelta(
       add: Seq[String], remove: Seq[String],
       schema: Option[StructType] = None,
-      statsCol: Option[String] = None): Unit = synchronized {
+      statsCol: Option[String] = None,
+      setCol: Option[String] = None): Unit = synchronized {
     val vs = manifestVersions().sortBy(_.key)
     val lastCkpt = vs.lastIndexWhere(!_.isDelta)
     val deltaRun = vs.size - 1 - lastCkpt
     def headerLines(): Seq[String] = {
-      // ONE newest-header probe feeds both carried fields
+      // ONE newest-header probe feeds all carried fields
       val latest = latestHeaderLines()
       schema.orElse(schemaOfManifestLines(latest)).orElse(storedSchema)
         .map("#schema=" + _.json).toSeq ++
-        statsCol.orElse(statsColOfLines(latest)).map("#statscol=" + _).toSeq
+        statsCol.orElse(statsColOfLines(latest)).map("#statscol=" + _).toSeq ++
+        setCol.orElse(setColOfLines(latest)).map("#setcol=" + _).toSeq
     }
     if (lastCkpt < 0) {
       // no checkpoint to chain from (first post-upgrade commit): fold
@@ -2016,7 +2277,8 @@ final class TargetTable(
         val latest = latestHeaderLines()
         schemaOfManifestLines(latest).orElse(storedSchema)
           .map("#schema=" + _.json).toSeq ++
-          statsColOfLines(latest).map("#statscol=" + _).toSeq
+          statsColOfLines(latest).map("#statscol=" + _).toSeq ++
+          setColOfLines(latest).map("#setcol=" + _).toSeq
       }
       commitVersion(
         () => (headerLines() ++ latestManifestBody().distinct.sorted)
@@ -2578,6 +2840,7 @@ final class TargetTable(
     val statsCol =
       if (clusterBy.nonEmpty) Some(clusterBy.mkString(","))
       else latestStatsCol()
+    val setCol = latestSetCol()
     parts.flatMap { case (d, dir) =>
       // LIVE files only, from the manifest: trash-parked originals of a
       // prior compaction are still in the directory within the
@@ -2637,7 +2900,8 @@ final class TargetTable(
           // live flat in the stage dir (compact writes one partition,
           // unpartitioned); the commit lines carry them
           val stagedLines = enrichPairsWithStats(
-            staged.map(s => s"${dir.getName}/${s.getName}" -> s), statsCol)
+            staged.map(s => s"${dir.getName}/${s.getName}" -> s), statsCol,
+            setCol)
           staged.foreach { s =>
             fs.rename(s, new Path(dir, s.getName))
             crashPoint("compact:move")
@@ -2846,7 +3110,7 @@ final class TargetTable(
       // skip stats for the declared stats column ride the commit lines
       // (footer reads in the stage dir, before the moves); markers,
       // trash lists and repair stay on the PLAIN paths
-      val stagedLines = enrichWithStats(stagedRel, stage, latestStatsCol())
+      val stagedLines = enrichWithStats(stagedRel, stage, latestStatsCol(), latestSetCol())
       val touched = stagedRel.map(_.takeWhile(_ != '/')).toSet
       // no-op fast path: nothing staged, nothing to drop, no schema to
       // switch (an empty streaming micro-batch, a backfill of a
@@ -2946,6 +3210,25 @@ object TargetTable {
     */
   private[ibtp] final case class FileSkipStat(
       col: String, typ: String, min: String, max: String, rows: Long)
+
+  /** Per-file EXACT distinct-value set of one declared set column
+    * (canonical values in their `typ` space, sorted; encoding happens
+    * at serialization) — the categorical complement of
+    * [[FileSkipStat]]'s min/max, recorded from parquet dictionary pages.
+    * See [[TargetTable.latestSetCol]].
+    */
+  private[ibtp] final case class FileValueSet(
+      col: String, typ: String, vals: Seq[String])
+
+  /** Value-set blobs above this many distinct values are not recorded
+    * (the file is simply never pruned on that column): the set header
+    * targets CATEGORICAL columns — languages, sources, event types —
+    * where the whole point is that the value space is small; a
+    * high-cardinality column's membership pruning belongs to min/max
+    * clustering instead, and unbounded sets would bloat every manifest
+    * line the way Delta caps its own stats collection.
+    */
+  val MaxSetValues = 64
 
   /** Internal day-partition column added next to the user's columns. */
   val PartitionCol = "p_date"

@@ -706,4 +706,86 @@ object Dedup extends Logging {
         coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
         col("total_chunks"))
   }
+
+  /** Exact duplicated-substring scrub — the ExactSubstr pass of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 §4.1), reformulated for a distributed
+    * engine: their suffix array finds every substring of ≥ L tokens
+    * that occurs twice anywhere in the corpus and removes all its
+    * occurrences; a substring repeats iff every one of its SLIDING
+    * L-token windows repeats, so this pass drops exactly the tokens
+    * covered by some L-window whose (hash, len) key occurs ≥ 2 times
+    * corpus-wide — within-document repeats included, matching the
+    * reference pass. [[spanDedup]] (first occurrence survives) and
+    * [[boilerplateChunkDedup]] (≥2 DISTINCT docs, fixed chunks) are its
+    * coarser fixed-grid cousins; the sliding grid is what catches a
+    * duplicated passage at ANY token offset instead of only on chunk
+    * boundaries.
+    *
+    * Scale shape: window strings exist only transiently inside one
+    * projection (each row materializes its n−L+1 windows row-locally —
+    * the O(L·n) transient cost that buys shuffle-freedom over a global
+    * suffix sort) and reduce to (hash, len) before any exchange; the
+    * occurrence count shuffles 16-byte keys with map-side partials; the
+    * duplicated keys re-join as a LEFT SEMI on those keys; and token
+    * removal slices each doc's OWN token array against its (few)
+    * duplicated window starts, so text crosses exactly one exchange
+    * (the reassembly join). Hash collisions: 2^-64-scale conflation,
+    * the [[exactGroups]] contract.
+    *
+    * Returns (doc_id, clean_text, removed_tokens, total_tokens);
+    * fully-duplicated documents survive with empty clean_text so the
+    * caller decides the drop policy.
+    */
+  def duplicateWindowScrub(
+      docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val L = windowTokens
+    val toks = when(length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+      .withColumn("total_tokens", size(col("w")).cast("long"))
+    // sliding windows, stride 1: starts 0 .. n-L (docs shorter than L
+    // have none and pass through untouched)
+    val wins = base
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $L), " +
+          s"i -> array_join(slice(w, i + 1, $L), ' '))")))
+      .withColumnRenamed("pos", "win_idx")
+      .withColumnRenamed("col", "win_text")
+      .select(col("doc_id"), col("win_idx"),
+        xxhash64(col("win_text")).as("win_hash"),
+        length(col("win_text")).as("win_len"))
+    // keys occurring >= 2 times ANYWHERE (same doc counts)
+    val dup = wins
+      .groupBy(col("win_hash"), col("win_len"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("win_hash"), col("win_len"))
+    // duplicated window STARTS per doc — integer-only aggregation
+    val dupStarts = wins
+      .join(dup, Seq("win_hash", "win_len"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("win_idx"))).as("dup_idx"))
+    // token i survives iff no duplicated window [s, s+L) covers it;
+    // the doc slices its own token array — row-local, no text shuffle
+    base
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_idx").isNull, array_join(col("w"), " "))
+          .otherwise(array_join(expr(
+            s"transform(filter(sequence(0, size(w) - 1), " +
+              s"i -> NOT exists(dup_idx, s -> s <= i AND i < s + $L)), " +
+              s"i -> element_at(w, i + 1))"), " "))
+          .as("clean_text"),
+        when(col("dup_idx").isNull, lit(0L))
+          .otherwise(expr(
+            s"size(filter(sequence(0, size(w) - 1), " +
+              s"i -> exists(dup_idx, s -> s <= i AND i < s + $L)))").cast("long"))
+          .as("removed_tokens"),
+        col("total_tokens"))
+  }
 }

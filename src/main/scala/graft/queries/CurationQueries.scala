@@ -499,6 +499,70 @@ object CurationQueries {
       |LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Exact duplicated-substring scrub (Lee et al. 2021 ExactSubstr,
+    * arXiv:2107.06499): every token covered by an 8-token sliding
+    * window that occurs ≥ 2 times corpus-wide (within-doc repeats
+    * included) is removed from every occurrence — the sliding-grid
+    * complement of q88's fixed chunks, catching duplicated passages at
+    * any token offset.
+    */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateWindowScrub(Tables.documents(spark, dir),
+      "doc_id", "text", windowTokens = 8)
+      .orderBy(col("doc_id"))
+
+  /** DuckDB oracle: same sliding windows via list slicing, occurrence
+    * count per window STRING (the engine's (hash, len) key is its
+    * collision-safe stand-in), duplicated starts per doc, and a
+    * NOT EXISTS coverage test per token index (hash-joinable on doc_id)
+    * before ordered STRING_AGG reassembly.
+    */
+  val substringScrubSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS w
+      |  FROM documents
+      |),
+      |idx AS (
+      |  SELECT doc_id, w, UNNEST(RANGE(0, LEN(w) - 7)) AS s
+      |  FROM toks WHERE LEN(w) >= 8
+      |),
+      |wins AS (
+      |  SELECT doc_id, s,
+      |         ARRAY_TO_STRING(LIST_SLICE(w, s + 1, s + 8), ' ') AS win_text
+      |  FROM idx
+      |),
+      |dup AS (
+      |  SELECT win_text FROM wins GROUP BY win_text HAVING COUNT(*) >= 2
+      |),
+      |ds AS (
+      |  SELECT wins.doc_id, wins.s FROM wins JOIN dup USING (win_text)
+      |),
+      |tok_idx AS (
+      |  SELECT doc_id, w, UNNEST(RANGE(0, LEN(w))) AS i
+      |  FROM toks WHERE LEN(w) > 0
+      |),
+      |kept AS (
+      |  SELECT t.doc_id, t.i, t.w[t.i + 1] AS tok
+      |  FROM tok_idx t
+      |  WHERE NOT EXISTS (SELECT 1 FROM ds
+      |                    WHERE ds.doc_id = t.doc_id
+      |                      AND ds.s <= t.i AND t.i < ds.s + 8)
+      |),
+      |rebuilt AS (
+      |  SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY i) AS clean_text,
+      |         COUNT(*) AS kept_tokens
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |       COALESCE(r.clean_text, '') AS clean_text,
+      |       CAST(LEN(t.w) AS BIGINT) - COALESCE(r.kept_tokens, 0) AS removed_tokens,
+      |       CAST(LEN(t.w) AS BIGINT) AS total_tokens
+      |FROM toks t
+      |LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Temperature-scaled mixture weights over languages (α = 0.5,
     * 1M-token budget): the multilingual-pretraining sampler — one
     * count row per language, sqrt weighting, per-language expected

@@ -472,6 +472,49 @@ object IbtpQueries {
       |  AND event_id BETWEEN 0 AND b.q3e
       |ORDER BY ts, event_id""".stripMargin
 
+  /** Categorical value-set skipping under the hash gate: a bulk ingest
+    * of most event types (pre-declaration — those files record no
+    * sets), then [[TargetTable.declareSetColumns]] on `event_type`, and
+    * one append per remaining type — each appended file's parquet
+    * DICTIONARY records its exact (here singleton) value set in the
+    * manifest. The read plans through [[TargetTable.readWhereIn]],
+    * which prunes the file list DRIVER-SIDE to the files whose recorded
+    * set contains the looked-up type (plus the conservative set-less
+    * bulk), and the query REQUIRES that pruning dropped files. Min/max
+    * stats cannot serve this lookup — every bulk file spans the whole
+    * tiny value range — which is exactly the gap the dictionary-derived
+    * sets close: at 100 TB, a `lang = 'de'` slice touches only the
+    * files that ever stored a 'de' row.
+    */
+  def setRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(types.size >= 3, s"need >= 3 event types, got $types")
+    val targetDir = Files.createTempDirectory("ibtp_q_set").toString
+    val target = new TargetTable(spark, targetDir, "ts", countRows = false)
+    target.init(ev.filter(col("event_type").isin(types.dropRight(2): _*)))
+    target.declareSetColumns(Seq("event_type"))
+    types.takeRight(2).foreach { et =>
+      target.append(ev.filter(col("event_type") === et))
+    }
+    val lookup = types.last
+    val (kept, total) = target.planFilesForIn("event_type", Seq(lookup))
+    require(kept.size < total,
+      s"value-set skipping must prune the planned file list " +
+        s"(kept ${kept.size} of $total)")
+    target.readWhereIn("event_type", Seq(lookup))
+      .orderBy(col("ts"), col("event_id"))
+  }
+
+  val setReadSql: String =
+    """SELECT ts, event_id, user_id, event_type, value
+      |FROM events
+      |WHERE event_type = (SELECT MAX(event_type) FROM events)
+      |ORDER BY ts, event_id""".stripMargin
+
   /** Both loop queries share this one-shot full-range oracle. */
   val loopOracleSql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,

@@ -33,6 +33,10 @@ import graft.sources.{GraftSession, Tables}
   *   [--zorder]   (Morton layout: every cluster column prunes)
   * runMain graft.tools.IbtpCli --vacuum-only --target /path/tbl \
   *   --timestamp-field day [--retention-ms N]   (reap trash-parked files)
+  * runMain graft.tools.IbtpCli --declare-set-columns c1,c2 \
+  *   --target /path/tbl --timestamp-field day   (categorical value-set
+  *                            skipping: later writes record per-file
+  *                            exact value sets; readWhereIn prunes)
   * runMain graft.tools.IbtpCli --upgrade-manifest --target /path/tbl \
   *   --timestamp-field day   (pre-manifest table -> snapshot reads;
   *                            absorb a non-manifest writer's files)
@@ -91,6 +95,21 @@ object IbtpCli {
         t.relistManifest()
         println(s"[ibtp] manifest upgraded: reads are now snapshot-isolated " +
           s"(${t.read().inputFiles.length} live files committed)")
+        return
+      }
+
+      // standalone declaration: every later write records per-file
+      // exact value sets for these (categorical) columns from the
+      // staged files' parquet dictionaries; point lookups through
+      // readWhereIn then prune the planned file list driver-side —
+      // the categorical complement of --cluster-by's min/max skipping
+      if (opts.contains("declare-set-columns")) {
+        val t = new TargetTable(spark, req("target"), req("timestamp-field"))
+        if (!t.exists) sys.error(s"target ${req("target")} does not exist")
+        val cols = req("declare-set-columns").split(",").toSeq.filter(_.nonEmpty)
+        t.declareSetColumns(cols)
+        println(s"[ibtp] set columns declared: ${cols.mkString(", ")} " +
+          "(later writes record per-file value sets)")
         return
       }
 

@@ -302,4 +302,135 @@ class ManifestSkipSpec extends SparkSpecBase {
     val (kept, total) = t.planFilesForRange("event_id", 999L, 999L)
     assert(kept.size < total)
   }
+
+  // ---- value-set skipping (declareSetColumns / readWhereIn) ------------
+
+  /** Pre-declaration bulk (no sets), declaration, then one append per
+    * event type — each appended file's dictionary records a singleton
+    * value set.
+    */
+  private def buildSetTable(dir: String): (TargetTable, Seq[String]) = {
+    val types = events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val t = new TargetTable(spark, dir, "ts", countRows = false)
+    t.init(events.filter(col("event_type").isin(types.take(2): _*)))
+    t.declareSetColumns(Seq("event_type"))
+    types.drop(2).foreach { et =>
+      t.append(events.filter(col("event_type") === et))
+    }
+    (t, types)
+  }
+
+  test("declared set columns record per-file dictionary value sets; IN lookups prune exactly") {
+    val (t, types) = buildSetTable(tmpDir("set_basic") + "/tbl")
+    assert(t.latestSetCols() == Seq("event_type"))
+    val sets = t.latestManifestSets()
+    val withSets = sets.filter(_._2.nonEmpty)
+    assert(withSets.nonEmpty, "post-declaration appends must record sets")
+    assert(sets.exists(_._2.isEmpty),
+      "pre-declaration files must carry no sets (and stay planned)")
+    withSets.foreach { case (p, ss) =>
+      assert(ss.map(_.col) == Seq("event_type"), s"$p: $ss")
+      assert(ss.head.typ == "string" && ss.head.vals.nonEmpty, s"$p: $ss")
+      assert(ss.head.vals.toSet.subsetOf(types.toSet), s"$p: $ss")
+    }
+    // exactness of the pruning decision: kept ⟺ set-less OR set-hit
+    val target = types.last
+    val (kept, total) = t.planFilesForIn("event_type", Seq(target))
+    assert(total == sets.size)
+    assert(kept.size < total,
+      s"point lookup must prune: kept ${kept.size} of $total")
+    val expected = sets.collect {
+      case (p, ss) if !ss.exists(_.col == "event_type") => p
+      case (p, ss) if ss.exists(s =>
+        s.col == "event_type" && s.vals.contains(target)) => p
+    }
+    assert(kept.sorted == expected.sorted)
+    // contents exact, single value and multi-value IN
+    assertSameRows(
+      t.readWhereIn("event_type", Seq(target)),
+      t.read().filter(col("event_type") === target))
+    assertSameRows(
+      t.readWhereIn("event_type", types.drop(2).take(2)),
+      t.read().filter(col("event_type").isin(types.drop(2).take(2): _*)))
+    // a value that exists nowhere prunes everything EXCEPT set-less files
+    val (keptNone, _) = t.planFilesForIn("event_type", Seq("no_such_type"))
+    assert(keptNone.sorted ==
+      sets.collect { case (p, ss) if !ss.exists(_.col == "event_type") => p }.sorted)
+    assert(t.readWhereIn("event_type", Seq("no_such_type")).count() == 0)
+  }
+
+  test("set pruning is conservative: undeclared column, high-cardinality column, wrong-typed values") {
+    val (t, types) = buildSetTable(tmpDir("set_conservative") + "/tbl")
+    val total = t.latestManifestSets().size
+    // undeclared column: nothing recorded, nothing pruned
+    assert(t.planFilesForIn("user_id", Seq(3L))._1.size == total)
+    // wrong-typed values against string sets: keep everything
+    assert(t.planFilesForIn("event_type", Seq(42L))._1.size == total)
+    // mixed good/bad values: keep everything (the bad one is unprovable)
+    assert(t.planFilesForIn("event_type", Seq(types.last, 42L))._1.size == total)
+    // high-cardinality declared column: blobs over MaxSetValues are not
+    // recorded, so nothing prunes — but the read stays exact
+    import spark.implicits._
+    def wide(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), i.toLong, i.toDouble)
+    }.toDF("ts", "event_id", "value").coalesce(1)
+    val t2 = new TargetTable(spark, tmpDir("set_highcard") + "/tbl", "ts",
+      countRows = false)
+    t2.init(wide(0, 500))
+    t2.declareSetColumns(Seq("event_id"))
+    t2.append(wide(500, 1000)) // 500 distinct values in one file >> cap
+    val sets2 = t2.latestManifestSets()
+    assert(sets2.forall(_._2.isEmpty),
+      s"sets past MaxSetValues must not be recorded, got " +
+        s"${sets2.filter(_._2.nonEmpty).take(2)}")
+    assert(t2.planFilesForIn("event_id", Seq(750L))._1.size == sets2.size)
+    assertSameRows(
+      t2.readWhereIn("event_id", Seq(750L)),
+      t2.read().filter(col("event_id") === 750L))
+  }
+
+  test("long-typed value sets prune and canonicalize like the range stats") {
+    // user_id at sf0.001 has 15 distinct values — well under the cap,
+    // so a LONG column's dictionary also records exact sets
+    val t = new TargetTable(spark, tmpDir("set_long") + "/tbl", "ts",
+      countRows = false)
+    t.init(events.filter(col("user_id") <= 7))
+    t.declareSetColumns(Seq("user_id"))
+    t.append(events.filter(col("user_id").between(8L, 10L)))
+    t.append(events.filter(col("user_id") > 10L))
+    val sets = t.latestManifestSets().filter(_._2.nonEmpty)
+    assert(sets.nonEmpty && sets.forall(_._2.head.typ == "long"))
+    val (kept, total) = t.planFilesForIn("user_id", Seq(9L))
+    assert(kept.size < total)
+    // int query values canonicalize into the long space
+    assert(t.planFilesForIn("user_id", Seq(9))._1.sorted == kept.sorted)
+    assertSameRows(
+      t.readWhereIn("user_id", Seq(9L)),
+      t.read().filter(col("user_id") === 9L))
+  }
+
+  test("value sets survive checkpoint folds and compaction rewrites re-record them") {
+    val (t, types) = buildSetTable(tmpDir("set_survive") + "/tbl")
+    def withSets() = t.latestManifestSets().count(_._2.nonEmpty)
+    val before = withSets()
+    assert(before > 0)
+    // force a delta->checkpoint fold: sets must ride the full body lines
+    (1 to TargetTable.ManifestCheckpointEvery + 1).foreach { i =>
+      t.append(events.filter(col("event_type") === types.last).limit(2))
+    }
+    assert(withSets() >= before,
+      "value sets must survive the delta->checkpoint fold")
+    // a compaction rewrite merges files; the merged files' dictionaries
+    // re-record the (now wider) exact sets
+    val stats = t.compact(targetFileBytes = 1L << 30)
+    assert(stats.nonEmpty, "fragmented partitions must compact")
+    assert(withSets() > 0,
+      "compaction-rewritten files must re-record sets from their own dictionaries")
+    assertSameRows(
+      t.readWhereIn("event_type", Seq(types.last)),
+      t.read().filter(col("event_type") === types.last))
+    // and fastRowCount is orthogonal: sets alone don't serve it
+    assert(t.latestStatsCol().isEmpty)
+  }
 }

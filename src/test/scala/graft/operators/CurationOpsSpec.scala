@@ -399,6 +399,74 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(got == Seq((1L, "", 0L), (2L, "", 0L), (3L, "k m", 1L)))
   }
 
+  test("duplicateWindowScrub removes a shared passage at ANY offset, all occurrences") {
+    import spark.implicits._
+    // the passage "a b c d e" sits at offset 0 in doc 1 and offset 1 in
+    // doc 2 — a fixed chunk grid would miss the misaligned copy
+    val d = Seq(
+      (1L, "a b c d e X"),
+      (2L, "Z a b c d e"),
+      (3L, "u v w x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateWindowScrub(d, "doc_id", "text", windowTokens = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "X", 5L, 6L),
+      (2L, "Z", 5L, 6L),
+      (3L, "u v w x y z", 0L, 6L)))
+  }
+
+  test("duplicateWindowScrub: within-doc repeats are duplicates too (Lee et al. semantics)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b c"), // "a b c" twice in ONE doc → both covered
+      (2L, "d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateWindowScrub(d, "doc_id", "text", windowTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "", 6L, 6L),
+      (2L, "d e f", 0L, 3L)))
+  }
+
+  test("duplicateWindowScrub: coverage unions overlapping windows; partial survivors keep order") {
+    import spark.implicits._
+    // doc 1 is covered by TWO overlapping duplicated windows ([0,3) and
+    // [1,4)) — their union removes tokens 0..3, the tail survives
+    val d = Seq(
+      (1L, "p q r s t"),
+      (2L, "p q r"),
+      (3L, "q r s")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateWindowScrub(d, "doc_id", "text", windowTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "t", 4L, 5L),
+      (2L, "", 3L, 3L),
+      (3L, "", 3L, 3L)))
+  }
+
+  test("duplicateWindowScrub: short docs, empty docs, and whitespace normalize untouched text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b"),          // shorter than the window: no windows, kept
+      (2L, "a b"),          //   — even though doc 1 repeats it exactly
+      (3L, ""),
+      (4L, "  c   d  e ")   // normalization: join by single spaces
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateWindowScrub(d, "doc_id", "text", windowTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "a b", 0L, 2L),
+      (2L, "a b", 0L, 2L),
+      (3L, "", 0L, 0L),
+      (4L, "c d e", 0L, 3L)))
+  }
+
   test("temperatureMixture: α=1 is proportional; α=0.5 upsamples the tail stratum") {
     import spark.implicits._
     // stratum a: 100 tokens (10 docs × 10), b: 400 (40 docs × 10)

@@ -368,6 +368,25 @@ class PlanSpec extends SparkSpecBase {
       "string column rides the chunk exchange")
   }
 
+  test("duplicateWindowScrub shuffles window keys, never window text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = graft.SparkEntry.queries("q94_substring_scrub")(spark, sfDir)
+    df.collect()
+    val exchanges = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected the occurrence-count exchanges")
+    assert(!exchanges.exists(_.outputPartitioning.toString.contains("win_text")),
+      "occurrence agg keyed on window text")
+    // the (hash, len)-keyed exchanges move no string payload — removal
+    // slices each doc's OWN token array against its duplicated starts
+    val winExchanges = exchanges.filter(
+      _.outputPartitioning.toString.contains("win_hash"))
+    assert(winExchanges.nonEmpty, "window-hash exchange not found")
+    assert(winExchanges.forall(_.child.output.forall(_.dataType != StringType)),
+      "string column rides the window exchange")
+  }
+
   test("BPE encode is one narrow map pass — no shuffle, inside codegen") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val merges = graft.operators.Bpe.collectMerges(

@@ -137,6 +137,7 @@ object SparkEntry {
     "q92_zorder_read" -> (IbtpQueries.zorderRead _),
     "q93_set_read" -> (IbtpQueries.setRead _),
     "q94_substring_scrub" -> (CurationQueries.substringScrub _),
+    "q95_pq_search" -> (ExtensionQueries.pqSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -232,5 +233,6 @@ object SparkEntry {
     "q92_zorder_read" -> IbtpQueries.zorderReadSql,
     "q93_set_read" -> IbtpQueries.setReadSql,
     "q94_substring_scrub" -> CurationQueries.substringScrubSql,
+    "q95_pq_search" -> ExtensionQueries.pqSearchSql,
   )
 }

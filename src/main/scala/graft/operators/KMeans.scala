@@ -22,10 +22,13 @@ import org.apache.spark.sql.types._
   * so plain Lloyd's is not reproducible across partitionings. Here each
   * component is quantized to DECIMAL(18,6) and summed EXACTLY
   * (decimal addition is order-free), then the mean is rounded back to
-  * 6 decimals — every iteration, and therefore the whole fit, is
-  * bit-reproducible on any cluster layout, and the single step has a
-  * DuckDB oracle (`ExtensionQueries.kmeansStepSql`). The 1e-6
-  * quantization is far below embedding noise.
+  * 6 decimals in EXACT integer arithmetic (half away from zero on the
+  * rational sum/count — never a double divide before the round, whose
+  * one-ulp error flips engines' ROUND rules at .5 boundaries) — every
+  * iteration, and therefore the whole fit, is bit-reproducible on any
+  * cluster layout, and the single step has a DuckDB oracle
+  * (`ExtensionQueries.kmeansStepSql`). The 1e-6 quantization is far
+  * below embedding noise.
   */
 object KMeans {
 
@@ -43,9 +46,20 @@ object KMeans {
     assigned
       .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("centroid_id"), col("pos"))
-      .agg(round(
-        sum(col("x").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
-        .as("m"))
+      .agg(
+        // exact decimal sum, held as a scaled INTEGER (micro-units)
+        sum((col("x").cast(DecimalType(18, 6)) * lit(1000000)).cast("long"))
+          .as("s6"),
+        count(lit(1)).as("n"))
+      .select(col("centroid_id"), col("pos"),
+        // round-half-away-from-zero of the exact rational s6/n, in pure
+        // integer arithmetic: a double divide BEFORE rounding puts a
+        // 4-member cell's mean (an exact multiple of 0.25e-6) one ulp
+        // off the .5 boundary, where engines' ROUND rules disagree —
+        // the exact form is replayable bit-for-bit anywhere
+        (expr("cast(if(s6 < 0, -((abs(s6) * 2 + n) div (2 * n)), " +
+          "(abs(s6) * 2 + n) div (2 * n)) as double)") / lit(1000000.0))
+          .as("m"))
   }
 
   /** Full fit: deterministic init (the k lowest-id vectors), then up to

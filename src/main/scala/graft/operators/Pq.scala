@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{dot, normSq}
+import graft.functions.expressions.{CentroidMatrix, VectorExprFunctions}
+
+/** Product quantization for embedding search (Jégou, Douze, Schmid
+  * 2011, "Product Quantization for Nearest Neighbor Search") — the
+  * compression half of the FAISS-style IVF-PQ stack this engine's ANN
+  * suite otherwise covers (brute force q24, hyperplane LSH q25, IVF
+  * q26/q32, k-means training q36): each vector splits into `m`
+  * contiguous subvectors, each subspace trains its own small codebook
+  * (k centroids via the bit-reproducible [[KMeans]]), and a vector is
+  * stored as `m` small codes — at m=8, k=256 a 1024-dim float vector
+  * compresses 512× to 8 bytes, which is what makes a 100 TB embedding
+  * store searchable from memory at all.
+  *
+  * Search is ADC (asymmetric distance computation): the query stays
+  * exact; per subspace a k-entry table of query-to-centroid squared
+  * distances is precomputed, and a vector's approximate distance is the
+  * sum of `m` table lookups — no decompression, no per-vector float
+  * math.
+  *
+  * Scale shape:
+  *  - codebook training is [[KMeans]] per subspace — corpus-sized map
+  *    passes, centroid-sized shuffles, k·dim control-plane collects;
+  *  - encoding is ONE map pass: `m` [[VectorExprFunctions.nearest_centroid]]
+  *    calls (codegen'd, codebooks as reference objects), no join, no
+  *    shuffle;
+  *  - the distance tables are queries × m × k rows (control-plane by
+  *    the same contract as the codebooks) and BROADCAST; scoring is
+  *    row-local table lookups, and only the bounded-heap top-k's
+  *    ≤ k-rows-per-query-per-partition partials reach the exchange —
+  *    the corpus never shuffles.
+  *
+  * Determinism: training inherits [[KMeans]]'s DECIMAL-quantized
+  * bit-reproducibility; assignment and table entries use the same
+  * `‖a‖² + ‖b‖² − 2a·b` left-fold arithmetic as the IVF operators; the
+  * ADC sum folds subspaces in index order — so the whole pipeline is
+  * bit-stable and hard-oracle-able (`ExtensionQueries.pqSearchSql`
+  * replays it in DuckDB).
+  */
+object Pq {
+
+  /** Per-subspace codebooks: slice the corpus into `m` contiguous
+    * subvectors and [[KMeans.fit]] each — element `s` of the result is
+    * subspace s's (centroid_id, vecCol) frame. `dim` is the full vector
+    * dimensionality (must divide evenly by `m`).
+    */
+  def trainCodebooks(
+      corpus: DataFrame, dim: Int, m: Int, k: Int, maxIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[DataFrame] = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      KMeans.fit(
+        corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
+        k, maxIters, idCol, vecCol)
+    }
+  }
+
+  /** PQ-encode the corpus: (idCol, codes) where `codes(s)` is the id of
+    * subspace s's nearest centroid. One codegen'd map pass — the
+    * codebooks ride as reference objects ([[CentroidMatrix]]), exactly
+    * like IVF assignment; nothing shuffles.
+    */
+  def encode(
+      corpus: DataFrame, codebooks: Seq[CentroidMatrix], dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.size
+    val sub = dim / m
+    corpus.select(col(idCol),
+      array(codebooks.zipWithIndex.map { case (mat, s) =>
+        VectorExprFunctions
+          .nearest_centroid(slice(col(vecCol), s * sub + 1, sub), mat)
+          .getField("centroid_id")
+      }: _*).as("codes"))
+  }
+
+  /** ADC top-k: train (or accept) per-subspace codebooks, encode the
+    * corpus, precompute each query's m×k distance tables, and rank by
+    * the summed table lookups. Returns (queryIdCol, idCol, adist2,
+    * rank) — approximate squared L2 distance, ascending, ties by id.
+    * Self-matches (same id on both sides) are excluded, like the other
+    * ANN operators.
+    */
+  def adcTopK(
+      corpus: DataFrame, queries: DataFrame, m: Int, k: Int, topK: Int,
+      maxIters: Int = 1, idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    // one control-plane probe for the dimensionality (like the
+    // codebook collects, bounded by the vector contract)
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val sub = dim / m
+    val books = trainCodebooks(corpus, dim, m, k, maxIters, idCol, vecCol)
+    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
+    val codes = encode(corpus, mats, dim, idCol, vecCol)
+    // distance tables, built with the SAME proven fold arithmetic the
+    // assignment uses: queries × m × k rows — tiny, broadcast. Flat
+    // index s*k + cid so the lookup is one element_at; array_sort on
+    // the (unique) index makes the collect_list order irrelevant.
+    val booksU = books.zipWithIndex.map { case (b, s) =>
+      b.select(lit(s).as("s"), col("centroid_id").as("cid"), col(vecCol).as("cv"))
+    }.reduce(_ unionAll _)
+    val qsub = queries.select(col(queryIdCol), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice($vecCol, s * $sub + 1, $sub))"))
+      .as(Seq("s", "qv")))
+    val qtables = qsub.join(broadcast(booksU), Seq("s"))
+      .select(col(queryIdCol), (col("s") * k + col("cid")).as("i"),
+        (normSq(col("qv")) + normSq(col("cv"))
+          - lit(2.0) * dot(col("qv"), col("cv"))).as("d2"))
+      .groupBy(col(queryIdCol))
+      .agg(array_sort(collect_list(struct(col("i"), col("d2")))).as("ent"))
+      .select(col(queryIdCol), expr("transform(ent, x -> x.d2)").as("tbl"))
+    // scoring: row-local lookups folded in subspace order (fixed
+    // association, bit-stable); only the heap partials shuffle
+    val scored = codes.crossJoin(broadcast(qtables))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        expr(s"aggregate(sequence(0, ${m - 1}), 0D, " +
+          s"(acc, s) -> acc + tbl[s * $k + int(codes[s])])").as("adist2"))
+    CorpusStats.topKPerGroup(
+      scored.withColumn("__neg", -col("adist2")), queryIdCol, idCol, "__neg", topK)
+      // +0.0 folds a possible -0.0 (tiny-negative float sums rounded
+      // up) onto the oracle's zero
+      .select(col(queryIdCol), col(idCol),
+        (round(-col("score"), 6) + lit(0.0)).as("adist2"), col("rank"))
+  }
+}

@@ -739,11 +739,126 @@ object ExtensionQueries {
        |                i -> {'pos': i - 1, 'x': e.v[i]})) AS u
        |  FROM assigned a JOIN e ON e.vec_id = a.vec_id
        |)
-       |SELECT centroid_id, CAST(u.pos AS INTEGER) AS pos,
-       |       ROUND(CAST(SUM(CAST(u.x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS m
-       |FROM pv
-       |GROUP BY centroid_id, u.pos
+       |SELECT centroid_id, CAST(pos AS INTEGER) AS pos,
+       |       CAST(CASE WHEN s6 < 0 THEN -((ABS(s6) * 2 + n) // (2 * n))
+       |                 ELSE (ABS(s6) * 2 + n) // (2 * n) END AS DOUBLE)
+       |         / 1000000.0 AS m
+       |FROM (SELECT centroid_id, u.pos AS pos,
+       |             CAST(SUM(CAST(u.x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s6,
+       |             COUNT(*) AS n
+       |      FROM pv GROUP BY centroid_id, u.pos)
        |ORDER BY centroid_id, pos""".stripMargin
+
+  /** Product-quantization ADC search (Jégou et al. 2011): 4 subspaces
+    * of 16 components, 16-centroid codebooks each trained with one
+    * bit-reproducible Lloyd step, corpus encoded to 4 codes/vector,
+    * queries ranked by summed distance-table lookups — the compressed
+    * complement of q26/q32's IVF. The whole pipeline is exact-replay
+    * oracled: training inherits q36's DECIMAL quantization, assignment
+    * and tables the q26 fold arithmetic, and the ADC sum a fixed
+    * fold order.
+    */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pq.adcTopK(
+      Tables.embeddings(spark, dir), queryVectors(spark, dir),
+      m = 4, k = 16, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** DuckDB oracle: full replay with subspace as a column — init =
+    * the 16 lowest-id vectors' subvectors (quantized), one Lloyd step
+    * (exact decimal means, empty cells keep init), encode by the same
+    * argmin, ADC tables per query, and a FIXED left-to-right sum over
+    * the 4 subspace lookups so the double matches the engine's fold.
+    */
+  val pqSearchSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ss AS (SELECT UNNEST(RANGE(0, 4)) AS s),
+      |sub AS (
+      |  SELECT e.vec_id, ss.s,
+      |         LIST_SLICE(e.v, ss.s * 16 + 1, ss.s * 16 + 16) AS sv
+      |  FROM e CROSS JOIN ss
+      |),
+      |seed AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16),
+      |init AS (
+      |  SELECT sub.s,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY sub.s
+      |                                 ORDER BY sub.vec_id) - 1 AS BIGINT) AS cid,
+      |         LIST_TRANSFORM(sub.sv, x -> ROUND(x, 6)) AS cv
+      |  FROM sub JOIN seed USING (vec_id)
+      |),
+      |iscored AS (
+      |  SELECT sub.vec_id, sub.s, i.cid,
+      |         LIST_DOT_PRODUCT(sub.sv, sub.sv) + LIST_DOT_PRODUCT(i.cv, i.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(sub.sv, i.cv) AS dist2
+      |  FROM sub JOIN init i ON i.s = sub.s
+      |),
+      |iassign AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY dist2 ASC, cid ASC) AS rn
+      |    FROM iscored) WHERE rn = 1
+      |),
+      |msums AS (
+      |  SELECT a.s, a.cid, u.pos,
+      |         CAST(SUM(CAST(u.x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s6,
+      |         COUNT(*) AS n
+      |  FROM iassign a
+      |  JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s,
+      |       UNNEST(LIST_TRANSFORM(RANGE(1, LEN(sub.sv) + 1),
+      |              i -> {'pos': i - 1, 'x': sub.sv[i]})) AS t(u)
+      |  GROUP BY a.s, a.cid, u.pos
+      |),
+      |means AS (
+      |  SELECT s, cid, pos,
+      |         CAST(CASE WHEN s6 < 0 THEN -((ABS(s6) * 2 + n) // (2 * n))
+      |                   ELSE (ABS(s6) * 2 + n) // (2 * n) END AS DOUBLE)
+      |           / 1000000.0 AS mval
+      |  FROM msums
+      |),
+      |stepped AS (
+      |  SELECT s, cid, LIST(mval ORDER BY pos) AS cv FROM means GROUP BY s, cid
+      |),
+      |cb AS (
+      |  SELECT i.s, i.cid, COALESCE(st.cv, i.cv) AS cv
+      |  FROM init i LEFT JOIN stepped st ON st.s = i.s AND st.cid = i.cid
+      |),
+      |escored AS (
+      |  SELECT sub.vec_id, sub.s, f.cid,
+      |         LIST_DOT_PRODUCT(sub.sv, sub.sv) + LIST_DOT_PRODUCT(f.cv, f.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(sub.sv, f.cv) AS dist2
+      |  FROM sub JOIN cb f ON f.s = sub.s
+      |),
+      |codes AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY dist2 ASC, cid ASC) AS rn
+      |    FROM escored) WHERE rn = 1
+      |),
+      |q AS (SELECT vec_id AS query_id, s, sv AS qv FROM sub WHERE vec_id < 5),
+      |tbl AS (
+      |  SELECT q.query_id, q.s, f.cid,
+      |         LIST_DOT_PRODUCT(q.qv, q.qv) + LIST_DOT_PRODUCT(f.cv, f.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(q.qv, f.cv) AS d2
+      |  FROM q JOIN cb f ON f.s = q.s
+      |),
+      |approx AS (
+      |  SELECT t.query_id, c.vec_id,
+      |         ((MAX(CASE WHEN t.s = 0 THEN t.d2 END)
+      |           + MAX(CASE WHEN t.s = 1 THEN t.d2 END))
+      |           + MAX(CASE WHEN t.s = 2 THEN t.d2 END))
+      |           + MAX(CASE WHEN t.s = 3 THEN t.d2 END) AS adist2
+      |  FROM codes c JOIN tbl t ON t.s = c.s AND t.cid = c.cid
+      |  WHERE c.vec_id <> t.query_id
+      |  GROUP BY t.query_id, c.vec_id
+      |)
+      |SELECT query_id, vec_id, ROUND(adist2, 6) + 0.0 AS adist2,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                               ORDER BY adist2 ASC, vec_id ASC) AS INTEGER) AS rank
+      |FROM approx
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Hybrid retrieval via reciprocal-rank fusion: cosine top-20 and
     * euclidean top-20 over the same queries, fused with k=60 into a

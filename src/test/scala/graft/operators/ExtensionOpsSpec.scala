@@ -357,6 +357,80 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(assigned.select(col("centroid_id")).distinct().count() == 3)
   }
 
+  test("pq adcTopK retrieves the planted cluster and is bit-reproducible") {
+    import spark.implicits._
+    // two tight clusters around +1 and -1; each query must retrieve
+    // only its own cluster's members (self excluded)
+    val dim = 8
+    def mk(id: Long, base: Double) = (id, Array.tabulate(dim)(j =>
+      (base + 0.001 * ((id * 7 + j) % 5)).toFloat))
+    val rows = (0L until 20L).map(mk(_, 1.0)) ++ (20L until 40L).map(mk(_, -1.0))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id".isin(0L, 20L))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Pq.adcTopK(df, queries, m = 2, k = 4, topK = 5)
+    val byQ = got.collect().groupBy(_.getLong(0))
+    assert(byQ(0L).forall(r => r.getLong(1) < 20L && r.getLong(1) != 0L),
+      s"cluster A query leaked: ${byQ(0L).map(_.getLong(1)).toSeq}")
+    assert(byQ(20L).forall(r => r.getLong(1) >= 20L && r.getLong(1) != 20L),
+      s"cluster B query leaked: ${byQ(20L).map(_.getLong(1)).toSeq}")
+    assert(byQ(0L).map(_.getInt(3)).sorted.toSeq == (1 to 5))
+    assertSameRows(got, Pq.adcTopK(df, queries, m = 2, k = 4, topK = 5))
+  }
+
+  test("pq encode: m codes per vector, each a valid codebook id") {
+    val emb = table("embeddings")
+    val dim = 64; val m = 4; val k = 16
+    val books = Pq.trainCodebooks(emb, dim, m, k)
+    assert(books.size == m)
+    books.foreach(b => assert(b.count() == k))
+    val mats = books.map(b =>
+      graft.functions.expressions.CentroidMatrix.fromDataFrame(b, "embedding"))
+    val codes = Pq.encode(emb, mats, dim).collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.size == m && cs.forall(c => c >= 0 && c < k), s"bad codes $cs")
+    }
+  }
+
+  test("pq with identity codebooks reproduces the exact L2 ranking") {
+    import spark.implicits._
+    // grid-valued components (multiples of 0.25: float-exact and
+    // 6-dp-round-exact), k = n and one step -> every vector IS its own
+    // centroid, so ADC distance equals the exact subspace-summed L2
+    // distance and the ranking must match a driver-side brute force
+    val dim = 4
+    val rows = (0L until 12L).map { id =>
+      (id, Array.tabulate(dim)(j => (((id * 5 + j * 3) % 7) * 0.25).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 2L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Pq.adcTopK(df, queries, m = 2, k = 12, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // driver-side exact ranking with the same per-subspace fold
+    val vecs = rows.toMap
+    def d2(a: Array[Float], b: Array[Float], lo: Int, hi: Int): Double = {
+      var da = 0.0; var db = 0.0; var ab = 0.0
+      (lo until hi).foreach { j =>
+        da += a(j).toDouble * a(j).toDouble
+        db += b(j).toDouble * b(j).toDouble
+        ab += a(j).toDouble * b(j).toDouble
+      }
+      da + db - 2.0 * ab
+    }
+    for (q <- 0L until 2L) {
+      val want = rows.map(_._1).filter(_ != q)
+        .map(v => (d2(vecs(q), vecs(v), 0, 2) + d2(vecs(q), vecs(v), 2, 4), v))
+        .sorted.take(5).map(_._2)
+      want.zipWithIndex.foreach { case (v, i) =>
+        assert(got((q, i + 1)) == v,
+          s"query $q rank ${i + 1}: got ${got((q, i + 1))}, want $v")
+      }
+    }
+  }
+
   test("incremental dedup: new batches pair against the index without re-reading corpus text") {
     val idx = new SignatureIndex(spark, tmpDir("sigindex"))
     val docs = table("documents").select(col("doc_id"), col("text"))

@@ -387,6 +387,27 @@ class PlanSpec extends SparkSpecBase {
       "string column rides the window exchange")
   }
 
+  test("PQ search: no float/double vector array ever rides an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val df = graft.SparkEntry.queries("q95_pq_search")(spark, sfDir)
+    df.collect()
+    val exchanges = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    // encoding is map-only; scoring is broadcast lookups; only the
+    // bounded-heap partials (binary buffers) and the tiny table agg
+    // shuffle — raw vectors never do
+    exchanges.foreach { e =>
+      e.child.output.foreach { a =>
+        a.dataType match {
+          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+            fail(s"vector array ${a.name} rides an exchange")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("BPE encode is one narrow map pass — no shuffle, inside codegen") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val merges = graft.operators.Bpe.collectMerges(

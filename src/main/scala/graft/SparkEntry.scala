@@ -138,6 +138,7 @@ object SparkEntry {
     "q93_set_read" -> (IbtpQueries.setRead _),
     "q94_substring_scrub" -> (CurationQueries.substringScrub _),
     "q95_pq_search" -> (ExtensionQueries.pqSearch _),
+    "q96_bm25_search" -> (ExtensionQueries.bm25Search _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -234,5 +235,6 @@ object SparkEntry {
     "q93_set_read" -> IbtpQueries.setReadSql,
     "q94_substring_scrub" -> CurationQueries.substringScrubSql,
     "q95_pq_search" -> ExtensionQueries.pqSearchSql,
+    "q96_bm25_search" -> ExtensionQueries.bm25SearchSql,
   )
 }

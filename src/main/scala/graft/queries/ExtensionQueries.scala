@@ -749,6 +749,79 @@ object ExtensionQueries {
        |      FROM pv GROUP BY centroid_id, u.pos)
        |ORDER BY centroid_id, pos""".stripMargin
 
+  /** BM25 lexical retrieval over the documents corpus: the three
+    * lowest-id docs' first 8 tokens serve as queries (deterministic,
+    * corpus-derived), ranked top-10 — the lexical ranker that pairs
+    * with the dense ANN rankers under q79's RRF fusion.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ").as("qtext"))
+    graft.operators.Ranking.bm25TopK(docs, queries, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle: identical tokenization, tf/df/lens, the same
+    * IEEE-exact formula shape, LN quantized to DECIMAL(18,9) (the q82
+    * contract), per-term contributions re-quantized before the
+    * order-free decimal sum, rank by the decimal DESC with id ASC.
+    */
+  val bm25SearchSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS w
+      |  FROM documents
+      |),
+      |lens AS (SELECT doc_id, CAST(LEN(w) AS BIGINT) AS len FROM d),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, UNNEST(w) AS token FROM d)
+      |  GROUP BY doc_id, token
+      |),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |tot AS (SELECT COUNT(*) AS n, SUM(len) AS tl FROM lens),
+      |q AS (
+      |  SELECT doc_id AS query_id,
+      |         ARRAY_TO_STRING(LIST_SLICE(w, 1, 8), ' ') AS qtext
+      |  FROM d WHERE doc_id < 3
+      |),
+      |qterms AS (
+      |  SELECT DISTINCT query_id, UNNEST(STRING_SPLIT_REGEX(TRIM(qtext), '\s+')) AS token
+      |  FROM q WHERE TRIM(qtext) <> ''
+      |),
+      |idf AS (
+      |  SELECT dfreq.token,
+      |         CAST(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      |              AS DECIMAL(18,9)) AS idf
+      |  FROM dfreq, tot
+      |  WHERE dfreq.token IN (SELECT token FROM qterms)
+      |),
+      |cand AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         CAST(CAST(i.idf AS DOUBLE) * (tf.tf * 2.2) /
+      |              (tf.tf + 1.2 * (0.25 + 0.75 * lens.len /
+      |                              (CAST(tot.tl AS DOUBLE) / tot.n)))
+      |              AS DECIMAL(18,9)) AS contrib
+      |  FROM qterms qt
+      |  JOIN tf USING (token)
+      |  JOIN idf i ON i.token = qt.token
+      |  JOIN lens ON lens.doc_id = tf.doc_id
+      |  CROSS JOIN tot
+      |),
+      |scored AS (
+      |  SELECT query_id, doc_id, SUM(contrib) AS s
+      |  FROM cand GROUP BY query_id, doc_id
+      |)
+      |SELECT query_id, doc_id, ROUND(CAST(s AS DOUBLE), 6) AS score,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                               ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
+      |FROM scored
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Product-quantization ADC search (Jégou et al. 2011): 4 subspaces
     * of 16 components, 16-centroid codebooks each trained with one
     * bit-reproducible Lloyd step, corpus encoded to 4 codes/vector,

@@ -357,6 +357,50 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assert(assigned.select(col("centroid_id")).distinct().count() == 3)
   }
 
+  test("bm25TopK matches the hand formula; only matching docs retrieved; empty docs ignored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry date date"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val qs = Seq((100L, "apple date")).toDF("query_id", "qtext")
+    val got = Ranking.bm25TopK(docs, qs, topK = 10)
+      .collect().map(r => r.getLong(1) ->
+        (r.get(2).toString.toDouble, r.getInt(3))).toMap
+    assert(got.keySet == Set(1L, 3L), s"got ${got.keySet}")
+    // hand computation: N=4, tl=8, avgdl=2.0; quantization differences
+    // vs the engine's DECIMAL(18,9) are < 1e-8 at these magnitudes
+    def idf(df: Long) = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Long, len: Long) =
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / 2.0))
+    val exp1 = idf(1) * w(2, 3) // "apple" in doc 1
+    val exp3 = idf(1) * w(2, 3) // "date" in doc 3
+    assert(math.abs(got(1L)._1 - exp1) < 1e-5, s"${got(1L)} vs $exp1")
+    assert(math.abs(got(3L)._1 - exp3) < 1e-5, s"${got(3L)} vs $exp3")
+    // equal scores tie-break by doc id ascending
+    assert(got(1L)._2 == 1 && got(3L)._2 == 2)
+  }
+
+  test("bm25TopK: multi-term accumulation, rarity ordering, determinism") {
+    import spark.implicits._
+    // "rare" appears in 1 doc, "common" in 3: the doc matching both
+    // must outrank the docs matching only "common"
+    val docs = Seq(
+      (1L, "rare common x"),
+      (2L, "common y z"),
+      (3L, "common p q"),
+      (4L, "r s t")
+    ).toDF("doc_id", "text")
+    val qs = Seq((0L, "rare common")).toDF("query_id", "qtext")
+    val r1 = Ranking.bm25TopK(docs, qs, topK = 10)
+    val rows = r1.orderBy(col("rank")).collect()
+    assert(rows.head.getLong(1) == 1L, s"doc 1 must rank first: ${rows.toSeq}")
+    assert(rows.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    assertSameRows(r1, Ranking.bm25TopK(docs, qs, topK = 10))
+  }
+
   test("pq adcTopK retrieves the planted cluster and is bit-reproducible") {
     import spark.implicits._
     // two tight clusters around +1 and -1; each query must retrieve

@@ -387,6 +387,19 @@ class PlanSpec extends SparkSpecBase {
       "string column rides the window exchange")
   }
 
+  test("BM25: every retrieval join broadcasts — the postings side never shuffles on a join key") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = graft.SparkEntry.queries("q96_bm25_search")(spark, sfDir)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // query terms, their IDF rows, and the corpus totals are all
+    // broadcast onto the postings; only the index-build and score
+    // aggregations exchange — a sort-merge join would mean the
+    // corpus-sized postings reshuffled on a join key
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "postings joined via sort-merge instead of broadcast")
+  }
+
   test("PQ search: no float/double vector array ever rides an exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}

@@ -139,6 +139,7 @@ object SparkEntry {
     "q94_substring_scrub" -> (CurationQueries.substringScrub _),
     "q95_pq_search" -> (ExtensionQueries.pqSearch _),
     "q96_bm25_search" -> (ExtensionQueries.bm25Search _),
+    "q97_hybrid_retrieval" -> (ExtensionQueries.hybridRetrieval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -236,5 +237,6 @@ object SparkEntry {
     "q94_substring_scrub" -> CurationQueries.substringScrubSql,
     "q95_pq_search" -> ExtensionQueries.pqSearchSql,
     "q96_bm25_search" -> ExtensionQueries.bm25SearchSql,
+    "q97_hybrid_retrieval" -> ExtensionQueries.hybridRetrievalSql,
   )
 }

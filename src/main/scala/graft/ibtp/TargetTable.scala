@@ -1502,14 +1502,57 @@ final class TargetTable(
       }
     }.toOption.flatten
 
+  /** All value-set blobs on a body line, declared order. */
+  private def setsOf(line: String): Seq[FileValueSet] = {
+    val i = line.indexOf('\t')
+    if (i < 0) Nil
+    else line.substring(i + 1).split('\t').toSeq.flatMap(parseSetBlob)
+  }
+
   /** Live files with their parsed value sets, if any (test/probe view). */
-  private[ibtp] def latestManifestSets(): Seq[(String, Seq[FileValueSet])] = {
-    def setsOf(line: String): Seq[FileValueSet] = {
-      val i = line.indexOf('\t')
-      if (i < 0) Nil
-      else line.substring(i + 1).split('\t').toSeq.flatMap(parseSetBlob)
-    }
+  private[ibtp] def latestManifestSets(): Seq[(String, Seq[FileValueSet])] =
     latestManifestBody().map(l => pathOf(l) -> setsOf(l))
+
+  /** Backfill per-file skip blobs (min/max stats AND value sets) for
+    * live files missing any declared column's blob — the remedy for
+    * files committed BEFORE a declaration (`compact(clusterBy)` /
+    * [[declareSetColumns]]) without paying a compaction rewrite:
+    * O(missing files) footer + dictionary-page reads, then ONE delta
+    * commit swaps the enriched body lines in (same paths — readers see
+    * the old or new lines atomically, contents untouched). Files whose
+    * footers still yield nothing (PLAIN-encoded chunks, oversized
+    * sets) keep their original lines and simply stay unpruned.
+    * Returns the number of lines enriched.
+    */
+  def restatManifest(): Int = withWriterLease() {
+    if (latestManifest().isEmpty) commitManifestRelist()
+    val statCols = latestStatsCols()
+    val setCols = latestSetCols()
+    if (statCols.isEmpty && setCols.isEmpty) 0
+    else {
+      val body = latestManifestBody()
+      val missing = body.filterNot { l =>
+        val stats = statsOf(l).map(_.col).toSet
+        val sets = setsOf(l).map(_.col).toSet
+        statCols.forall(stats.contains) && setCols.forall(sets.contains)
+      }
+      if (missing.isEmpty) 0
+      else {
+        val pairs = missing.map(l => { val p = pathOf(l); p -> new Path(path, p) })
+        val enriched = enrichPairsWithStats(pairs,
+          Some(statCols.mkString(",")).filter(_.nonEmpty),
+          Some(setCols.mkString(",")).filter(_.nonEmpty))
+        // replace only lines that actually gained information; a line
+        // whose fresh read yields nothing keeps whatever it had
+        val updates = missing.zip(enriched).collect {
+          case (old, nw) if nw != old && nw != pathOf(old) => (old, nw)
+        }
+        if (updates.nonEmpty)
+          commitManifestDelta(
+            add = updates.map(_._2), remove = updates.map(u => pathOf(u._1)))
+        updates.size
+      }
+    }
   }
 
   /** Parse ONE tab-delimited stats blob; anything malformed degrades

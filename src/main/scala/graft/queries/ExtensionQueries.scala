@@ -822,6 +822,120 @@ object ExtensionQueries {
       |QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** End-to-end hybrid retrieval: BM25 over the documents (lexical)
+    * fused with brute-force cosine over the embeddings (dense) via
+    * reciprocal-rank fusion — the query docs' ids double as the query
+    * vector ids, so both rankers rank the same candidate space. The
+    * standard two-tower search stack as ONE query: q96's ranker + q24's
+    * ranker + q79's fusion, composed.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ").as("qtext"))
+    val lexical = graft.operators.Ranking.bm25TopK(docs, queries, topK = 20)
+      .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val dense = Similarity.bruteForceTopK(emb, qv, k = 20)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    graft.operators.Ranking.rrfFuse(Seq(lexical, dense), kRrf = 60, topN = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle: the q96 BM25 replay (top-20) + the q24 bit-stable
+    * cosine replay (top-20) fused with 1/(60+rank) — two-term IEEE
+    * sums are order-insensitive, so the fused doubles are hash-exact
+    * (the q79 contract).
+    */
+  val hybridRetrievalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+      |              ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS w
+      |  FROM documents
+      |),
+      |lens AS (SELECT doc_id, CAST(LEN(w) AS BIGINT) AS len FROM d),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, UNNEST(w) AS token FROM d)
+      |  GROUP BY doc_id, token
+      |),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |tot AS (SELECT COUNT(*) AS n, SUM(len) AS tl FROM lens),
+      |q AS (
+      |  SELECT doc_id AS query_id,
+      |         ARRAY_TO_STRING(LIST_SLICE(w, 1, 8), ' ') AS qtext
+      |  FROM d WHERE doc_id < 3
+      |),
+      |qterms AS (
+      |  SELECT DISTINCT query_id, UNNEST(STRING_SPLIT_REGEX(TRIM(qtext), '\s+')) AS token
+      |  FROM q WHERE TRIM(qtext) <> ''
+      |),
+      |idf AS (
+      |  SELECT dfreq.token,
+      |         CAST(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      |              AS DECIMAL(18,9)) AS idf
+      |  FROM dfreq, tot
+      |  WHERE dfreq.token IN (SELECT token FROM qterms)
+      |),
+      |cand AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         CAST(CAST(i.idf AS DOUBLE) * (tf.tf * 2.2) /
+      |              (tf.tf + 1.2 * (0.25 + 0.75 * lens.len /
+      |                              (CAST(tot.tl AS DOUBLE) / tot.n)))
+      |              AS DECIMAL(18,9)) AS contrib
+      |  FROM qterms qt
+      |  JOIN tf USING (token)
+      |  JOIN idf i ON i.token = qt.token
+      |  JOIN lens ON lens.doc_id = tf.doc_id
+      |  CROSS JOIN tot
+      |),
+      |bscored AS (
+      |  SELECT query_id, doc_id, SUM(contrib) AS s
+      |  FROM cand GROUP BY query_id, doc_id
+      |),
+      |rl AS (
+      |  SELECT query_id, doc_id AS vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY s DESC, doc_id ASC) AS rnk
+      |  FROM bscored QUALIFY rnk <= 20
+      |),
+      |eq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+      |       FROM embeddings WHERE vec_id < 3),
+      |cscored AS (
+      |  SELECT eq.query_id, e.vec_id,
+      |         list_dot_product(e.embedding::DOUBLE[], eq.q_vec) /
+      |           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |            sqrt(list_dot_product(eq.q_vec, eq.q_vec))) AS cos
+      |  FROM embeddings e CROSS JOIN eq
+      |  WHERE e.vec_id <> eq.query_id
+      |),
+      |rc AS (
+      |  SELECT query_id, vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, vec_id ASC) AS rnk
+      |  FROM cscored QUALIFY rnk <= 20
+      |),
+      |u AS (
+      |  SELECT query_id, vec_id, 1.0 / (60 + rnk) AS c FROM rl
+      |  UNION ALL
+      |  SELECT query_id, vec_id, 1.0 / (60 + rnk) AS c FROM rc
+      |),
+      |f AS (
+      |  SELECT query_id, vec_id, SUM(c) AS rrf, COUNT(*) AS n_rankers
+      |  FROM u GROUP BY 1, 2
+      |)
+      |SELECT query_id, vec_id, ROUND(rrf, 6) AS rrf_score,
+      |       CAST(rn AS INT) AS rank, n_rankers
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                   ORDER BY rrf DESC, vec_id ASC) AS rn
+      |      FROM f)
+      |WHERE rn <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Product-quantization ADC search (Jégou et al. 2011): 4 subspaces
     * of 16 components, 16-centroid codebooks each trained with one
     * bit-reproducible Lloyd step, corpus encoded to 4 codes/vector,

@@ -37,6 +37,9 @@ import graft.sources.{GraftSession, Tables}
   *   --target /path/tbl --timestamp-field day   (categorical value-set
   *                            skipping: later writes record per-file
   *                            exact value sets; readWhereIn prunes)
+  * runMain graft.tools.IbtpCli --restat-manifest --target /path/tbl \
+  *   --timestamp-field day   (backfill skip blobs for files committed
+  *                            before a declaration — no rewrite)
   * runMain graft.tools.IbtpCli --upgrade-manifest --target /path/tbl \
   *   --timestamp-field day   (pre-manifest table -> snapshot reads;
   *                            absorb a non-manifest writer's files)
@@ -110,6 +113,17 @@ object IbtpCli {
         t.declareSetColumns(cols)
         println(s"[ibtp] set columns declared: ${cols.mkString(", ")} " +
           "(later writes record per-file value sets)")
+        return
+      }
+
+      // standalone restat: backfill per-file skip blobs for live files
+      // that predate the stats/set declarations — O(missing) footer +
+      // dictionary reads, one delta commit, no data rewrite
+      if (opts.contains("restat-manifest")) {
+        val t = new TargetTable(spark, req("target"), req("timestamp-field"))
+        if (!t.exists) sys.error(s"target ${req("target")} does not exist")
+        val n = t.restatManifest()
+        println(s"[ibtp] restat: $n manifest entries enriched")
         return
       }
 

@@ -410,6 +410,53 @@ class ManifestSkipSpec extends SparkSpecBase {
       t.read().filter(col("user_id") === 9L))
   }
 
+  test("restatManifest backfills pre-declaration files' sets without a rewrite") {
+    val (t, types) = buildSetTable(tmpDir("set_restat") + "/tbl")
+    val before = t.latestManifestSets()
+    assert(before.exists(_._2.isEmpty), "setup: pre-declaration files lack sets")
+    val want = t.read().collect().toSeq
+    val filesBefore = t.latestManifest().get.sorted
+    // backfill: footer + dictionary reads only, one delta commit
+    val n = t.restatManifest()
+    assert(n > 0, "restat must enrich the set-less lines")
+    assert(t.latestManifest().get.sorted == filesBefore,
+      "restat must not add/remove/rename any file")
+    val after = t.latestManifestSets()
+    assert(after.forall(_._2.nonEmpty),
+      s"every line must now carry sets: ${after.filter(_._2.isEmpty).take(3)}")
+    // the formerly-unprunable bulk now prunes: a lookup of the LAST
+    // type keeps only files whose set contains it
+    val (kept, total) = t.planFilesForIn("event_type", Seq(types.last))
+    assert(kept.size < total)
+    assertSameRows(
+      t.readWhereIn("event_type", Seq(types.last)),
+      t.read().filter(col("event_type") === types.last))
+    assert(t.read().collect().toSeq.sortBy(_.toString) == want.sortBy(_.toString),
+      "contents untouched")
+    // idempotent: nothing left to enrich (dictionary-qualifying files
+    // all have blobs; a second pass is a no-op)
+    assert(t.restatManifest() == 0)
+  }
+
+  test("restatManifest restores min/max stats and fastRowCount after a relist") {
+    val t = buildClustered(tmpDir("skip_restat") + "/tbl")
+    val want = t.read().count()
+    assert(t.fastRowCount().contains(want))
+    // a relist keeps the #statscol header but loses every stats blob
+    t.relistManifest()
+    assert(t.latestStatsCol().contains("user_id"))
+    assert(t.fastRowCount().isEmpty)
+    assert(t.restatManifest() > 0)
+    assert(t.fastRowCount().contains(want),
+      "restat must restore the metadata-served count")
+    // and range pruning works again
+    val (kept, total) = t.planFilesForRange("user_id", 13L, 13L)
+    assert(kept.size < total)
+    assertSameRows(
+      t.readWhere("user_id", 13L, 13L),
+      t.read().filter(col("user_id") === 13L))
+  }
+
   test("value sets survive checkpoint folds and compaction rewrites re-record them") {
     val (t, types) = buildSetTable(tmpDir("set_survive") + "/tbl")
     def withSets() = t.latestManifestSets().count(_._2.nonEmpty)

@@ -1513,6 +1513,34 @@ final class TargetTable(
   private[ibtp] def latestManifestSets(): Seq[(String, Seq[FileValueSet])] =
     latestManifestBody().map(l => pathOf(l) -> setsOf(l))
 
+  /** Columns a [[restatManifest]] pass PROBED on this line and found
+    * can never yield a skip blob (PLAIN-encoded chunks, oversized
+    * sets, unsupported types) — the negative-result sentinel that
+    * keeps repeated restat calls from re-opening the same footers
+    * forever. Every pruner ignores the blob (it only ever WIDENS the
+    * covered-column set), so a stale sentinel is merely unpruned,
+    * never wrong.
+    */
+  private def noskipOf(line: String): Set[String] = {
+    val at = line.indexOf("\tnoskip=")
+    if (at < 0) Set.empty
+    else {
+      val start = at + 8
+      val end0 = line.indexOf('\t', start)
+      val end = if (end0 < 0) line.length else end0
+      line.substring(start, end).split(';').iterator
+        .filter(_.nonEmpty).map(unb64).toSet
+    }
+  }
+
+  /** Serialize the negative-result sentinel (b64 names, ';'-joined). */
+  private def encodeNoskip(cols: Seq[String]): String =
+    "noskip=" + cols.map(b64).mkString(";")
+
+  /** Live files with their negative-sentinel columns (test/probe view). */
+  private[ibtp] def latestManifestNoskip(): Seq[(String, Set[String])] =
+    latestManifestBody().map(l => pathOf(l) -> noskipOf(l))
+
   /** Backfill per-file skip blobs (min/max stats AND value sets) for
     * live files missing any declared column's blob — the remedy for
     * files committed BEFORE a declaration (`compact(clusterBy)` /
@@ -1531,10 +1559,16 @@ final class TargetTable(
     if (statCols.isEmpty && setCols.isEmpty) 0
     else {
       val body = latestManifestBody()
+      // a column is covered when it has a blob OR a prior restat's
+      // negative sentinel says its footer can never yield one — so
+      // repeated restat calls are O(newly-unqualified), not
+      // O(unqualifying) footer re-opens per invocation
       val missing = body.filterNot { l =>
         val stats = statsOf(l).map(_.col).toSet
         val sets = setsOf(l).map(_.col).toSet
-        statCols.forall(stats.contains) && setCols.forall(sets.contains)
+        val probed = noskipOf(l)
+        statCols.forall(c => stats.contains(c) || probed.contains(c)) &&
+          setCols.forall(c => sets.contains(c) || probed.contains(c))
       }
       if (missing.isEmpty) 0
       else {
@@ -1542,10 +1576,25 @@ final class TargetTable(
         val enriched = enrichPairsWithStats(pairs,
           Some(statCols.mkString(",")).filter(_.nonEmpty),
           Some(setCols.mkString(",")).filter(_.nonEmpty))
-        // replace only lines that actually gained information; a line
-        // whose fresh read yields nothing keeps whatever it had
-        val updates = missing.zip(enriched).collect {
-          case (old, nw) if nw != old && nw != pathOf(old) => (old, nw)
+        // every probed line commits: blobs gained ride as-is, and any
+        // declared column the fresh read could NOT serve is recorded in
+        // the negative sentinel so the next restat skips this footer
+        val updates = missing.zip(enriched).flatMap { case (old, nw) =>
+          val gainedStats = statsOf(nw).map(_.col).toSet
+          val gainedSets = setsOf(nw).map(_.col).toSet
+          val stillBare = (statCols.filterNot(gainedStats) ++
+            setCols.filterNot(gainedSets)).distinct
+          val priorProbed = noskipOf(old)
+          val probedNow = (priorProbed ++ stillBare).toSeq.sorted
+          // carry forward blobs the OLD line already had that the fresh
+          // read did not reproduce (it shouldn't happen — contents are
+          // immutable — but never drop information on a re-stat)
+          val keepOld = statsOf(old).filter(s => !gainedStats(s.col))
+            .map(encodeStat) ++
+            setsOf(old).filter(s => !gainedSets(s.col)).map(encodeSetBlob)
+          val line = nw + keepOld.map("\t" + _).mkString +
+            (if (probedNow.nonEmpty) "\t" + encodeNoskip(probedNow) else "")
+          if (line == old) None else Some((old, line))
         }
         if (updates.nonEmpty)
           commitManifestDelta(
@@ -1651,8 +1700,18 @@ final class TargetTable(
       Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
     case ("long", t: java.time.Instant)    =>
       Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    // decimals canonicalize into 'long' only when they are EXACT whole
+    // numbers — truncating 1.50 to 1 would wrongly prune a long-stat
+    // file; a fractional decimal is incomparable in this space (keep)
+    case ("long", b: java.math.BigDecimal) =>
+      scala.util.Try(b.stripTrailingZeros.longValueExact()).toOption
+    case ("long", b: scala.math.BigDecimal) =>
+      scala.util.Try(b.underlying.stripTrailingZeros.longValueExact()).toOption
     case ("long", n: Number)               => Some(n.longValue())
-    case ("double", n: Number)             => Some(n.doubleValue())
+    // -0.0 == 0.0 in SQL; normalize so the set pruner's string
+    // comparison agrees with the recorded (normalized) dictionary
+    case ("double", n: Number)             =>
+      val d = n.doubleValue(); Some(if (d == 0.0) 0.0 else d)
     case ("string", s: String)             => Some(s)
     case _                                 => None
   }
@@ -1737,9 +1796,20 @@ final class TargetTable(
             val ann = c.getPrimitiveType.getLogicalTypeAnnotation
             // the same canonical value spaces as [[columnFooterStat]],
             // so [[canonBound]] serves both pruners
+            // decimal-annotated ints store UNSCALED values; recording
+            // them in the 'long' space would compare against truncated
+            // query decimals (1.50 vs unscaled 150) and wrongly prune —
+            // opt out, like the NANOS timestamp case
+            val isDecimal =
+              ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+            // -0.0 == 0.0 in SQL but their strings differ; normalize so
+            // set membership (string equality) cannot wrongly prune
+            def zNorm(d: Double): Double = if (d == 0.0) 0.0 else d
             c.getPrimitiveType.getPrimitiveTypeName match {
+              case INT32 if isDecimal => None
               case INT32 =>
                 Some(("long", ids.map(i => dict.decodeToInt(i).toLong.toString)))
+              case INT64 if isDecimal => None
               case INT64 =>
                 val scale = ann match {
                   case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
@@ -1753,9 +1823,9 @@ final class TargetTable(
                 if (scale == 0L) None
                 else Some(("long", ids.map(i => (dict.decodeToLong(i) * scale).toString)))
               case FLOAT =>
-                Some(("double", ids.map(i => dict.decodeToFloat(i).toDouble.toString)))
+                Some(("double", ids.map(i => zNorm(dict.decodeToFloat(i).toDouble).toString)))
               case DOUBLE =>
-                Some(("double", ids.map(i => dict.decodeToDouble(i).toString)))
+                Some(("double", ids.map(i => zNorm(dict.decodeToDouble(i)).toString)))
               case BINARY
                   if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
                 Some(("string", ids.map(i => dict.decodeToBinary(i).toStringUsingUTF8)))
@@ -1793,9 +1863,16 @@ final class TargetTable(
                 if (st == null || st.isEmpty || !st.hasNonNullValue) None
                 else {
                   val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+                  // decimal-annotated ints are UNSCALED; a 'long'-space
+                  // range over them would be compared against truncated
+                  // query decimals and wrongly prune — opt out (same
+                  // rule as [[columnValueSet]])
+                  val isDecimal = ann
+                    .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
                   def lmin = st.genericGetMin.asInstanceOf[Number].longValue()
                   def lmax = st.genericGetMax.asInstanceOf[Number].longValue()
                   c.getPrimitiveType.getPrimitiveTypeName match {
+                    case INT32 | INT64 if isDecimal => None
                     case INT32 => Some(("long", lmin, lmax))
                     case INT64 =>
                       val scale = ann match {

@@ -96,10 +96,17 @@ object Pq {
     val sub = dim / m
     val books = trainCodebooks(corpus, dim, m, k, maxIters, idCol, vecCol)
     val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
+    // the TRAINED size, not the requested k: a corpus smaller than k
+    // yields fewer centroids (KMeans seeds from the k lowest ids), and
+    // flat-indexing by the requested k would then read wrong table
+    // entries. Every subspace trains on the same rows, so sizes agree.
+    val kAct = mats.head.k
+    require(mats.forall(_.k == kAct),
+      s"ragged PQ codebooks: ${mats.map(_.k).mkString(",")}")
     val codes = encode(corpus, mats, dim, idCol, vecCol)
     // distance tables, built with the SAME proven fold arithmetic the
-    // assignment uses: queries × m × k rows — tiny, broadcast. Flat
-    // index s*k + cid so the lookup is one element_at; array_sort on
+    // assignment uses: queries × m × kAct rows — tiny, broadcast. Flat
+    // index s*kAct + cid so the lookup is one element_at; array_sort on
     // the (unique) index makes the collect_list order irrelevant.
     val booksU = books.zipWithIndex.map { case (b, s) =>
       b.select(lit(s).as("s"), col("centroid_id").as("cid"), col(vecCol).as("cv"))
@@ -108,7 +115,7 @@ object Pq {
       s"transform(sequence(0, ${m - 1}), s -> slice($vecCol, s * $sub + 1, $sub))"))
       .as(Seq("s", "qv")))
     val qtables = qsub.join(broadcast(booksU), Seq("s"))
-      .select(col(queryIdCol), (col("s") * k + col("cid")).as("i"),
+      .select(col(queryIdCol), (col("s") * kAct + col("cid")).as("i"),
         (normSq(col("qv")) + normSq(col("cv"))
           - lit(2.0) * dot(col("qv"), col("cv"))).as("d2"))
       .groupBy(col(queryIdCol))
@@ -120,7 +127,7 @@ object Pq {
       .filter(col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol), col(idCol),
         expr(s"aggregate(sequence(0, ${m - 1}), 0D, " +
-          s"(acc, s) -> acc + tbl[s * $k + int(codes[s])])").as("adist2"))
+          s"(acc, s) -> acc + tbl[s * $kAct + int(codes[s])])").as("adist2"))
     CorpusStats.topKPerGroup(
       scored.withColumn("__neg", -col("adist2")), queryIdCol, idCol, "__neg", topK)
       // +0.0 folds a possible -0.0 (tiny-negative float sums rounded

@@ -480,4 +480,119 @@ class ManifestSkipSpec extends SparkSpecBase {
     // and fastRowCount is orthogonal: sets alone don't serve it
     assert(t.latestStatsCol().isEmpty)
   }
+
+  test("decimal columns never record skip blobs and never mis-prune") {
+    // decimal-annotated parquet ints store UNSCALED values (1.50 → 150);
+    // recording them in the 'long' space would compare against a
+    // truncated query decimal and silently drop matching files — so
+    // BOTH recorders opt out and a fractional-decimal bound is
+    // incomparable (keeps every file)
+    val dec = events.select(col("ts"), col("event_id"), col("user_id"),
+      (col("value").cast("decimal(10,2)")).as("price"))
+    val t = new TargetTable(spark, tmpDir("skip_decimal") + "/tbl", "ts",
+      countRows = false)
+    t.init(dec.filter(col("user_id") <= 7))
+    t.declareSetColumns(Seq("price"))
+    t.compact(clusterBy = Seq("price"))
+    t.append(dec.filter(col("user_id") > 7))
+    // nothing recorded for the decimal column, in either blob kind
+    assert(t.latestManifestEntries().forall(!_._2.exists(_.col == "price")),
+      "decimal stats must not be recorded")
+    assert(t.latestManifestSets().forall(!_._2.exists(_.col == "price")),
+      "decimal value sets must not be recorded")
+    val total = t.latestManifestEntries().size
+    val q = new java.math.BigDecimal("1.50")
+    // fractional decimal bounds are incomparable: keep everything
+    assert(t.planFilesForRange("price", q, q)._1.size == total)
+    assert(t.planFilesForIn("price", Seq(q))._1.size == total)
+    // and the reads stay exact
+    assertSameRows(
+      t.readWhere("price", q, q),
+      t.read().filter(col("price") === lit(q)))
+    assertSameRows(
+      t.readWhereIn("price", Seq(q)),
+      t.read().filter(col("price").isin(q)))
+    // a WHOLE-number decimal against genuine long stats is comparable —
+    // user_id stats exist on the clustered table below
+    val t2 = buildClustered(tmpDir("skip_decimal2") + "/tbl")
+    val whole = new java.math.BigDecimal("13.00")
+    assert(t2.planFilesForRange("user_id", whole, whole)._1.sorted ==
+      t2.planFilesForRange("user_id", 13L, 13L)._1.sorted,
+      "13.00 must canonicalize exactly like 13L")
+    val frac = new java.math.BigDecimal("13.50")
+    assert(t2.planFilesForRange("user_id", frac, frac)._1.size ==
+      t2.latestManifestEntries().size,
+      "a fractional decimal must not truncate into the long space")
+  }
+
+  test("-0.0 and 0.0 are one value to the set pruner") {
+    import spark.implicits._
+    // multi-row files with repeated values, so parquet actually writes
+    // dictionary pages (a 1-row chunk legitimately lands PLAIN)
+    val df = ((1L to 10L).map(i =>
+      (i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), -0.0)) ++
+      (11L to 20L).map(i =>
+        (i, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+          if (i % 2 == 0) 5.0 else 6.0)))
+      .toDF("id", "ts", "v")
+    val t = new TargetTable(spark, tmpDir("set_negzero") + "/tbl", "ts",
+      countRows = false)
+    t.init(df.filter(col("id") <= 0)) // schema-sample init, empty
+    t.declareSetColumns(Seq("v"))
+    t.append(df.filter(col("id") <= 10).coalesce(1))  // the -0.0 file
+    t.append(df.filter(col("id") >= 11).coalesce(1))  // the {5,6} file
+    val sets = t.latestManifestSets().filter(_._2.nonEmpty)
+    assert(sets.nonEmpty, "doubles must record value sets")
+    assert(sets.forall(!_._2.head.vals.contains("-0.0")),
+      "recorded sets must normalize -0.0 to 0.0")
+    // a 0.0 lookup must KEEP the -0.0 file: the manifest pruner may
+    // never be MORE aggressive than the engine (Spark's own pushed
+    // parquet Eq(0.0) uses Double.compare stats, an upstream quirk —
+    // the contract here is pruner ≤ engine, pinned by assertSameRows)
+    val (kept, total) = t.planFilesForIn("v", Seq(0.0))
+    assert(kept.size < total, "the {5,6} file must prune")
+    val negZeroFile = t.latestManifestSets()
+      .find(_._2.exists(_.vals.contains("0.0"))).map(_._1)
+    assert(negZeroFile.exists(kept.contains),
+      s"the -0.0 file must stay planned for a 0.0 lookup: kept=$kept")
+    assertSameRows(
+      t.readWhereIn("v", Seq(0.0)),
+      t.read().filter(col("v").isin(0.0)))
+    // querying -0.0 keeps the same file and returns its rows
+    assert(t.planFilesForIn("v", Seq(-0.0))._1.sorted == kept.sorted)
+    assert(t.readWhereIn("v", Seq(-0.0)).count() == 10)
+  }
+
+  test("restat records a negative sentinel for unqualifying files and stops re-probing them") {
+    // event_id is high-cardinality: every file's distinct set exceeds
+    // MaxSetValues, so no file can ever yield a set blob — pre-fix,
+    // every restat call re-opened every footer forever
+    val t = new TargetTable(spark, tmpDir("set_sentinel") + "/tbl", "ts",
+      countRows = false)
+    t.init(events.filter(col("user_id") <= 7))
+    t.append(events.filter(col("user_id") > 7))
+    t.declareSetColumns(Seq("event_id"))
+    val n1 = t.restatManifest()
+    assert(n1 > 0, "the first restat must commit the probed-negative sentinels")
+    val probed = t.latestManifestNoskip()
+    assert(probed.forall(_._2.contains("event_id")),
+      s"every line must carry the sentinel: ${probed.filterNot(_._2.contains("event_id")).take(3)}")
+    // second pass: nothing missing, nothing re-probed, nothing committed
+    assert(t.restatManifest() == 0)
+    // the sentinel only widens coverage — pruning stays conservative
+    val someId = events.select(col("event_id")).head.getLong(0)
+    val total = t.latestManifestEntries().size
+    assert(t.planFilesForIn("event_id", Seq(someId))._1.size == total)
+    assertSameRows(
+      t.readWhereIn("event_id", Seq(someId)),
+      t.read().filter(col("event_id") === someId))
+    // a LATER declaration re-probes exactly the new column and extends
+    // the sentinel/blob coverage without disturbing the old one
+    t.declareSetColumns(Seq("event_id", "event_type"))
+    val n2 = t.restatManifest()
+    assert(n2 > 0, "the new column must be probed")
+    assert(t.latestManifestSets().forall(_._2.exists(_.col == "event_type")),
+      "event_type qualifies and must gain real sets")
+    assert(t.restatManifest() == 0)
+  }
 }

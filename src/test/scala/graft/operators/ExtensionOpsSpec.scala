@@ -422,6 +422,27 @@ class ExtensionOpsSpec extends SparkSpecBase {
     assertSameRows(got, Pq.adcTopK(df, queries, m = 2, k = 4, topK = 5))
   }
 
+  test("pq adcTopK with a corpus smaller than k indexes by the TRAINED size") {
+    import spark.implicits._
+    // 6 vectors, k=16: KMeans seeds from the k lowest ids, so each
+    // subspace trains only 6 centroids — flat-indexing the distance
+    // table by the REQUESTED k would read wrong entries / null adist2
+    val dim = 4
+    val rows = (0L until 6L).map { id =>
+      (id, Array.tabulate(dim)(j => (((id * 5 + j * 3) % 7) * 0.25).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 2L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val big = Pq.adcTopK(df, queries, m = 2, k = 16, topK = 3)
+    val bigRows = big.collect()
+    assert(bigRows.nonEmpty && bigRows.forall(!_.isNullAt(2)),
+      s"adist2 must never be null: ${bigRows.toSeq}")
+    // with k >= n every vector is its own centroid either way, so the
+    // oversized request must answer exactly like the exact-size one
+    assertSameRows(big, Pq.adcTopK(df, queries, m = 2, k = 6, topK = 3))
+  }
+
   test("pq encode: m codes per vector, each a valid codebook id") {
     val emb = table("embeddings")
     val dim = 64; val m = 4; val k = 16

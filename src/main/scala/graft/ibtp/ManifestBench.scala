@@ -93,6 +93,45 @@ object ManifestBench {
       val t4 = System.nanoTime()
       val (keptIn, _) = t.planFilesForIn("lang", Seq("l3"))
       val pruneInMs = (System.nanoTime() - t4) / 1e6
+      // CONCURRENT commit throughput: K lease-less optimistic writers
+      // (separate TargetTable instances = separate monitors, the
+      // multi-process shape) each land M conflict-checked commits
+      // ([[TargetTable.commitConcurrentAppend]] — the appendConcurrent
+      // protocol: per-attempt validation + CAS rename). Contention cost
+      // shows as concurrent-vs-serial wall ratio; with a lease they
+      // could not run at all without hand-off.
+      val k = 4; val mPer = 6
+      val writers = (0 until k).map(_ => new TargetTable(spark, dir, "ts"))
+      val basisLive = t.latestManifest().get.toSet
+      val go = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(k)
+      val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = writers.zipWithIndex.map { case (w, wi) =>
+        new Thread(() => {
+          go.await()
+          try (1 to mPer).foreach { j =>
+            w.commitConcurrentAppend(
+              Seq(f"p_date=2024-02-0${wi + 1}/part-cc-$j%04d.parquet"),
+              Set(f"p_date=2024-02-0${wi + 1}"), basisLive, None)
+          } catch { case _: Throwable => failed.incrementAndGet() }
+          finally done.countDown()
+        }, s"mbench-cc-$wi")
+      }
+      threads.foreach(_.start())
+      val tc0 = System.nanoTime()
+      go.countDown()
+      done.await()
+      val ccWallMs = (System.nanoTime() - tc0) / 1e6
+      val ccLive = t.latestManifest().get.size
+      // serial baseline: the same k*mPer conflict-checked commits, one
+      // writer thread
+      val ts0 = System.nanoTime()
+      (1 to k * mPer).foreach { j =>
+        t.commitConcurrentAppend(
+          Seq(f"p_date=2024-02-09/part-sc-$j%04d.parquet"),
+          Set("p_date=2024-02-09"), basisLive, None)
+      }
+      val serialWallMs = (System.nanoTime() - ts0) / 1e6
       println(
         s"""{"live_files":$n,"commits":$commitsPerSize,""" +
           f""""commit_ms_median":${sorted(sorted.size / 2)}%.3f,""" +
@@ -102,7 +141,13 @@ object ManifestBench {
           f""""prune_ms":$pruneMs%.3f,"planned_files":${kept.size},""" +
           f""""prune2_ms":$prune2Ms%.3f,"planned_files_2d":${kept2.size},""" +
           f""""prune_in_ms":$pruneInMs%.3f,"planned_files_in":${keptIn.size},""" +
-          s""""planned_total":$total}""")
+          s""""planned_total":$total,""" +
+          s""""cc_writers":$k,"cc_commits":${k * mPer},""" +
+          f""""cc_wall_ms":$ccWallMs%.3f,""" +
+          f""""cc_commits_per_sec":${k * mPer * 1000.0 / ccWallMs}%.1f,""" +
+          f""""cc_serial_wall_ms":$serialWallMs%.3f,""" +
+          s""""cc_failed":${failed.get},"cc_live":$ccLive,""" +
+          s""""cc_all_committed":${ccLive == live + k * mPer}}""")
     }
     spark.stop()
   }

@@ -415,6 +415,147 @@ final class TargetTable(
     */
   def appendIsolated(df: DataFrame): Long = append(df)
 
+  /** OPTIMISTIC concurrent append — the multi-pipeline write path. The
+    * single-writer lease serializes every mutator because the crash
+    * repairs assume exclusivity; but two pipelines blind-appending to
+    * one table (the reference's own per-period commits are independent,
+    * `insert_by_timeperiod_loop.sql:134`) need no such exclusivity:
+    * staged file names are job-unique, the manifest commit is an atomic
+    * rename that FAILS if the version already exists, and an append
+    * removes nothing. So this path takes NO lease at all and commits
+    * Delta-style (Delta Lake's OCC protocol): it captures a basis
+    * (the live set + schema it considers current), stages and moves its
+    * files, and validates inside every commit attempt that no
+    * intervening commit conflicts — commitVersion's
+    * rename-fails-if-exists makes check→rename effectively
+    * compare-and-swap, and every lost race re-validates against the
+    * newer chain.
+    *
+    * Conflict rules (Serializable, the strict level):
+    *  - another APPEND — never a conflict (disjoint job-unique adds;
+    *    both commit, whatever partitions they touch);
+    *  - a REPLACE / compaction / upsert that REMOVED files in a
+    *    partition this append writes — [[ConcurrentWriteConflictException]];
+    *    the staged files are rolled back (they were published to no
+    *    manifest) and the caller retries against the new state. The
+    *    reverse interleaving — this append commits first, the replace
+    *    lands after — is absorbed by the replace's per-attempt removal
+    *    recompute: the history serializes as "append, then replace";
+    *  - a SCHEMA change — conflict (this append's files were written
+    *    under the old schema);
+    *  - a full-refresh SWAP (whole-directory rename) must not race this
+    *    path at all — same documented exclusion as Delta's
+    *    overwriteSchema; the schema/manifest checks catch most
+    *    interleavings, but the swap's directory rename is outside the
+    *    log's protection.
+    *
+    * Crash safety without the lease: the intent marker carries
+    * `opt=1` and a timestamp; [[repairOrphanedAppends]] skips markers
+    * younger than [[TargetTable.OptAppendStaleMs]] (a LIVE sibling's
+    * in-flight append — rolling it back would destroy committed-any-
+    * second work) and repairs stale ones exactly like lease-held
+    * appends. Requires a manifest-era table: pre-manifest visibility is
+    * directory listing, which no commit protocol can protect.
+    */
+  def appendConcurrent(df: DataFrame): Long = {
+    if (latestManifest().isEmpty)
+      throw new IllegalStateException(
+        s"appendConcurrent on $path requires a manifest-era table: any " +
+          "lease-holding write commits one (or call relistManifest() once)")
+    stagedAppendConcurrent(withPartitionCol(alignToTarget(df)))
+  }
+
+  private def stagedAppendConcurrent(aligned: DataFrame): Long = {
+    // the basis: what this writer considers the current table. Captured
+    // BEFORE staging; the conflict check compares the then-current
+    // state against it at every commit attempt.
+    val basisHeader = latestHeaderLines()
+    val basisSchemaJson = schemaOfManifestLines(basisHeader).map(_.json)
+    val basisLive = latestManifest().getOrElse(Nil).toSet
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(path + s"__stage_$id")
+    try {
+      val n = writeCounted(aligned, stage.toString, "overwrite")
+      val dst = new Path(path)
+      if (!fs.exists(dst)) fs.mkdirs(dst)
+      val stagedRel = listStagedRel(stage)
+      if (stagedRel.nonEmpty) {
+        val stagedLines =
+          enrichWithStats(stagedRel, stage, latestStatsCol(), latestSetCol())
+        val myParts = stagedRel.map(_.takeWhile(_ != '/')).toSet
+        val marker = new Path(path, AppendIntentPrefix + id)
+        writeMarker(marker, s"files=${stagedRel.mkString(",")}\n" +
+          s"opt=1\nhb=${System.currentTimeMillis()}\n")
+        crashPoint("append:marker")
+        stagedRel.foreach { rel =>
+          val dir = new Path(dst, rel.takeWhile(_ != '/'))
+          if (!fs.exists(dir)) fs.mkdirs(dir)
+          if (!fs.rename(new Path(stage, rel), new Path(path, rel)))
+            throw new IllegalStateException(
+              s"could not move staged append file $rel into $path: " +
+                "aborting before the manifest commit " +
+                "(repairOrphanedAppends rolls the partial move back)")
+          crashPoint("append:move")
+        }
+        failAppendPoint(1)
+        onOptimisticCommit()
+        try
+          commitConcurrentAppend(stagedLines, myParts, basisLive, basisSchemaJson)
+        catch {
+          case e: ConcurrentWriteConflictException =>
+            // the staged files were published to NO manifest (the check
+            // throws before the attempt's rename): delete them outright
+            // and clear the marker — exactly-pre-append state
+            stagedRel.foreach { rel =>
+              val p = new Path(path, rel)
+              if (fs.exists(p)) fs.delete(p, false)
+            }
+            fs.delete(marker, false)
+            throw e
+        }
+        failAppendPoint(2)
+        crashPoint("append:commit")
+        fs.delete(marker, false)
+        crashPoint("append:cleared")
+      }
+      n
+    } finally if (fs.exists(stage)) fs.delete(stage, true)
+  }
+
+  /** The optimistic append's conflict-checked commit: the validation
+    * runs INSIDE the commit thunk, per attempt — between any check and
+    * its version rename nothing can land unseen (a racer taking the
+    * sequence makes the rename fail → re-check), so check→rename is
+    * effectively compare-and-swap. `private[ibtp]` so [[ManifestBench]]
+    * can measure the full protocol's concurrent throughput.
+    */
+  private[ibtp] def commitConcurrentAppend(
+      stagedLines: Seq[String], myParts: Set[String],
+      basisLive: Set[String], basisSchemaJson: Option[String]): Unit = {
+    def conflictCheck(): Unit = {
+      val cur = latestManifestRaw().getOrElse(Nil)
+      val curSchemaJson =
+        schemaOfManifestLines(cur.takeWhile(_.startsWith("#"))).map(_.json)
+      if (curSchemaJson != basisSchemaJson)
+        throw new ConcurrentWriteConflictException(
+          s"appendConcurrent on $path: the table schema changed while " +
+            "this append was in flight — its files were written under " +
+            "the old schema; re-run against the new state")
+      val curLive = cur.filterNot(_.startsWith("#")).map(pathOf).toSet
+      val removedInMine = basisLive.diff(curLive)
+        .filter(f => myParts.contains(f.takeWhile(_ != '/')))
+      if (removedInMine.nonEmpty)
+        throw new ConcurrentWriteConflictException(
+          s"appendConcurrent on $path: a concurrent writer replaced " +
+            s"${removedInMine.size} files in partitions this append " +
+            s"touches (${myParts.mkString(", ")}) — serializing this " +
+            "append before it would resurrect replaced rows; re-run " +
+            "against the new state")
+    }
+    commitManifestDelta(add = stagedLines, remove = Nil,
+      preCheck = () => conflictCheck())
+  }
+
   /** The one append primitive: stage to a per-call scratch dir, record
     * the staged file names in a per-call intent marker, move them into
     * the live partition directories (pure namenode renames —
@@ -527,8 +668,22 @@ final class TargetTable(
       .foreach(fs.delete(_, false))
     var rolledBack = 0
     markers.foreach { m =>
-      val files = readKv(m, required = Seq("files"))
+      val kv = readKv(m, required = Seq("files"))
+      val files = kv
         .map(_("files")).getOrElse("").split(",").filter(_.nonEmpty).toSeq
+      // an OPTIMISTIC append's marker (opt=1, timestamped) may belong to
+      // a LIVE lease-less sibling mid-flight — rolling it back would
+      // destroy work that commits any second. Skip it while fresh; a
+      // marker older than [[TargetTable.OptAppendStaleMs]] is a crashed
+      // append (the move+commit window is sub-second) and repairs like
+      // any other.
+      val optFresh = kv.exists(_.get("opt").contains("1")) &&
+        kv.flatMap(_.get("hb")).flatMap(_.toLongOption)
+          .exists(System.currentTimeMillis() - _ < OptAppendStaleMs)
+      if (optFresh) {
+        TargetTable.log.info(s"skipping fresh optimistic-append marker " +
+          s"${m.getName} on $path (live sibling in flight)")
+      } else {
       val tornSidecar = new Path(path, m.getName + TornSidecarSuffix)
       latestManifest() match {
         case None => // pre-manifest: disk == visible already, nothing to undo
@@ -587,6 +742,7 @@ final class TargetTable(
       crashPoint("repairA:marker")
       if (fs.exists(tornSidecar)) fs.delete(tornSidecar, false)
       crashPoint("repairA:sidecar-clear")
+      }
     }
     rolledBack
   }
@@ -771,6 +927,14 @@ final class TargetTable(
   // plain local FS the existence check has a tiny TOCTOU window —
   // acceptable for a guard whose job is stopping OPERATIONAL double
   // runs, not adversarial races.
+  //
+  // The lease serializes the REPAIR-BEARING mutators (replace, upsert,
+  // compact, swap, vacuum) — not appends. [[appendConcurrent]] is the
+  // optimistic escape hatch: blind appends commit lease-LESS with
+  // Delta-style conflict validation on the manifest log (per-attempt
+  // check inside the commit thunk + rename-fails-if-exists = CAS), so
+  // independent pipelines appending to one table never queue behind
+  // each other or behind a lease-holding runner.
 
   private def leaseFile = new Path(path + LeaseSuffix)
 
@@ -993,6 +1157,21 @@ final class TargetTable(
     * to drive that path deterministically).
     */
   private[ibtp] var onSealBasis: () => Unit = () => ()
+
+  /** Test hook: runs after a snapshot replace's files are staged in and
+    * before its manifest commit — the window a lease-less optimistic
+    * append can race (the per-attempt removal recompute absorbs it; the
+    * spec lands an [[appendConcurrent]] here to drive that path
+    * deterministically).
+    */
+  private[ibtp] var onReplaceCommit: () => Unit = () => ()
+
+  /** Test hook: runs after an optimistic append's files are moved into
+    * the live directories and before its conflict-checked commit — the
+    * window a conflicting replace can land (the spec drives the abort
+    * path deterministically here).
+    */
+  private[ibtp] var onOptimisticCommit: () => Unit = () => ()
 
   /** Seal a takeover: re-land the CURRENT manifest state as a
     * checkpoint under the just-acquired (strictly newer) epoch, before
@@ -2197,27 +2376,112 @@ final class TargetTable(
     *    claimant mid-claim can make it unreadable (our own heartbeat
     *    rewrite shares this monitor).
     */
+  /** Truly-atomic create-if-absent — the claim primitive the concurrent
+    * commit protocol rests on. Hadoop's `create(overwrite = false)` is
+    * atomic on HDFS-like stores, but on the local filesystem it is an
+    * exists-check followed by a create (TOCTOU), and local RENAME is
+    * POSIX rename(2), which silently REPLACES an existing destination —
+    * so neither primitive alone can arbitrate concurrent committers
+    * there. For local paths this drops to `File.createNewFile`
+    * (O_CREAT|O_EXCL — atomic by contract).
+    */
+  private def atomicCreate(p: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try new java.io.File(p.toUri.getPath).createNewFile()
+      catch { case _: java.io.IOException => false }
+    case _ =>
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
+  /** Land one version under the concurrent-commit protocol. Writers —
+    * lease-holding or lease-less ([[appendConcurrent]], background
+    * folds) — serialize per SEQUENCE through a claim file, because a
+    * bare rename cannot arbitrate them: local-FS rename REPLACES an
+    * existing destination (a same-sequence rival would clobber a
+    * landed commit — observed as a lost commit + CRC mismatch under a
+    * 4-writer storm), and a checkpoint and a delta at one sequence have
+    * different file names, so their renames never collide at all (a
+    * stale fold could then shadow a raced delta). The protocol:
+    *
+    *  1. list → next seq = max + 1;
+    *  2. CLAIM that seq ([[atomicCreate]] of a dot-file keyed by epoch
+    *     and seq — losers re-list and spin; a claim older than
+    *     [[TargetTable.CommitClaimStaleMs]] is a crashed writer's and
+    *     is swept);
+    *  3. under the claim, re-verify the seq is STILL fresh (a rival
+    *     may have landed between the list and the claim — or this
+    *     writer may hold a stale seq from an earlier listing);
+    *  4. evaluate the content thunk (optimistic committers run their
+    *     conflict validation here — nothing can land at this seq while
+    *     the claim is held, so check→rename is atomic), write, rename
+    *     uncontended;
+    *  5. post-rename epoch/lease fences as before; release the claim.
+    *
+    * Residual window, documented: a writer pausing longer than the
+    * claim staleness between its claim and its rename can be swept and
+    * then clobber its usurper on a local FS — the same zombie class the
+    * lease's settle window bounds, vanishingly rare (the claim is held
+    * across two metadata ops, not across data work).
+    */
   private def commitVersion(content: () => String, isDelta: Boolean): Unit = synchronized {
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
-    var attempts = 0
+    var claimRaces = 0
+    var epochRaces = 0
     while (true) {
-      attempts += 1
       val vs = manifestVersions()
       val latestEpoch = vs.map(_.epoch).maxOption.getOrElse(0L)
       heldEpoch.foreach(e => if (latestEpoch > e) fenced(latestEpoch))
       val epoch = heldEpoch.getOrElse(latestEpoch)
       val seq = vs.map(_.seq).maxOption.getOrElse(0L) + 1
       val name = versionName(epoch, seq, isDelta)
-      val tmp = new Path(manifestDir,
-        s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(content().getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, new Path(manifestDir, name))) {
-        fs.delete(tmp, false)
-        if (attempts >= 5) throw new IllegalStateException(
+      val claim = new Path(manifestDir, f".claim_$epoch%019d_$seq%019d")
+      if (!atomicCreate(claim)) {
+        // seq contended: normal under concurrent lease-less committers.
+        // Sweep a crashed owner's stale claim; otherwise yield briefly
+        // and re-list (the winner's version advances the seq).
+        val stale = scala.util.Try(fs.getFileStatus(claim).getModificationTime)
+          .toOption.exists(System.currentTimeMillis() - _ > CommitClaimStaleMs)
+        if (stale) fs.delete(claim, false) else Thread.sleep(5)
+        claimRaces += 1
+        if (claimRaces >= 2000) throw new IllegalStateException(
           s"could not commit manifest $name under $manifestDir after " +
-            s"$attempts attempts — is another writer running without the lease?")
+            s"$claimRaces lost claim races — commit storm or stuck store?")
       } else {
+        var landed = false
+        try {
+          // under the claim: re-verify the seq is still the frontier
+          // (a rival landed between our listing and our claim, or our
+          // own listing was stale)
+          val fresh = manifestVersions()
+          if (fresh.map(_.seq).maxOption.getOrElse(0L) >= seq ||
+              fresh.map(_.epoch).maxOption.getOrElse(0L) > epoch) {
+            claimRaces += 1
+            if (claimRaces >= 2000) throw new IllegalStateException(
+              s"could not commit manifest $name under $manifestDir after " +
+                s"$claimRaces lost claim races — commit storm or stuck store?")
+          } else {
+            // the thunk runs while the claim is held and BEFORE any tmp
+            // file exists: optimistic commits carry their conflict check
+            // inside it (nothing can land at this seq meanwhile, so
+            // check→rename is effectively compare-and-swap), and a
+            // thrown conflict leaves zero litter behind
+            val body = content()
+            val tmp = new Path(manifestDir,
+              s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+            if (!fs.rename(tmp, new Path(manifestDir, name))) {
+              fs.delete(tmp, false)
+              throw new IllegalStateException(
+                s"could not rename manifest version $name into place under " +
+                  s"$manifestDir despite holding the sequence claim — stuck store?")
+            }
+            landed = true
+          }
+        } finally fs.delete(claim, false)
+        if (landed) {
         val after = manifestVersions()
         val epochAfter = after.map(_.epoch).maxOption.getOrElse(0L)
         val leaseOk = heldLeaseId.forall(id =>
@@ -2240,7 +2504,8 @@ final class TargetTable(
             throw e
           }
           if (heldEpoch.isDefined) fenced(math.max(epochAfter, epoch))
-          if (attempts >= 5) throw new IllegalStateException(
+          epochRaces += 1
+          if (epochRaces >= 5) throw new IllegalStateException(
             s"could not commit manifest under $manifestDir: repeatedly " +
               s"outpaced by newer writer epochs (now $epochAfter)")
           // lease-less caller: loop and re-land (recomputed) content
@@ -2248,6 +2513,7 @@ final class TargetTable(
         } else {
           pruneVersions(after)
           return
+        }
         }
       }
     }
@@ -2314,7 +2580,9 @@ final class TargetTable(
       add: Seq[String], remove: Seq[String],
       schema: Option[StructType] = None,
       statsCol: Option[String] = None,
-      setCol: Option[String] = None): Unit = synchronized {
+      setCol: Option[String] = None,
+      preCheck: () => Unit = () => (),
+      recomputeRemove: Option[() => Seq[String]] = None): Unit = synchronized {
     val vs = manifestVersions().sortBy(_.key)
     val lastCkpt = vs.lastIndexWhere(!_.isDelta)
     val deltaRun = vs.size - 1 - lastCkpt
@@ -2332,18 +2600,25 @@ final class TargetTable(
       // after losing an epoch race recomputes from the then-current
       // replay instead of resurrecting the pre-race listing
       // (commitVersion re-invokes it). Full BODY lines, so per-file
-      // stats survive the fold.
-      val removeSet = remove.toSet
+      // stats survive the fold. preCheck runs first, per attempt —
+      // an optimistic committer's conflict validation, made effectively
+      // compare-and-swap by commitVersion's rename-fails-if-exists;
+      // recomputeRemove likewise re-derives a replace's removal set
+      // against the then-current chain.
       commitVersion(
-        () => (headerLines() ++
+        () => { preCheck()
+          val removeSet = recomputeRemove.fold(remove)(f => f()).toSet
+          (headerLines() ++
           (latestManifestBody().filterNot(l => removeSet(pathOf(l))) ++ add)
-            .distinct.sorted).mkString("", "\n", "\n"),
+            .distinct.sorted).mkString("", "\n", "\n") },
         isDelta = false)
     } else {
-      val body = remove.distinct.sorted.map("-" + _) ++
-        add.distinct.sorted.map("+" + _)
       commitVersion(
-        () => (DeltaMarker +: (headerLines() ++ body)).mkString("", "\n", "\n"),
+        () => { preCheck()
+          val rm = recomputeRemove.fold(remove)(f => f())
+          val body = rm.distinct.sorted.map("-" + _) ++
+            add.distinct.sorted.map("+" + _)
+          (DeltaMarker +: (headerLines() ++ body)).mkString("", "\n", "\n") },
         isDelta = true)
       // fold OFF the commit path: the hot commit stays O(staged names)
       // even on the every-Nth commit — the O(live) checkpoint write
@@ -3269,19 +3544,47 @@ final class TargetTable(
           crashPoint("replace:move")
         }
         failReplacePoint(1) // staged in place; manifest still pre-replace
-        // THE atomic switch: old set -> new set. A replace that drops
-        // at least half the live set (a full refresh, a widening
-        // rewrite) folds straight to a checkpoint — its delta would be
-        // O(table) lines anyway, and the checkpoint resets the replay
-        // chain; a period-sized replace rides an O(touched) delta.
+        // THE atomic switch: old set -> new set, the removal list
+        // RECOMPUTED PER COMMIT ATTEMPT. A lease-less optimistic append
+        // ([[appendConcurrent]]) landing between this writer's body
+        // read and its version rename makes the rename fail; the retry
+        // must absorb the raced in-range file into the replaced set —
+        // the serializable "append, then replace" history — where fixed
+        // content would let it silently survive the replace (delta
+        // path) or drop it from the manifest entirely (checkpoint
+        // path). The successful attempt's set is what gets trash-parked
+        // below; the intent marker keeps the pre-commit set, so a crash
+        // between commit and park can leak (never corrupt) a raced
+        // file — it stays on disk, unpublished, vacuum-immune.
+        // A replace that drops at least half the live set (a full
+        // refresh, a widening rewrite) folds straight to a checkpoint —
+        // its delta would be O(table) lines anyway, and the checkpoint
+        // resets the replay chain; a period-sized replace rides an
+        // O(touched) delta.
+        var committedOrig = origRel
+        def freshOrig(): Seq[String] = {
+          val o = latestManifestBody().map(pathOf)
+            .filter(f => replaced.contains(f.takeWhile(_ != '/')))
+          committedOrig = o
+          o
+        }
+        onReplaceCommit() // test hook: raced-commit injection point
         if (prev.isEmpty || origRel.size * 2 >= prev.size) {
-          val origSet = origRel.toSet
-          commitManifest(
-            prevBody.filterNot(l => origSet(pathOf(l))) ++ stagedLines,
-            newSchema.orElse(storedSchema))
+          val sc = latestStatsCol(); val vcHdr = latestSetCol()
+          commitVersion(
+            () => {
+              val oSet = freshOrig().toSet
+              (newSchema.orElse(storedSchema).map("#schema=" + _.json).toSeq ++
+                sc.map("#statscol=" + _).toSeq ++
+                vcHdr.map("#setcol=" + _).toSeq ++
+                (latestManifestBody().filterNot(l => oSet(pathOf(l))) ++
+                  stagedLines).distinct.sorted)
+                .mkString("", "\n", "\n")
+            },
+            isDelta = false)
         } else
           commitManifestDelta(add = stagedLines, remove = origRel,
-            schema = newSchema)
+            schema = newSchema, recomputeRemove = Some(() => freshOrig()))
         crashPoint("replace:commit")
         // a schema-changing replace (snapshot full refresh / widening
         // rewrite) syncs the write-side sidecar right after the commit;
@@ -3290,7 +3593,7 @@ final class TargetTable(
         newSchema.foreach(writeSidecarFileOnly)
         failReplacePoint(2) // switched; originals still on disk, unparked
         crashPoint("replace:sidecar")
-        writeTrash(origRel)
+        writeTrash(committedOrig)
         failReplacePoint(3) // originals parked; marker not yet cleared
         crashPoint("replace:trash")
         clearIntent()
@@ -3303,6 +3606,15 @@ final class TargetTable(
     } finally if (fs.exists(stage)) fs.delete(stage, true)
   }
 }
+
+/** An optimistic commit ([[TargetTable.appendConcurrent]]) lost to a
+  * conflicting concurrent writer — the Delta-OCC analogue of
+  * ConcurrentAppendException / ConcurrentDeleteException. The losing
+  * write was fully rolled back (its files were published to no
+  * manifest); re-running it against the new table state is always safe.
+  */
+final class ConcurrentWriteConflictException(msg: String)
+  extends IllegalStateException(msg)
 
 /** One partition's compaction outcome. `date` is None for the NULL-ts
   * (`__HIVE_DEFAULT_PARTITION__`) partition, which is compacted like any
@@ -3320,7 +3632,18 @@ object TargetTable {
     */
   private[ibtp] final case class ManifestVersion(
       epoch: Long, seq: Long, isDelta: Boolean, p: org.apache.hadoop.fs.Path) {
-    def key: (Long, Long) = (epoch, seq)
+    /** Epoch-major, then sequence — and at the SAME (epoch, seq), the
+      * CHECKPOINT strictly before the delta. The rename-CAS only
+      * collides within one extension, so a background fold's `.list`
+      * and a concurrent lease-less `.delta` can legitimately both land
+      * at one sequence; replaying the checkpoint first and the delta on
+      * top makes that pair correct whichever landed first (the fold's
+      * content either already contains the delta's change — replay is
+      * idempotent set arithmetic — or predates it and the delta
+      * re-applies it), where the opposite order would let a stale fold
+      * SHADOW the delta: a silently lost commit.
+      */
+    def key: (Long, Long, Boolean) = (epoch, seq, isDelta)
   }
 
   /** Per-file data-skipping stats carried on a manifest body line:
@@ -3394,6 +3717,15 @@ object TargetTable {
     */
   val AppendIntentPrefix = "_graft_append_intent_"
 
+  /** Age gate for an OPTIMISTIC append's intent marker
+    * ([[TargetTable.appendConcurrent]]): younger markers may belong to
+    * a live lease-less sibling whose commit lands any second, so
+    * [[TargetTable.repairOrphanedAppends]] must not roll them back;
+    * older ones are crashed appends (the move→commit window is
+    * sub-second) and repair normally.
+    */
+  val OptAppendStaleMs: Long = 15L * 60 * 1000
+
   /** Suffix of the atomic sidecar persisting a torn append rollback's
     * published-vs-never-published classification across a re-crash of
     * the repair itself (see [[TargetTable.repairOrphanedAppends]]):
@@ -3432,6 +3764,14 @@ object TargetTable {
     * write O(staged names) on the hot append path.
     */
   val ManifestCheckpointEvery = 8
+
+  /** A commit-sequence claim older than this belongs to a writer that
+    * crashed between its claim and its rename (the claim spans two
+    * metadata ops, never data work — normal hold is milliseconds) and
+    * is swept by the next contender. Generous so that only a genuinely
+    * dead writer is ever swept.
+    */
+  val CommitClaimStaleMs: Long = 60L * 1000
 
   /** First line of a delta version's content (belt-and-braces next to
     * the `.delta` extension, and what keeps replayed header extraction

@@ -140,6 +140,10 @@ object SparkEntry {
     "q95_pq_search" -> (ExtensionQueries.pqSearch _),
     "q96_bm25_search" -> (ExtensionQueries.bm25Search _),
     "q97_hybrid_retrieval" -> (ExtensionQueries.hybridRetrieval _),
+    "q98_concurrent_append" -> (IbtpQueries.concurrentAppend _),
+    "q99_bm25_index_search" -> (ExtensionQueries.bm25IndexSearch _),
+    "q100_pq_index_search" -> (ExtensionQueries.pqIndexSearch _),
+    "q101_ivfpq_search" -> (ExtensionQueries.ivfPqSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,5 +242,9 @@ object SparkEntry {
     "q95_pq_search" -> ExtensionQueries.pqSearchSql,
     "q96_bm25_search" -> ExtensionQueries.bm25SearchSql,
     "q97_hybrid_retrieval" -> ExtensionQueries.hybridRetrievalSql,
+    "q98_concurrent_append" -> IbtpQueries.concurrentAppendSql,
+    "q99_bm25_index_search" -> ExtensionQueries.bm25IndexSearchSql,
+    "q100_pq_index_search" -> ExtensionQueries.pqIndexSearchSql,
+    "q101_ivfpq_search" -> ExtensionQueries.ivfPqSearchSql,
   )
 }

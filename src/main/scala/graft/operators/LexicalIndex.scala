@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Persisted BM25 inverted index — the storage half q96's per-query
+  * [[Ranking.bm25TopK]] lacks: each batch of documents appends its
+  * postings (token, doc_id, len, tf), its per-batch document
+  * frequencies, and one corpus-stats row, so indexing a new period is
+  * one tokenize pass over that period and a search never re-reads the
+  * historical TEXT — the [[SignatureIndex]] pattern applied to lexical
+  * retrieval.
+  *
+  * Incrementality is exact, not approximate: df(t) = Σ batch df(t) and
+  * (N, total_len) = Σ batch stats are integer sums (each doc lives in
+  * exactly one batch), so a search over an incrementally-built index is
+  * BIT-IDENTICAL to [[Ranking.bm25TopK]] over the union of the batches
+  * (spec-pinned) — the same DECIMAL-quantized arithmetic, the same
+  * DuckDB oracle.
+  *
+  * Scale shape of [[search]]: the query terms broadcast-semi-filter
+  * both the df table and the postings, so the corpus-sized side never
+  * shuffles on terms; corpus totals aggregate the (batches-sized) stats
+  * table; the final top-k is the bounded heap. Re-adding a doc_id
+  * indexes it twice (same contract as [[SignatureIndex]]).
+  */
+final class LexicalIndex(val spark: SparkSession, val path: String) {
+
+  private def postingsPath = s"$path/postings"
+  private def dfPath = s"$path/df"
+  private def statsPath = s"$path/stats"
+
+  def exists: Boolean =
+    new org.apache.hadoop.fs.Path(postingsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(postingsPath))
+
+  /** Stored postings: (token, doc_id, len, tf). */
+  def readPostings(): DataFrame = spark.read.parquet(postingsPath)
+
+  /** Per-batch document frequencies: (token, df). */
+  def readDf(): DataFrame = spark.read.parquet(dfPath)
+
+  /** Per-batch corpus stats: (n, tl). */
+  def readStats(): DataFrame = spark.read.parquet(statsPath)
+
+  /** The EXACT tokenization [[Ranking.bm25TopK]] uses — one shared
+    * definition so index and oracle can never drift.
+    */
+  private def toks(c: Column) = when(length(trim(c)) === 0,
+    array().cast("array<string>")).otherwise(split(trim(c), "\\s+"))
+
+  /** Tokenize and index one batch of documents. */
+  def append(
+      docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("w"))
+    val tf = base
+      .select(col("doc_id"), size(col("w")).cast("long").as("len"),
+        explode(col("w")).as("token"))
+      .groupBy(col("doc_id"), col("len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.select(col("token"), col("doc_id"), col("len"), col("tf"))
+      .write.mode("append").parquet(postingsPath)
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("append").parquet(dfPath)
+    // N counts token-less docs too (they weight avgdl's denominator),
+    // exactly like bm25TopK's totals
+    base.select(size(col("w")).cast("long").as("len"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tl"))
+      .coalesce(1)
+      .write.mode("append").parquet(statsPath)
+  }
+
+  /** BM25 top-k over everything indexed so far — identical arithmetic
+    * to [[Ranking.bm25TopK]] (IEEE-exact shape, LN quantized to
+    * DECIMAL(18,9), order-free decimal contribution sum), so the
+    * result matches a full-corpus run bit-for-bit. Returns
+    * (queryIdCol, idCol, score, rank).
+    */
+  def search(
+      queries: DataFrame, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "qtext"): DataFrame = {
+    require(topK > 0 && k1 >= 0 && b >= 0 && b <= 1, s"bad params k1=$k1 b=$b topK=$topK")
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val tot = readStats().agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
+    val qterms = queries
+      .select(col(queryIdCol), explode(toks(col(queryTextCol))).as("token"))
+      .distinct()
+    // per-batch df partials sum to the global df — semi-filtered by the
+    // broadcast query terms BEFORE the aggregation, so the vocabulary-
+    // sized table never aggregates in full
+    val idfq = readDf()
+      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"),
+        log((col("n").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0))
+          .cast(DecimalType(18, 9)).as("idf"))
+    val scored = readPostings()
+      .join(broadcast(qterms), Seq("token"))
+      .join(broadcast(idfq), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select(col(queryIdCol), col("doc_id"),
+        (col("idf").cast("double") * (col("tf") * lit(k1p1)) /
+          (col("tf") + lit(k1) *
+            (lit(oneMinusB) + lit(b) * col("len") /
+              (col("tl").cast("double") / col("n")))))
+          .cast(DecimalType(18, 9)).as("contrib"))
+      .groupBy(col(queryIdCol), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+    CorpusStats.topKPerGroup(
+      scored.withColumn("__s", col("score").cast("double")),
+      queryIdCol, "doc_id", "__s", topK)
+      .select(col(queryIdCol), col("doc_id").as(idCol),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+}

@@ -79,51 +79,52 @@ object Pq {
       }: _*).as("codes"))
   }
 
-  /** ADC top-k: train (or accept) per-subspace codebooks, encode the
-    * corpus, precompute each query's m×k distance tables, and rank by
-    * the summed table lookups. Returns (queryIdCol, idCol, adist2,
-    * rank) — approximate squared L2 distance, ascending, ties by id.
-    * Self-matches (same id on both sides) are excluded, like the other
-    * ANN operators.
+  /** The TRAINED codebook size — never the requested k: a corpus
+    * smaller than k yields fewer centroids (KMeans seeds from the k
+    * lowest ids), and flat-indexing the distance tables by the
+    * requested k would read wrong entries. Every subspace trains on
+    * the same rows, so sizes must agree.
     */
-  def adcTopK(
-      corpus: DataFrame, queries: DataFrame, m: Int, k: Int, topK: Int,
-      maxIters: Int = 1, idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
-    // one control-plane probe for the dimensionality (like the
-    // codebook collects, bounded by the vector contract)
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
-    val sub = dim / m
-    val books = trainCodebooks(corpus, dim, m, k, maxIters, idCol, vecCol)
-    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
-    // the TRAINED size, not the requested k: a corpus smaller than k
-    // yields fewer centroids (KMeans seeds from the k lowest ids), and
-    // flat-indexing by the requested k would then read wrong table
-    // entries. Every subspace trains on the same rows, so sizes agree.
+  private def trainedK(mats: Seq[CentroidMatrix]): Int = {
     val kAct = mats.head.k
     require(mats.forall(_.k == kAct),
       s"ragged PQ codebooks: ${mats.map(_.k).mkString(",")}")
-    val codes = encode(corpus, mats, dim, idCol, vecCol)
-    // distance tables, built with the SAME proven fold arithmetic the
-    // assignment uses: queries × m × kAct rows — tiny, broadcast. Flat
-    // index s*kAct + cid so the lookup is one element_at; array_sort on
-    // the (unique) index makes the collect_list order irrelevant.
+    kAct
+  }
+
+  /** Per-query ADC distance tables, built with the SAME proven fold
+    * arithmetic the assignment uses: queries × m × kAct rows — tiny,
+    * broadcast. Flat index s*kAct + cid so the lookup is one
+    * element_at; array_sort on the (unique) index makes the
+    * collect_list order irrelevant.
+    */
+  private def adcTables(
+      books: Seq[DataFrame], queries: DataFrame, sub: Int, kAct: Int,
+      vecCol: String, queryIdCol: String): DataFrame = {
+    val m = books.size
     val booksU = books.zipWithIndex.map { case (b, s) =>
       b.select(lit(s).as("s"), col("centroid_id").as("cid"), col(vecCol).as("cv"))
     }.reduce(_ unionAll _)
     val qsub = queries.select(col(queryIdCol), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice($vecCol, s * $sub + 1, $sub))"))
       .as(Seq("s", "qv")))
-    val qtables = qsub.join(broadcast(booksU), Seq("s"))
+    qsub.join(broadcast(booksU), Seq("s"))
       .select(col(queryIdCol), (col("s") * kAct + col("cid")).as("i"),
         (normSq(col("qv")) + normSq(col("cv"))
           - lit(2.0) * dot(col("qv"), col("cv"))).as("d2"))
       .groupBy(col(queryIdCol))
       .agg(array_sort(collect_list(struct(col("i"), col("d2")))).as("ent"))
       .select(col(queryIdCol), expr("transform(ent, x -> x.d2)").as("tbl"))
-    // scoring: row-local lookups folded in subspace order (fixed
-    // association, bit-stable); only the heap partials shuffle
-    val scored = codes.crossJoin(broadcast(qtables))
+  }
+
+  /** Rank `withTables` — (queryIdCol, idCol, codes, tbl) rows — by the
+    * summed table lookups: row-local, folded in subspace order (fixed
+    * association, bit-stable); only the heap partials shuffle.
+    */
+  private def adcRank(
+      withTables: DataFrame, m: Int, kAct: Int, topK: Int,
+      idCol: String, queryIdCol: String): DataFrame = {
+    val scored = withTables
       .filter(col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol), col(idCol),
         expr(s"aggregate(sequence(0, ${m - 1}), 0D, " +
@@ -134,5 +135,111 @@ object Pq {
       // up) onto the oracle's zero
       .select(col(queryIdCol), col(idCol),
         (round(-col("score"), 6) + lit(0.0)).as("adist2"), col("rank"))
+  }
+
+  /** ADC search over an ALREADY-ENCODED corpus — the read half
+    * [[PqIndex]] serves from storage: codes (idCol, codes) score
+    * against each query\'s broadcast distance tables; the full vectors
+    * never load. `books` are the (centroid_id, vecCol) frames the codes
+    * were encoded with, per subspace.
+    */
+  def adcSearch(
+      codes: DataFrame, books: Seq[DataFrame], queries: DataFrame,
+      dim: Int, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val m = books.size
+    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
+    val kAct = trainedK(mats)
+    val qtables = adcTables(books, queries, dim / m, kAct, vecCol, queryIdCol)
+    adcRank(codes.crossJoin(broadcast(qtables)), m, kAct, topK, idCol, queryIdCol)
+  }
+
+  /** ADC top-k: train per-subspace codebooks, encode the corpus,
+    * precompute each query\'s m×k distance tables, and rank by the
+    * summed table lookups. Returns (queryIdCol, idCol, adist2, rank) —
+    * approximate squared L2 distance, ascending, ties by id.
+    * Self-matches (same id on both sides) are excluded, like the other
+    * ANN operators.
+    */
+  def adcTopK(
+      corpus: DataFrame, queries: DataFrame, m: Int, k: Int, topK: Int,
+      maxIters: Int = 1, idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    // one control-plane probe for the dimensionality (like the
+    // codebook collects, bounded by the vector contract)
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val books = trainCodebooks(corpus, dim, m, k, maxIters, idCol, vecCol)
+    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
+    val kAct = trainedK(mats)
+    val codes = encode(corpus, mats, dim, idCol, vecCol)
+    val qtables = adcTables(books, queries, dim / m, kAct, vecCol, queryIdCol)
+    adcRank(codes.crossJoin(broadcast(qtables)), m, kAct, topK, idCol, queryIdCol)
+  }
+
+  /** FAISS-style IVF-PQ (Jégou et al. 2011 §V): an IVF coarse quantizer
+    * bounds the SCORED set — each query probes its `nProbe` nearest
+    * coarse cells and ADC-scores only the vectors assigned there — and
+    * PQ bounds the BYTES per scored vector. q26/q32\'s IVF and q95\'s
+    * PQ, composed: at 100 TB neither alone suffices (full-corpus ADC
+    * still touches every code; uncompressed IVF lists still read full
+    * vectors).
+    *
+    * Scale shape: ONE codegen\'d map pass assigns each vector its
+    * coarse list and its m codes together (coarse matrix and codebooks
+    * ride as reference objects — no join); the probe set (queries ×
+    * nProbe) and the distance tables broadcast; candidate selection is
+    * a broadcast equi-join on list_id, so scored rows ∝ Σ probed-list
+    * sizes — never corpus size; only bounded-heap partials shuffle.
+    *
+    * Variant note: codes quantize the RAW vectors (FAISS
+    * `by_residual=false`), keeping every stage on the proven
+    * bit-reproducible arithmetic — the residual variant would need a
+    * subtraction between two quantizations threaded through every
+    * oracle CTE.
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame, queries: DataFrame, coarse: DataFrame,
+      nProbe: Int, m: Int, k: Int, topK: Int, maxIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe > 0, "nProbe must be positive")
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val books = trainCodebooks(corpus, dim, m, k, maxIters, idCol, vecCol)
+    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
+    val kAct = trainedK(mats)
+    val sub = dim / m
+    val coarseMat = CentroidMatrix.fromDataFrame(
+      coarse.select(col("centroid_id"), col(vecCol)), vecCol)
+    // list assignment AND the m codes in ONE map pass — no corpus join
+    val encoded = corpus.select(col(idCol),
+      VectorExprFunctions.nearest_centroid(col(vecCol), coarseMat)
+        .getField("centroid_id").as("list_id"),
+      array(mats.zipWithIndex.map { case (mat, s) =>
+        VectorExprFunctions
+          .nearest_centroid(slice(col(vecCol), s * sub + 1, sub), mat)
+          .getField("centroid_id")
+      }: _*).as("codes"))
+    // query → its nProbe nearest coarse cells: queries × centroids is
+    // broadcast-small by contract (the q32 probe shape)
+    val qScored = queries
+      .select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .join(broadcast(coarse.select(col("centroid_id"), col(vecCol).as("c_vec"))))
+      .withColumn("dist2",
+        normSq(col("q_vec")) + normSq(col("c_vec"))
+          - lit(2.0) * dot(col("q_vec"), col("c_vec")))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col(queryIdCol))
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col(queryIdCol), col("centroid_id").as("list_id"))
+    val qtables = adcTables(books, queries, sub, kAct, vecCol, queryIdCol)
+    // candidates: codes in probed lists only — broadcast equi-join, so
+    // the scored set is Σ probed-list sizes, not the corpus
+    val candidates = encoded
+      .join(broadcast(probes), Seq("list_id"))
+      .join(broadcast(qtables), Seq(queryIdCol))
+    adcRank(candidates, m, kAct, topK, idCol, queryIdCol)
   }
 }

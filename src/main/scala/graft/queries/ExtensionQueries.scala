@@ -2143,4 +2143,286 @@ object ExtensionQueries {
        |       avg_logp < $LmCutoff AS is_low_quality
        |FROM doc
        |ORDER BY doc_id""".stripMargin
+
+  // ---- persistent retrieval indexes & IVF-PQ --------------------------
+
+  /** BM25 search served from a PERSISTED inverted index built
+    * incrementally in two batches (even doc_ids, then odd) — the
+    * [[graft.operators.LexicalIndex]] storage half of q96: postings,
+    * per-batch df partials and corpus stats are appended per batch and
+    * the historical text is never re-read. Incrementality is exact, so
+    * the oracle is q96's full-corpus replay verbatim: the hash gate
+    * adjudicates that a two-batch-built index answers bit-identically
+    * to a one-shot corpus scan.
+    */
+  def bm25IndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ").as("qtext"))
+    val idx = new graft.operators.LexicalIndex(spark,
+      java.nio.file.Files.createTempDirectory("q_lexidx").toString + "/idx")
+    idx.append(docs.filter(col("doc_id") % 2 === 0))
+    idx.append(docs.filter(col("doc_id") % 2 =!= 0))
+    idx.search(queries, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Same oracle as q96: the index must be invisible to results. */
+  val bm25IndexSearchSql: String = bm25SearchSql
+
+  /** PQ search served from a PERSISTED code index
+    * ([[graft.operators.PqIndex]]): codebooks train ONCE on the even-id
+    * half (the create batch) and freeze; the odd-id half appends codes
+    * against them; search reads codes + codebooks only. The oracle
+    * replays the whole pipeline with training restricted to the even
+    * ids — the hash gate adjudicates both the frozen-codebook contract
+    * and the incremental encode.
+    */
+  def pqIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = new graft.operators.PqIndex(spark,
+      java.nio.file.Files.createTempDirectory("q_pqidx").toString + "/idx",
+      m = 4, k = 16)
+    idx.create(emb.filter(col("vec_id") % 2 === 0))
+    idx.append(emb.filter(col("vec_id") % 2 =!= 0))
+    idx.search(queryVectors(spark, dir), topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q95's exact replay with the training CTEs restricted to the even
+    * vec_ids (seed = the 16 lowest EVEN ids; Lloyd step over even rows
+    * only); encode and search cover everything.
+    */
+  val pqIndexSearchSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ss AS (SELECT UNNEST(RANGE(0, 4)) AS s),
+      |sub AS (
+      |  SELECT e.vec_id, ss.s,
+      |         LIST_SLICE(e.v, ss.s * 16 + 1, ss.s * 16 + 16) AS sv
+      |  FROM e CROSS JOIN ss
+      |),
+      |seed AS (SELECT vec_id FROM e WHERE vec_id % 2 = 0
+      |         ORDER BY vec_id LIMIT 16),
+      |init AS (
+      |  SELECT sub.s,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY sub.s
+      |                                 ORDER BY sub.vec_id) - 1 AS BIGINT) AS cid,
+      |         LIST_TRANSFORM(sub.sv, x -> ROUND(x, 6)) AS cv
+      |  FROM sub JOIN seed USING (vec_id)
+      |),
+      |iscored AS (
+      |  SELECT sub.vec_id, sub.s, i.cid,
+      |         LIST_DOT_PRODUCT(sub.sv, sub.sv) + LIST_DOT_PRODUCT(i.cv, i.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(sub.sv, i.cv) AS dist2
+      |  FROM sub JOIN init i ON i.s = sub.s
+      |  WHERE sub.vec_id % 2 = 0
+      |),
+      |iassign AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY dist2 ASC, cid ASC) AS rn
+      |    FROM iscored) WHERE rn = 1
+      |),
+      |msums AS (
+      |  SELECT a.s, a.cid, u.pos,
+      |         CAST(SUM(CAST(u.x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s6,
+      |         COUNT(*) AS n
+      |  FROM iassign a
+      |  JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s,
+      |       UNNEST(LIST_TRANSFORM(RANGE(1, LEN(sub.sv) + 1),
+      |              i -> {'pos': i - 1, 'x': sub.sv[i]})) AS t(u)
+      |  GROUP BY a.s, a.cid, u.pos
+      |),
+      |means AS (
+      |  SELECT s, cid, pos,
+      |         CAST(CASE WHEN s6 < 0 THEN -((ABS(s6) * 2 + n) // (2 * n))
+      |                   ELSE (ABS(s6) * 2 + n) // (2 * n) END AS DOUBLE)
+      |           / 1000000.0 AS mval
+      |  FROM msums
+      |),
+      |stepped AS (
+      |  SELECT s, cid, LIST(mval ORDER BY pos) AS cv FROM means GROUP BY s, cid
+      |),
+      |cb AS (
+      |  SELECT i.s, i.cid, COALESCE(st.cv, i.cv) AS cv
+      |  FROM init i LEFT JOIN stepped st ON st.s = i.s AND st.cid = i.cid
+      |),
+      |escored AS (
+      |  SELECT sub.vec_id, sub.s, f.cid,
+      |         LIST_DOT_PRODUCT(sub.sv, sub.sv) + LIST_DOT_PRODUCT(f.cv, f.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(sub.sv, f.cv) AS dist2
+      |  FROM sub JOIN cb f ON f.s = sub.s
+      |),
+      |codes AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY dist2 ASC, cid ASC) AS rn
+      |    FROM escored) WHERE rn = 1
+      |),
+      |q AS (SELECT vec_id AS query_id, s, sv AS qv FROM sub WHERE vec_id < 5),
+      |tbl AS (
+      |  SELECT q.query_id, q.s, f.cid,
+      |         LIST_DOT_PRODUCT(q.qv, q.qv) + LIST_DOT_PRODUCT(f.cv, f.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(q.qv, f.cv) AS d2
+      |  FROM q JOIN cb f ON f.s = q.s
+      |),
+      |approx AS (
+      |  SELECT t.query_id, c.vec_id,
+      |         ((MAX(CASE WHEN t.s = 0 THEN t.d2 END)
+      |           + MAX(CASE WHEN t.s = 1 THEN t.d2 END))
+      |           + MAX(CASE WHEN t.s = 2 THEN t.d2 END))
+      |           + MAX(CASE WHEN t.s = 3 THEN t.d2 END) AS adist2
+      |  FROM codes c JOIN tbl t ON t.s = c.s AND t.cid = c.cid
+      |  WHERE c.vec_id <> t.query_id
+      |  GROUP BY t.query_id, c.vec_id
+      |)
+      |SELECT query_id, vec_id, ROUND(adist2, 6) + 0.0 AS adist2,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                               ORDER BY adist2 ASC, vec_id ASC) AS INTEGER) AS rank
+      |FROM approx
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** FAISS-style IVF-PQ: the q26 coarse quantizer (8 lowest-id vectors)
+    * bounds the SCORED set — each query ADC-scores only the vectors
+    * assigned to its 3 nearest coarse cells — and q95's PQ bounds the
+    * bytes per scored vector. The missing composition at 100 TB: ADC
+    * alone still touches every code; IVF alone still reads full
+    * vectors. Scored rows ∝ Σ probed-list sizes (spec-pinned), never
+    * corpus size.
+    */
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pq.ivfAdcTopK(
+      Tables.embeddings(spark, dir), queryVectors(spark, dir),
+      ivfCentroids(spark, dir), nProbe = 3, m = 4, k = 16, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** q95's PQ replay composed with q26/q32's coarse assignment and
+    * probing: candidates = codes of vectors whose coarse cell is among
+    * the query's 3 nearest, ADC arithmetic unchanged.
+    */
+  val ivfPqSearchSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cc AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS ccv
+      |       FROM embeddings WHERE vec_id < 8),
+      |casc AS (
+      |  SELECT e.vec_id, cc.list_id,
+      |         LIST_DOT_PRODUCT(e.v, e.v) + LIST_DOT_PRODUCT(cc.ccv, cc.ccv)
+      |           - 2.0 * LIST_DOT_PRODUCT(e.v, cc.ccv) AS dist2
+      |  FROM e CROSS JOIN cc
+      |),
+      |cassigned AS (
+      |  SELECT vec_id, list_id FROM (
+      |    SELECT vec_id, list_id,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                              ORDER BY dist2 ASC, list_id ASC) AS rn
+      |    FROM casc) WHERE rn = 1
+      |),
+      |ss AS (SELECT UNNEST(RANGE(0, 4)) AS s),
+      |sub AS (
+      |  SELECT e.vec_id, ss.s,
+      |         LIST_SLICE(e.v, ss.s * 16 + 1, ss.s * 16 + 16) AS sv
+      |  FROM e CROSS JOIN ss
+      |),
+      |seed AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16),
+      |init AS (
+      |  SELECT sub.s,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY sub.s
+      |                                 ORDER BY sub.vec_id) - 1 AS BIGINT) AS cid,
+      |         LIST_TRANSFORM(sub.sv, x -> ROUND(x, 6)) AS cv
+      |  FROM sub JOIN seed USING (vec_id)
+      |),
+      |iscored AS (
+      |  SELECT sub.vec_id, sub.s, i.cid,
+      |         LIST_DOT_PRODUCT(sub.sv, sub.sv) + LIST_DOT_PRODUCT(i.cv, i.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(sub.sv, i.cv) AS dist2
+      |  FROM sub JOIN init i ON i.s = sub.s
+      |),
+      |iassign AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY dist2 ASC, cid ASC) AS rn
+      |    FROM iscored) WHERE rn = 1
+      |),
+      |msums AS (
+      |  SELECT a.s, a.cid, u.pos,
+      |         CAST(SUM(CAST(u.x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s6,
+      |         COUNT(*) AS n
+      |  FROM iassign a
+      |  JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s,
+      |       UNNEST(LIST_TRANSFORM(RANGE(1, LEN(sub.sv) + 1),
+      |              i -> {'pos': i - 1, 'x': sub.sv[i]})) AS t(u)
+      |  GROUP BY a.s, a.cid, u.pos
+      |),
+      |means AS (
+      |  SELECT s, cid, pos,
+      |         CAST(CASE WHEN s6 < 0 THEN -((ABS(s6) * 2 + n) // (2 * n))
+      |                   ELSE (ABS(s6) * 2 + n) // (2 * n) END AS DOUBLE)
+      |           / 1000000.0 AS mval
+      |  FROM msums
+      |),
+      |stepped AS (
+      |  SELECT s, cid, LIST(mval ORDER BY pos) AS cv FROM means GROUP BY s, cid
+      |),
+      |cb AS (
+      |  SELECT i.s, i.cid, COALESCE(st.cv, i.cv) AS cv
+      |  FROM init i LEFT JOIN stepped st ON st.s = i.s AND st.cid = i.cid
+      |),
+      |escored AS (
+      |  SELECT sub.vec_id, sub.s, f.cid,
+      |         LIST_DOT_PRODUCT(sub.sv, sub.sv) + LIST_DOT_PRODUCT(f.cv, f.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(sub.sv, f.cv) AS dist2
+      |  FROM sub JOIN cb f ON f.s = sub.s
+      |),
+      |codes AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY dist2 ASC, cid ASC) AS rn
+      |    FROM escored) WHERE rn = 1
+      |),
+      |q0 AS (SELECT vec_id AS query_id, v AS qv0 FROM e WHERE vec_id < 5),
+      |qsc AS (
+      |  SELECT q0.query_id, cc.list_id,
+      |         LIST_DOT_PRODUCT(q0.qv0, q0.qv0) + LIST_DOT_PRODUCT(cc.ccv, cc.ccv)
+      |           - 2.0 * LIST_DOT_PRODUCT(q0.qv0, cc.ccv) AS dist2
+      |  FROM q0 CROSS JOIN cc
+      |),
+      |probes AS (
+      |  SELECT query_id, list_id FROM (
+      |    SELECT query_id, list_id,
+      |           ROW_NUMBER() OVER (PARTITION BY query_id
+      |                              ORDER BY dist2 ASC, list_id ASC) AS rn
+      |    FROM qsc) WHERE rn <= 3
+      |),
+      |q AS (SELECT vec_id AS query_id, s, sv AS qv FROM sub WHERE vec_id < 5),
+      |tbl AS (
+      |  SELECT q.query_id, q.s, f.cid,
+      |         LIST_DOT_PRODUCT(q.qv, q.qv) + LIST_DOT_PRODUCT(f.cv, f.cv)
+      |           - 2.0 * LIST_DOT_PRODUCT(q.qv, f.cv) AS d2
+      |  FROM q JOIN cb f ON f.s = q.s
+      |),
+      |approx AS (
+      |  SELECT t.query_id, c.vec_id,
+      |         ((MAX(CASE WHEN t.s = 0 THEN t.d2 END)
+      |           + MAX(CASE WHEN t.s = 1 THEN t.d2 END))
+      |           + MAX(CASE WHEN t.s = 2 THEN t.d2 END))
+      |           + MAX(CASE WHEN t.s = 3 THEN t.d2 END) AS adist2
+      |  FROM codes c
+      |  JOIN cassigned ca ON ca.vec_id = c.vec_id
+      |  JOIN probes p ON p.list_id = ca.list_id
+      |  JOIN tbl t ON t.s = c.s AND t.cid = c.cid AND t.query_id = p.query_id
+      |  WHERE c.vec_id <> t.query_id
+      |  GROUP BY t.query_id, c.vec_id
+      |)
+      |SELECT query_id, vec_id, ROUND(adist2, 6) + 0.0 AS adist2,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                               ORDER BY adist2 ASC, vec_id ASC) AS INTEGER) AS rank
+      |FROM approx
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 }

@@ -524,4 +524,46 @@ object IbtpQueries {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
+
+  /** Optimistic concurrent writers under the hash gate: after a
+    * lease-held init of one third of the events, TWO separate
+    * [[TargetTable]] instances — the multi-process shape — append the
+    * other two thirds CONCURRENTLY via [[TargetTable.appendConcurrent]]
+    * (Delta-style lease-less commits: per-sequence claim + per-attempt
+    * conflict validation). The query REQUIRES that no writer lease was
+    * ever created and that both threads succeeded, so the hash gate
+    * adjudicates that two independent pipelines landing on one table
+    * serialize only at the commit protocol, never behind a lease —
+    * with contents exactly equal to the one-shot load.
+    */
+  def concurrentAppend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+    val targetDir = Files.createTempDirectory("ibtp_q_ccappend").toString + "/tbl"
+    val t0 = new TargetTable(spark, targetDir, "ts", countRows = false)
+    // a TOTAL three-way split on the coalesced key
+    val slice = coalesce(col("user_id") % 3, lit(0))
+    t0.init(ev.filter(slice === 0))
+    val writers = Seq(1, 2).map(_ => new TargetTable(spark, targetDir, "ts",
+      countRows = false))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = writers.zip(Seq(1, 2)).map { case (w, i) =>
+      new Thread(() => {
+        try w.appendConcurrent(ev.filter(slice === i))
+        catch { case e: Throwable => errs.add(e) }
+      }, s"q98-writer-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    require(errs.isEmpty, s"both concurrent appenders must commit: ${errs.peek()}")
+    require(!new java.io.File(targetDir + TargetTable.LeaseSuffix).exists(),
+      "optimistic appends must not take the writer lease")
+    t0.read().orderBy(col("ts"), col("event_id"))
+  }
+
+  val concurrentAppendSql: String =
+    """SELECT ts, event_id, user_id, event_type, value
+      |FROM events
+      |ORDER BY ts, event_id""".stripMargin
 }

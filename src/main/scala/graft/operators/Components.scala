@@ -36,18 +36,35 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components extends Logging {
 
-  /** Lineage-truncation strategy for the per-round label sets.
-    * Default (None) is `localCheckpoint` — executor-local blocks, fast,
-    * but a lost executor loses blocks and fails the JOB on a real
-    * cluster (acceptable local-mode / retry-the-job semantics). Set a
-    * RELIABLE checkpoint directory (HDFS/object-store path on a real
-    * cluster) and rounds checkpoint through storage instead: lost
-    * executors recompute from the checkpoint files, at the cost of one
-    * write+read of the (id,label) set per round. The checkpoint files
-    * accumulate for the run's duration (Spark reclaims them with the
-    * RDD GC when `spark.cleaner.referenceTracking.cleanCheckpoints` is
-    * set); label sets are 16 bytes/node — at 1B nodes a round writes
-    * ~16 GB, noise next to the corpus it deduplicates.
+  /** Per-round lineage-truncation strategy. [[Checkpointing.Local]]
+    * is `localCheckpoint` — executor-local blocks, fast, but a lost
+    * executor loses blocks and fails the JOB on a real cluster
+    * (acceptable local-mode / retry-the-job semantics).
+    * [[Checkpointing.Reliable]] names a checkpoint directory
+    * (HDFS/object-store path on a real cluster) and rounds checkpoint
+    * through storage instead: lost executors recompute from the
+    * checkpoint files, at the cost of one write+read of the (id,label)
+    * set per round. The files accumulate for the run's duration (Spark
+    * reclaims them with the RDD GC when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set); label
+    * sets are 16 bytes/node — at 1B nodes a round writes ~16 GB, noise
+    * next to the corpus it deduplicates. [[Checkpointing.Global]] (the
+    * parameter default) defers to [[checkpointDir]].
+    */
+  sealed trait Checkpointing
+  object Checkpointing {
+    /** Defer to the process-global [[checkpointDir]]. */
+    case object Global extends Checkpointing
+    /** Force `localCheckpoint`, whatever the global says. */
+    case object Local extends Checkpointing
+    /** Reliable `checkpoint` through `dir`. */
+    final case class Reliable(dir: String) extends Checkpointing
+  }
+
+  /** Process-global FALLBACK strategy, used by calls that pass
+    * [[Checkpointing.Global]] (the default) — kept for operational
+    * one-knob setup; co-resident pipelines that need to differ pass
+    * their strategy per call instead.
     */
   @volatile var checkpointDir: Option[String] = None
 
@@ -56,16 +73,22 @@ object Components extends Logging {
     */
   @volatile private var ckptDirSet: Option[String] = None
 
-  /** Truncate lineage per the configured strategy (eager either way —
+  private def resolvedDir(ckpt: Checkpointing): Option[String] = ckpt match {
+    case Checkpointing.Global        => checkpointDir
+    case Checkpointing.Local         => None
+    case Checkpointing.Reliable(dir) => Some(dir)
+  }
+
+  /** Truncate lineage per the resolved strategy (eager either way —
     * convergence Observations fire on materialization).
     */
-  private def truncated(df: DataFrame): DataFrame = checkpointDir match {
+  private def truncated(df: DataFrame, dir: Option[String]): DataFrame = dir match {
     case None => df.localCheckpoint()
-    case Some(dir) =>
+    case Some(d) =>
       val sc = df.sparkSession.sparkContext
-      if (!ckptDirSet.contains(dir) || sc.getCheckpointDir.isEmpty) {
-        sc.setCheckpointDir(dir)
-        ckptDirSet = Some(dir)
+      if (!ckptDirSet.contains(d) || sc.getCheckpointDir.isEmpty) {
+        sc.setCheckpointDir(d)
+        ckptDirSet = Some(d)
       }
       df.checkpoint()
   }
@@ -74,8 +97,8 @@ object Components extends Logging {
     * (executor-local blocks are explicitly dropped; reliable checkpoint
     * files are left for Spark's reference-tracking GC).
     */
-  private def free(df: DataFrame): Unit =
-    if (checkpointDir.isEmpty)
+  private def free(df: DataFrame, dir: Option[String]): Unit =
+    if (dir.isEmpty)
       org.apache.spark.sql.graft.ColumnBridge.freeLocalCheckpoint(df)
 
   /** Assign each node of `nodes` the minimum node id reachable over
@@ -93,7 +116,9 @@ object Components extends Logging {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      ckpt: Checkpointing = Checkpointing.Global): DataFrame = {
+    val dir = resolvedDir(ckpt)
     val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
     // both directions, deduped: parallel edges would only re-send the
     // same min and pay shuffle volume for it
@@ -114,7 +139,8 @@ object Components extends Logging {
     // lbl != old rows while the eager localCheckpoint materializes —
     // zero extra passes over the label set per round.
     var labels = truncated(nodes
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl")))
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl")),
+      dir)
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
@@ -134,9 +160,9 @@ object Components extends Logging {
           .groupBy(col("id"))
           .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
           .observe(obs, sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
-          .select(col("id"), col("lbl")))
+          .select(col("id"), col("lbl")), dir)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
-      free(labels)
+      free(labels, dir)
       labels = next
       round += 1
     }
@@ -167,7 +193,8 @@ object Components extends Logging {
       newEdges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      ckpt: Checkpointing = Checkpointing.Global): DataFrame = {
     val nodes = prevLabels.select(col(idCol))
       .unionAll(newNodes.select(col(idCol)))
       .distinct()
@@ -176,7 +203,7 @@ object Components extends Logging {
       .select(col(idCol).as(srcCol), col("cluster_id").as(dstCol))
     connectedComponents(nodes, idCol,
       starEdges.unionAll(newEdges.select(col(srcCol), col(dstCol))),
-      srcCol, dstCol, maxIter)
+      srcCol, dstCol, maxIter, ckpt)
   }
 
   /** [[connectedComponents]] plus the size of each cluster — the usual
@@ -188,8 +215,9 @@ object Components extends Logging {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25): DataFrame = {
-    val cc = connectedComponents(nodes, idCol, edges, srcCol, dstCol, maxIter)
+      maxIter: Int = 25,
+      ckpt: Checkpointing = Checkpointing.Global): DataFrame = {
+    val cc = connectedComponents(nodes, idCol, edges, srcCol, dstCol, maxIter, ckpt)
     val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"))

@@ -770,21 +770,35 @@ object Dedup extends Logging {
       .join(dup, Seq("win_hash", "win_len"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("win_idx"))).as("dup_idx"))
-    // token i survives iff no duplicated window [s, s+L) covers it;
-    // the doc slices its own token array — row-local, no text shuffle
+    // token i survives iff no duplicated window [s, s+L) covers it.
+    // dup_idx is sorted and every interval has the SAME length L, so
+    // the coverage union merges ADJACENTLY: a new merged interval
+    // starts at s_j iff s_j > s_{j-1} + L, and one ends at s_j + L iff
+    // s_{j+1} > s_j + L — two O(k) index-lambda filters. The survivors
+    // are the slices BETWEEN merged intervals (m intervals → m+1 gaps),
+    // one flatten over the doc's own token array: O(n + k) row-local
+    // even for the pathological all-duplicate doc, where the previous
+    // per-token exists() scan was O(n · k). No text shuffles.
     base
       .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("__ms", expr(
+        s"filter(dup_idx, (s, j) -> j = 0 OR s > element_at(dup_idx, j) + $L)"))
+      .withColumn("__me", expr(
+        s"filter(dup_idx, (s, j) -> j = size(dup_idx) - 1 " +
+          s"OR element_at(dup_idx, j + 2) > s + $L)"))
+      // gap j: [ (j = 0 ? 0 : me_j + L), (j < m ? ms_{j+1} : n) )
+      .withColumn("__gs", expr(s"concat(array(0), transform(__me, x -> x + $L))"))
+      .withColumn("__ge", expr("concat(__ms, array(size(w)))"))
+      .withColumn("__kept", expr(
+        "flatten(transform(sequence(0, size(__gs) - 1), " +
+          "j -> slice(w, element_at(__gs, j + 1) + 1, " +
+          "greatest(element_at(__ge, j + 1) - element_at(__gs, j + 1), 0))))"))
       .select(col("doc_id"),
         when(col("dup_idx").isNull, array_join(col("w"), " "))
-          .otherwise(array_join(expr(
-            s"transform(filter(sequence(0, size(w) - 1), " +
-              s"i -> NOT exists(dup_idx, s -> s <= i AND i < s + $L)), " +
-              s"i -> element_at(w, i + 1))"), " "))
+          .otherwise(array_join(col("__kept"), " "))
           .as("clean_text"),
         when(col("dup_idx").isNull, lit(0L))
-          .otherwise(expr(
-            s"size(filter(sequence(0, size(w) - 1), " +
-              s"i -> exists(dup_idx, s -> s <= i AND i < s + $L)))").cast("long"))
+          .otherwise((col("total_tokens") - size(col("__kept"))).cast("long"))
           .as("removed_tokens"),
         col("total_tokens"))
   }

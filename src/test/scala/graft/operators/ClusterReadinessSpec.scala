@@ -43,6 +43,62 @@ class ClusterReadinessSpec extends SparkSpecBase {
     } finally Components.checkpointDir = None
   }
 
+  test("co-resident pipelines choose checkpoint strategies PER CALL") {
+    // the round-12 global knob could not serve two pipelines in one JVM;
+    // per-call strategies can — and both answer identically
+    val nodes = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val dir = tmpDir("cc_percall")
+    val reliable = Components.connectedComponents(nodes, "id", edges, "a", "b",
+      ckpt = Components.Checkpointing.Reliable(dir))
+    val local = Components.connectedComponents(nodes, "id", edges, "a", "b",
+      ckpt = Components.Checkpointing.Local)
+    assertSameRows(reliable, local)
+    def hasRdd(f: java.io.File): Boolean =
+      f.isDirectory && (f.getName.startsWith("rdd-") ||
+        Option(f.listFiles).exists(_.exists(hasRdd)))
+    assert(hasRdd(new java.io.File(dir)),
+      s"the Reliable call must checkpoint through $dir")
+    // Local FORCES localCheckpoint even when the global fallback is set
+    val dir2 = tmpDir("cc_percall2")
+    Components.checkpointDir = Some(dir2)
+    try {
+      Components.connectedComponents(nodes, "id", edges, "a", "b",
+        ckpt = Components.Checkpointing.Local).collect()
+      assert(!hasRdd(new java.io.File(dir2)),
+        "Checkpointing.Local must not write through the global dir")
+    } finally Components.checkpointDir = None
+  }
+
+  test("a reliable checkpoint survives block loss that kills a local checkpoint") {
+    // the cluster-failure mode, simulated: drop the truncated frame's
+    // storage blocks (an executor dying takes its local-checkpoint
+    // blocks with it), then evaluate. localCheckpoint has nothing to
+    // recompute from — the read fails; checkpoint(dir) recomputes from
+    // the checkpoint FILES and answers.
+    val sc = spark.sparkContext
+    def dropBlocks(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rdd = df.rdd // the checkpointed plan's RDD lineage
+      rdd.count() // materialize
+      // remove every cached/checkpoint BLOCK for all rdds in the lineage
+      sc.getPersistentRDDs.values.foreach(r =>
+        org.apache.spark.SparkEnv.get.blockManager.master
+          .removeRdd(r.id, blocking = true))
+    }
+    val dirR = tmpDir("cc_survive")
+    sc.setCheckpointDir(dirR)
+    val local = (1L to 100L).toDF("id").localCheckpoint(true)
+    val reliable = (1L to 100L).toDF("id").checkpoint(true)
+    dropBlocks(local); dropBlocks(reliable)
+    assert(reliable.count() == 100L,
+      "reliable checkpoint must recompute from storage after block loss")
+    val localSurvives = scala.util.Try(local.count()).isSuccess
+    assert(!localSurvives,
+      "setup check: block loss must actually kill the local checkpoint " +
+        "(if this starts passing, Spark began re-materializing local " +
+        "checkpoints and the Reliable switch is moot)")
+  }
+
   test("CentroidMatrix.fromDataFrame trips its cap on a data-plane input") {
     val saved = CentroidMatrix.maxCentroidRows
     CentroidMatrix.maxCentroidRows = 2

@@ -467,6 +467,28 @@ class CurationOpsSpec extends SparkSpecBase {
       (4L, "c d e", 0L, 3L)))
   }
 
+  test("duplicateWindowScrub: the all-duplicate flood doc is linear, not quadratic") {
+    import spark.implicits._
+    // a 4000-token doc whose EVERY window is duplicated (n−L+1 ≈ n
+    // duplicated starts): the interval-merge keeps the row-local pass
+    // O(n + k); the old per-token exists() scan was O(n · k) ≈ 16M
+    // lambda probes for this one row. Also pins interleaved coverage:
+    // gaps between merged intervals survive in order.
+    val flood = ("x " * 4000).trim
+    val d = Seq(
+      (1L, flood), (2L, flood),
+      // doc 3: duplicated head and tail (shared with 1/2's windows via
+      // 'x' runs), unique middle survives as a gap between intervals
+      (3L, ("x " * 10) + "unique middle words here " + ("x " * 10).trim)
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateWindowScrub(d, "doc_id", "text", windowTokens = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got(0) == (1L, "", 4000L, 4000L))
+    assert(got(1) == (2L, "", 4000L, 4000L))
+    assert(got(2) == (3L, "unique middle words here", 20L, 24L))
+  }
+
   test("temperatureMixture: α=1 is proportional; α=0.5 upsamples the tail stratum") {
     import spark.implicits._
     // stratum a: 100 tokens (10 docs × 10), b: 400 (40 docs × 10)

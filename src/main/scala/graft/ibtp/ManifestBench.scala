@@ -38,22 +38,25 @@ object ManifestBench {
       // leading key) PLUS a z-curve-shaped event_id range (bit-reversed
       // index scaled to 1k-wide windows) — the multi-column layout
       // compact(clusterBy, zorder) maintains
-      val lines = (1 to n).map { i =>
-        val erev = (java.lang.Integer.reverse(i) >>> 12).toLong & 0xfffffL
-        f"p_date=2024-01-01/part-$i%08d.parquet" +
-          s"\tcol=${b64("user_id")},t=long,min=${i * 1000L}," +
-          s"max=${i * 1000L + 999L},rows=1000" +
-          s"\tcol=${b64("event_id")},t=long,min=${erev * 1000L}," +
-          s"max=${erev * 1000L + 999L},rows=1000" +
-          // categorical value sets: each file stores 2 of 20 languages —
-          // the dictionary-derived shape declareSetColumns maintains
-          s"\tset=${b64("lang")},t=string," +
-          s"v=${b64("l" + i % 20)};${b64("l" + (i + 7) % 20)}"
-      }
-      java.nio.file.Files.writeString(
-        new java.io.File(mdir, "v0000000001_0000000001.list").toPath,
-        "#statscol=user_id,event_id\n#setcol=lang\n" +
-          lines.mkString("", "\n", "\n"))
+      // streamed, line by line: a 10M-entry fixture as one mkString is
+      // a ~2 GB transient String that GC-thrashes the driver
+      val w = java.nio.file.Files.newBufferedWriter(
+        new java.io.File(mdir, "v0000000001_0000000001.list").toPath)
+      try {
+        w.write("#statscol=user_id,event_id\n#setcol=lang\n")
+        (1 to n).foreach { i =>
+          val erev = (java.lang.Integer.reverse(i) >>> 12).toLong & 0xfffffL
+          w.write(f"p_date=2024-01-01/part-$i%08d.parquet" +
+            s"\tcol=${b64("user_id")},t=long,min=${i * 1000L}," +
+            s"max=${i * 1000L + 999L},rows=1000" +
+            s"\tcol=${b64("event_id")},t=long,min=${erev * 1000L}," +
+            s"max=${erev * 1000L + 999L},rows=1000" +
+            // categorical value sets: each file stores 2 of 20 languages
+            // — the dictionary-derived shape declareSetColumns maintains
+            s"\tset=${b64("lang")},t=string," +
+            s"v=${b64("l" + i % 20)};${b64("l" + (i + 7) % 20)}\n")
+        }
+      } finally w.close()
       // MBENCH_IDLE_MS emulates the inter-commit work a real run does
       // (a period's Spark job, seconds long): checkpoint folds are
       // asynchronous since round 12, so with ANY idle between commits
@@ -100,9 +103,15 @@ object ManifestBench {
       // protocol: per-attempt validation + CAS rename). Contention cost
       // shows as concurrent-vs-serial wall ratio; with a lease they
       // could not run at all without hand-off.
+      // MBENCH_CC=0 skips the concurrency sections: at the 10M-entry
+      // decade each fold writes a ~1.5 GB checkpoint under its claim,
+      // so the storm section measures fold I/O, not commit arbitration
+      // (the 1M row carries the concurrency evidence)
+      val ccOn = sys.env.get("MBENCH_CC").forall(_ != "0")
       val k = 4; val mPer = 6
       val writers = (0 until k).map(_ => new TargetTable(spark, dir, "ts"))
       val basisLive = t.latestManifest().get.toSet
+      val basisTip = t.latestManifestTip()
       val go = new java.util.concurrent.CountDownLatch(1)
       val done = new java.util.concurrent.CountDownLatch(k)
       val failed = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -112,26 +121,28 @@ object ManifestBench {
           try (1 to mPer).foreach { j =>
             w.commitConcurrentAppend(
               Seq(f"p_date=2024-02-0${wi + 1}/part-cc-$j%04d.parquet"),
-              Set(f"p_date=2024-02-0${wi + 1}"), basisLive, None)
+              Set(f"p_date=2024-02-0${wi + 1}"), basisLive, None, basisTip)
           } catch { case _: Throwable => failed.incrementAndGet() }
           finally done.countDown()
         }, s"mbench-cc-$wi")
       }
-      threads.foreach(_.start())
-      val tc0 = System.nanoTime()
-      go.countDown()
-      done.await()
-      val ccWallMs = (System.nanoTime() - tc0) / 1e6
-      val ccLive = t.latestManifest().get.size
-      // serial baseline: the same k*mPer conflict-checked commits, one
-      // writer thread
-      val ts0 = System.nanoTime()
-      (1 to k * mPer).foreach { j =>
-        t.commitConcurrentAppend(
-          Seq(f"p_date=2024-02-09/part-sc-$j%04d.parquet"),
-          Set("p_date=2024-02-09"), basisLive, None)
+      val (ccWallMs, ccLive, serialWallMs) = if (!ccOn) (0.0, live, 0.0) else {
+        threads.foreach(_.start())
+        val tc0 = System.nanoTime()
+        go.countDown()
+        done.await()
+        val w = (System.nanoTime() - tc0) / 1e6
+        val l = t.latestManifest().get.size
+        // serial baseline: the same k*mPer conflict-checked commits, one
+        // writer thread
+        val ts0 = System.nanoTime()
+        (1 to k * mPer).foreach { j =>
+          t.commitConcurrentAppend(
+            Seq(f"p_date=2024-02-09/part-sc-$j%04d.parquet"),
+            Set("p_date=2024-02-09"), basisLive, None, basisTip)
+        }
+        (w, l, (System.nanoTime() - ts0) / 1e6)
       }
-      val serialWallMs = (System.nanoTime() - ts0) / 1e6
       println(
         s"""{"live_files":$n,"commits":$commitsPerSize,""" +
           f""""commit_ms_median":${sorted(sorted.size / 2)}%.3f,""" +
@@ -147,7 +158,7 @@ object ManifestBench {
           f""""cc_commits_per_sec":${k * mPer * 1000.0 / ccWallMs}%.1f,""" +
           f""""cc_serial_wall_ms":$serialWallMs%.3f,""" +
           s""""cc_failed":${failed.get},"cc_live":$ccLive,""" +
-          s""""cc_all_committed":${ccLive == live + k * mPer}}""")
+          s""""cc_all_committed":${!ccOn || ccLive == live + k * mPer}}""")
     }
     spark.stop()
   }

@@ -471,6 +471,7 @@ final class TargetTable(
     // state against it at every commit attempt.
     val basisHeader = latestHeaderLines()
     val basisSchemaJson = schemaOfManifestLines(basisHeader).map(_.json)
+    val basisTip = manifestVersions().map(_.key).maxOption.getOrElse((0L, 0L, false))
     val basisLive = latestManifest().getOrElse(Nil).toSet
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(path + s"__stage_$id")
@@ -500,7 +501,8 @@ final class TargetTable(
         failAppendPoint(1)
         onOptimisticCommit()
         try
-          commitConcurrentAppend(stagedLines, myParts, basisLive, basisSchemaJson)
+          commitConcurrentAppend(stagedLines, myParts, basisLive,
+            basisSchemaJson, basisTip)
         catch {
           case e: ConcurrentWriteConflictException =>
             // the staged files were published to NO manifest (the check
@@ -531,26 +533,49 @@ final class TargetTable(
     */
   private[ibtp] def commitConcurrentAppend(
       stagedLines: Seq[String], myParts: Set[String],
-      basisLive: Set[String], basisSchemaJson: Option[String]): Unit = {
+      basisLive: Set[String], basisSchemaJson: Option[String],
+      basisTip: (Long, Long, Boolean)): Unit = {
+    import scala.math.Ordering.Implicits._
+    def conflict(msg: String): Nothing =
+      throw new ConcurrentWriteConflictException(
+        s"appendConcurrent on $path: $msg; re-run against the new state")
     def conflictCheck(): Unit = {
-      val cur = latestManifestRaw().getOrElse(Nil)
-      val curSchemaJson =
-        schemaOfManifestLines(cur.takeWhile(_.startsWith("#"))).map(_.json)
+      // the check is a VERSION diff, not a state diff: a commit's cost
+      // must stay O(what changed since the basis), never O(live files)
+      // — at 1M live files a full-state diff per attempt would make
+      // the commit protocol itself the bottleneck it exists to remove
+      val newer = manifestVersions().filter(_.key > basisTip).sortBy(_.key)
+      if (newer.isEmpty) return
+      val curSchemaJson = schemaOfManifestLines(latestHeaderLines()).map(_.json)
       if (curSchemaJson != basisSchemaJson)
-        throw new ConcurrentWriteConflictException(
-          s"appendConcurrent on $path: the table schema changed while " +
-            "this append was in flight — its files were written under " +
-            "the old schema; re-run against the new state")
-      val curLive = cur.filterNot(_.startsWith("#")).map(pathOf).toSet
-      val removedInMine = basisLive.diff(curLive)
-        .filter(f => myParts.contains(f.takeWhile(_ != '/')))
-      if (removedInMine.nonEmpty)
-        throw new ConcurrentWriteConflictException(
-          s"appendConcurrent on $path: a concurrent writer replaced " +
-            s"${removedInMine.size} files in partitions this append " +
-            s"touches (${myParts.mkString(", ")}) — serializing this " +
-            "append before it would resurrect replaced rows; re-run " +
-            "against the new state")
+        conflict("the table schema changed while this append was in " +
+          "flight — its files were written under the old schema")
+      if (newer.forall(_.isDelta)) {
+        // O(changes): only the new deltas' removal lines can conflict
+        val removedInMine = newer.iterator
+          .flatMap(v => readLines(v.p))
+          .filter(_.startsWith("-"))
+          .map(_.substring(1))
+          .filter(f => myParts.contains(f.takeWhile(_ != '/')))
+          .toSeq
+        if (removedInMine.nonEmpty)
+          conflict(s"a concurrent writer replaced ${removedInMine.size} " +
+            s"files in partitions this append touches " +
+            s"(${myParts.mkString(", ")}) — serializing this append " +
+            "before it would resurrect replaced rows")
+      } else {
+        // a CHECKPOINT landed since the basis (a fold — content-neutral
+        // — or a replace/seal): removals cannot be attributed from the
+        // version alone, so fall back to the state diff (rare)
+        val curLive = latestManifest().getOrElse(Nil).toSet
+        val removedInMine = basisLive.diff(curLive)
+          .filter(f => myParts.contains(f.takeWhile(_ != '/')))
+        if (removedInMine.nonEmpty)
+          conflict(s"a concurrent writer replaced ${removedInMine.size} " +
+            s"files in partitions this append touches " +
+            s"(${myParts.mkString(", ")}) — serializing this append " +
+            "before it would resurrect replaced rows")
+      }
     }
     commitManifestDelta(add = stagedLines, remove = Nil,
       preCheck = () => conflictCheck())
@@ -1456,9 +1481,11 @@ final class TargetTable(
         body.split("_", 2) match {
           case Array(e, s) => for {
             ep <- e.toLongOption; sq <- s.toLongOption
-          } yield ManifestVersion(ep, sq, isDelta, st.getPath)
+          } yield ManifestVersion(ep, sq, isDelta, st.getPath,
+            st.getModificationTime, st.getLen)
           case Array(s) =>
-            s.toLongOption.map(ManifestVersion(0L, _, isDelta, st.getPath))
+            s.toLongOption.map(ManifestVersion(0L, _, isDelta, st.getPath,
+              st.getModificationTime, st.getLen))
           case _ => None
         }
       if (n.startsWith("v") && n.endsWith(".list"))
@@ -1500,22 +1527,63 @@ final class TargetTable(
     * BEFORE the takeover's seal checkpoint and is therefore discarded
     * by the replay even if the zombie's crash left the file behind.
     */
+  /** Replayed state keyed by the WHOLE LISTED CHAIN — every version
+    * file's (epoch, seq, kind, mtime, length): versions are immutable
+    * once landed, so an unchanged chain fingerprint proves the replayed
+    * lines are current — a repeated read plan (point queries against a
+    * large table) pays one directory listing instead of re-reading and
+    * re-parsing the O(live) checkpoint every call. Always validated
+    * against a FRESH listing, so concurrent writers (lease-held or
+    * optimistic), pruning, rebuilt manifest dirs, and even in-place
+    * tampering with a MID-CHAIN file (mtime/length shift) all
+    * invalidate it the instant they happen.
+    */
+  @volatile private var replayCache:
+    Option[(Vector[(Long, Long, Boolean, Long, Long)], Seq[String])] = None
+
+  /** The newest checkpoint's RAW lines plus its header — held by
+    * reference (zero cost on the cold path). When the tip advanced but
+    * the checkpoint underneath is unchanged (the common case: a delta
+    * landed), the replay re-parses these lines and applies only the
+    * delta tail: O(live) in-memory parse instead of O(live) disk
+    * read + parse.
+    */
+  @volatile private var ckptCache:
+    Option[((Long, Long, Boolean, Long, Long), Seq[String], Seq[String])] = None
+
   private def latestManifestRaw(): Option[Seq[String]] = {
     val vs = manifestVersions().sortBy(_.key)
     if (vs.isEmpty) None
     else {
+      val chainId = vs.map(_.cacheKey).toVector
+      val cachedTip = replayCache
+      cachedTip match {
+        case Some((t, lines)) if t == chainId => return Some(lines)
+        case _ => ()
+      }
       val ckptIdx = vs.lastIndexWhere(!_.isDelta)
       // keyed by the PATH part: a body line may carry a tab-separated
       // per-file stats blob, and a delta's `-path` removal must match
       // the enriched line it shadows
-      val files = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var files = scala.collection.mutable.LinkedHashMap.empty[String, String]
       // the effective header is the NEWEST version's, captured while
       // that file is read anyway (no second open — one GET per file)
       var header: Seq[String] = Nil
       if (ckptIdx >= 0) {
-        val lines = readLines(vs(ckptIdx).p)
-        if (ckptIdx == vs.size - 1) header = lines.takeWhile(_.startsWith("#"))
-        lines.foreach(l => if (!l.startsWith("#")) files += pathOf(l) -> l)
+        val ckptKey = vs(ckptIdx).cacheKey
+        val (lines, h) = ckptCache match {
+          case Some((k, body, hdr)) if k == ckptKey => (body, hdr)
+          case _ =>
+            val fresh = readLines(vs(ckptIdx).p)
+            val hdr = fresh.takeWhile(_.startsWith("#"))
+            val body = fresh.dropWhile(_.startsWith("#"))
+            if (body.size <= TargetTable.MaxCachedManifestLines)
+              ckptCache = Some((ckptKey, body, hdr))
+            else ckptCache = None
+            (body, hdr)
+        }
+        if (ckptIdx == vs.size - 1) header = h
+        lines.foreach(l => files += pathOf(l) -> l)
       }
       vs.drop(ckptIdx + 1).foreach { v =>
         val lines = readLines(v.p)
@@ -1529,7 +1597,11 @@ final class TargetTable(
           else files += pathOf(l) -> l
         }
       }
-      Some(header.filterNot(_ == DeltaMarker) ++ files.values.toSeq)
+      val result = header.filterNot(_ == DeltaMarker) ++ files.values.toSeq
+      if (result.size <= TargetTable.MaxCachedManifestLines)
+        replayCache = Some((chainId, result))
+      else replayCache = None
+      Some(result)
     }
   }
 
@@ -1719,6 +1791,10 @@ final class TargetTable(
   /** Live files with their negative-sentinel columns (test/probe view). */
   private[ibtp] def latestManifestNoskip(): Seq[(String, Set[String])] =
     latestManifestBody().map(l => pathOf(l) -> noskipOf(l))
+
+  /** The chain tip key — the basis an optimistic commit diffs against. */
+  private[ibtp] def latestManifestTip(): (Long, Long, Boolean) =
+    manifestVersions().map(_.key).maxOption.getOrElse((0L, 0L, false))
 
   /** Backfill per-file skip blobs (min/max stats AND value sets) for
     * live files missing any declared column's blob — the remedy for
@@ -2427,7 +2503,11 @@ final class TargetTable(
     */
   private def commitVersion(content: () => String, isDelta: Boolean): Unit = synchronized {
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
-    var claimRaces = 0
+    // lost claim races are NORMAL under concurrent committers, and a
+    // rival may legitimately hold its claim for its whole content
+    // evaluation (a fold writes O(live) lines) — so the bound is TIME
+    // spent waiting, not a race count
+    val spinDeadline = System.currentTimeMillis() + LeaseStaleMs
     var epochRaces = 0
     while (true) {
       val vs = manifestVersions()
@@ -2437,6 +2517,12 @@ final class TargetTable(
       val seq = vs.map(_.seq).maxOption.getOrElse(0L) + 1
       val name = versionName(epoch, seq, isDelta)
       val claim = new Path(manifestDir, f".claim_$epoch%019d_$seq%019d")
+      def spinCheck(): Unit =
+        if (System.currentTimeMillis() > spinDeadline)
+          throw new IllegalStateException(
+            s"could not commit manifest $name under $manifestDir within " +
+              s"${LeaseStaleMs / 1000}s of claim contention — commit storm " +
+              "or stuck store?")
       if (!atomicCreate(claim)) {
         // seq contended: normal under concurrent lease-less committers.
         // Sweep a crashed owner's stale claim; otherwise yield briefly
@@ -2444,10 +2530,7 @@ final class TargetTable(
         val stale = scala.util.Try(fs.getFileStatus(claim).getModificationTime)
           .toOption.exists(System.currentTimeMillis() - _ > CommitClaimStaleMs)
         if (stale) fs.delete(claim, false) else Thread.sleep(5)
-        claimRaces += 1
-        if (claimRaces >= 2000) throw new IllegalStateException(
-          s"could not commit manifest $name under $manifestDir after " +
-            s"$claimRaces lost claim races — commit storm or stuck store?")
+        spinCheck()
       } else {
         var landed = false
         try {
@@ -2457,10 +2540,7 @@ final class TargetTable(
           val fresh = manifestVersions()
           if (fresh.map(_.seq).maxOption.getOrElse(0L) >= seq ||
               fresh.map(_.epoch).maxOption.getOrElse(0L) > epoch) {
-            claimRaces += 1
-            if (claimRaces >= 2000) throw new IllegalStateException(
-              s"could not commit manifest $name under $manifestDir after " +
-                s"$claimRaces lost claim races — commit storm or stuck store?")
+            spinCheck()
           } else {
             // the thunk runs while the claim is held and BEFORE any tmp
             // file exists: optimistic commits carry their conflict check
@@ -3631,7 +3711,15 @@ object TargetTable {
     * [[TargetTable]]). Ordering is EPOCH-MAJOR, then sequence.
     */
   private[ibtp] final case class ManifestVersion(
-      epoch: Long, seq: Long, isDelta: Boolean, p: org.apache.hadoop.fs.Path) {
+      epoch: Long, seq: Long, isDelta: Boolean, p: org.apache.hadoop.fs.Path,
+      mtime: Long = 0L, len: Long = 0L) {
+    /** Cache identity: the logical key PLUS the physical file identity
+      * (mtime, length) — a manifest dir wiped and rebuilt reuses
+      * (epoch, seq) keys, and the replay cache must not serve the old
+      * history's lines for the new files.
+      */
+    def cacheKey: (Long, Long, Boolean, Long, Long) =
+      (epoch, seq, isDelta, mtime, len)
     /** Epoch-major, then sequence — and at the SAME (epoch, seq), the
       * CHECKPOINT strictly before the delta. The rename-CAS only
       * collides within one extension, so a background fold's `.list`
@@ -3764,6 +3852,14 @@ object TargetTable {
     * write O(staged names) on the hot append path.
     */
   val ManifestCheckpointEvery = 8
+
+  /** Replay-cache size gate: states larger than this many lines are
+    * never cached (two copies of the state live per instance — the
+    * parsed checkpoint map and the tip lines — ~100 bytes/line each).
+    * 20M lines ≈ 4 GB of driver heap, the sane ceiling for a planner
+    * that is already holding 20M file names.
+    */
+  @volatile var MaxCachedManifestLines: Int = 20000000
 
   /** A commit-sequence claim older than this belongs to a writer that
     * crashed between its claim and its rename (the claim spans two

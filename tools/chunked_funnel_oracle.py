@@ -43,7 +43,8 @@ from cte_stage_profile import split_ctes  # noqa: E402
 from oracle_check import rows_key  # noqa: E402
 
 KNOWN = ("q21_dedup_minhash", "q67_text_knn", "q62_cluster_assign",
-         "q22_dedup_simhash", "q66_containment_pairs")
+         "q22_dedup_simhash", "q66_containment_pairs",
+         "q88_chunk_dedup", "q94_substring_scrub")
 
 # queries that ride the shared q21 minhash replay (one staging, many
 # adjudications); q22/q66 have their own pipelines and stage into their
@@ -310,6 +311,24 @@ def adjudicate_q66(out_dir, sf_dir, chunks):
     return compare(con, out_dir, "q66_containment_pairs", final)
 
 
+def adjudicate_staged(out_dir, sf_dir, query):
+    """Text-pass replays (q88 fixed-chunk boilerplate, q94 sliding-
+    window scrub) staged CTE-by-CTE in their own connection: the heavy
+    stages (6.6M chunk strings / 52.6M window strings at the 1M-doc
+    decade) fit a bounded-memory temp table directly — staging exists
+    so each gets its own spill budget and a per-stage profile line, and
+    so a future decade can chunk the window stage by hash without
+    changing the call shape.
+    """
+    con = fresh_con(sf_dir)
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        sql = json.load(f)[query]
+    ctes, final = split_ctes(sql)
+    for n, _, b in ctes:
+        stage_logged(con, n, b)
+    return compare(con, out_dir, query, final)
+
+
 def main(argv):
     args = [a for a in argv if not a.startswith("--")]
     out_dir, sf_dir, queries = args[0], args[1], args[2:]
@@ -334,6 +353,9 @@ def main(argv):
         ok &= adjudicate_q22(out_dir, sf_dir, chunks)
     if "q66_containment_pairs" in queries:
         ok &= adjudicate_q66(out_dir, sf_dir, chunks)
+    for q in ("q88_chunk_dedup", "q94_substring_scrub"):
+        if q in queries:
+            ok &= adjudicate_staged(out_dir, sf_dir, q)
     return 0 if ok else 1
 
 

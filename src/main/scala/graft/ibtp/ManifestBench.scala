@@ -109,24 +109,24 @@ object ManifestBench {
       // (the 1M row carries the concurrency evidence)
       val ccOn = sys.env.get("MBENCH_CC").forall(_ != "0")
       val k = 4; val mPer = 6
-      val writers = (0 until k).map(_ => new TargetTable(spark, dir, "ts"))
-      val basisLive = t.latestManifest().get.toSet
-      val basisTip = t.latestManifestTip()
-      val go = new java.util.concurrent.CountDownLatch(1)
-      val done = new java.util.concurrent.CountDownLatch(k)
       val failed = new java.util.concurrent.atomic.AtomicInteger(0)
-      val threads = writers.zipWithIndex.map { case (w, wi) =>
-        new Thread(() => {
-          go.await()
-          try (1 to mPer).foreach { j =>
-            w.commitConcurrentAppend(
-              Seq(f"p_date=2024-02-0${wi + 1}/part-cc-$j%04d.parquet"),
-              Set(f"p_date=2024-02-0${wi + 1}"), basisLive, None, basisTip)
-          } catch { case _: Throwable => failed.incrementAndGet() }
-          finally done.countDown()
-        }, s"mbench-cc-$wi")
-      }
       val (ccWallMs, ccLive, serialWallMs) = if (!ccOn) (0.0, live, 0.0) else {
+        val writers = (0 until k).map(_ => new TargetTable(spark, dir, "ts"))
+        val basisLive = t.latestManifest().get.toSet
+        val basisTip = t.latestManifestTip()
+        val go = new java.util.concurrent.CountDownLatch(1)
+        val done = new java.util.concurrent.CountDownLatch(k)
+        val threads = writers.zipWithIndex.map { case (w, wi) =>
+          new Thread(() => {
+            go.await()
+            try (1 to mPer).foreach { j =>
+              w.commitConcurrentAppend(
+                Seq(f"p_date=2024-02-0${wi + 1}/part-cc-$j%04d.parquet"),
+                Set(f"p_date=2024-02-0${wi + 1}"), basisLive, None, basisTip)
+            } catch { case _: Throwable => failed.incrementAndGet() }
+            finally done.countDown()
+          }, s"mbench-cc-$wi")
+        }
         threads.foreach(_.start())
         val tc0 = System.nanoTime()
         go.countDown()
@@ -155,7 +155,10 @@ object ManifestBench {
           s""""planned_total":$total,""" +
           s""""cc_writers":$k,"cc_commits":${k * mPer},""" +
           f""""cc_wall_ms":$ccWallMs%.3f,""" +
-          f""""cc_commits_per_sec":${k * mPer * 1000.0 / ccWallMs}%.1f,""" +
+          // ccWallMs is 0.0 when MBENCH_CC=0 skipped the section — a
+          // bare division would print Infinity, which is invalid JSON
+          f""""cc_commits_per_sec":${
+            if (ccWallMs > 0) k * mPer * 1000.0 / ccWallMs else 0.0}%.1f,""" +
           f""""cc_serial_wall_ms":$serialWallMs%.3f,""" +
           s""""cc_failed":${failed.get},"cc_live":$ccLive,""" +
           s""""cc_all_committed":${!ccOn || ccLive == live + k * mPer}}""")

@@ -1772,25 +1772,41 @@ final class TargetTable(
     * covered-column set), so a stale sentinel is merely unpruned,
     * never wrong.
     */
-  private def noskipOf(line: String): Set[String] = {
+  private def noskipTokens(line: String): Seq[String] = {
     val at = line.indexOf("\tnoskip=")
-    if (at < 0) Set.empty
+    if (at < 0) Nil
     else {
       val start = at + 8
       val end0 = line.indexOf('\t', start)
       val end = if (end0 < 0) line.length else end0
-      line.substring(start, end).split(';').iterator
-        .filter(_.nonEmpty).map(unb64).toSet
+      line.substring(start, end).split(';').toSeq.filter(_.nonEmpty)
     }
   }
 
-  /** Serialize the negative-result sentinel (b64 names, ';'-joined). */
-  private def encodeNoskip(cols: Seq[String]): String =
-    "noskip=" + cols.map(b64).mkString(";")
+  /** The sentinel is BLOB-KIND-QUALIFIED (`s:` = min/max stats probe,
+    * `v:` = value-set probe; ':' is outside the Base64 alphabet):
+    * "this footer can never yield a SET for c" says nothing about a
+    * later min/max declaration of c, so an unqualified sentinel would
+    * silently pin the other kind's coverage degraded forever. Legacy
+    * unqualified tokens count for NEITHER kind — the next restat
+    * re-probes the line once and rewrites it qualified.
+    */
+  private def noskipOf(line: String, kind: Char): Set[String] =
+    noskipTokens(line).iterator
+      .filter(t => t.length > 2 && t.charAt(0) == kind && t.charAt(1) == ':')
+      .map(t => unb64(t.substring(2))).toSet
 
-  /** Live files with their negative-sentinel columns (test/probe view). */
+  /** Serialize the negative-result sentinel, kind-qualified. */
+  private def encodeNoskip(statCols: Seq[String], setCols: Seq[String]): String =
+    "noskip=" + (statCols.map("s:" + b64(_)) ++ setCols.map("v:" + b64(_)))
+      .mkString(";")
+
+  /** Live files with their negative-sentinel columns, both kinds
+    * unioned (test/probe view).
+    */
   private[ibtp] def latestManifestNoskip(): Seq[(String, Set[String])] =
-    latestManifestBody().map(l => pathOf(l) -> noskipOf(l))
+    latestManifestBody().map(l =>
+      pathOf(l) -> (noskipOf(l, 's') ++ noskipOf(l, 'v')))
 
   /** The chain tip key — the basis an optimistic commit diffs against. */
   private[ibtp] def latestManifestTip(): (Long, Long, Boolean) =
@@ -1821,9 +1837,14 @@ final class TargetTable(
       val missing = body.filterNot { l =>
         val stats = statsOf(l).map(_.col).toSet
         val sets = setsOf(l).map(_.col).toSet
-        val probed = noskipOf(l)
-        statCols.forall(c => stats.contains(c) || probed.contains(c)) &&
-          setCols.forall(c => sets.contains(c) || probed.contains(c))
+        // coverage is per blob kind: a set-probe sentinel must not
+        // satisfy a stats declaration of the same column (or vice
+        // versa) — that is exactly the later-declaration re-probe the
+        // sentinel exists to preserve
+        val probedS = noskipOf(l, 's')
+        val probedV = noskipOf(l, 'v')
+        statCols.forall(c => stats.contains(c) || probedS.contains(c)) &&
+          setCols.forall(c => sets.contains(c) || probedV.contains(c))
       }
       if (missing.isEmpty) 0
       else {
@@ -1837,10 +1858,13 @@ final class TargetTable(
         val updates = missing.zip(enriched).flatMap { case (old, nw) =>
           val gainedStats = statsOf(nw).map(_.col).toSet
           val gainedSets = setsOf(nw).map(_.col).toSet
-          val stillBare = (statCols.filterNot(gainedStats) ++
-            setCols.filterNot(gainedSets)).distinct
-          val priorProbed = noskipOf(old)
-          val probedNow = (priorProbed ++ stillBare).toSeq.sorted
+          // per-kind sentinels: prior qualified tokens carry forward;
+          // legacy unqualified ones are dropped (this pass just
+          // re-probed the line, so they are superseded either way)
+          val probedS = (noskipOf(old, 's').filterNot(gainedStats) ++
+            statCols.filterNot(gainedStats)).toSeq.distinct.sorted
+          val probedV = (noskipOf(old, 'v').filterNot(gainedSets) ++
+            setCols.filterNot(gainedSets)).toSeq.distinct.sorted
           // carry forward blobs the OLD line already had that the fresh
           // read did not reproduce (it shouldn't happen — contents are
           // immutable — but never drop information on a re-stat)
@@ -1848,7 +1872,8 @@ final class TargetTable(
             .map(encodeStat) ++
             setsOf(old).filter(s => !gainedSets(s.col)).map(encodeSetBlob)
           val line = nw + keepOld.map("\t" + _).mkString +
-            (if (probedNow.nonEmpty) "\t" + encodeNoskip(probedNow) else "")
+            (if (probedS.nonEmpty || probedV.nonEmpty)
+              "\t" + encodeNoskip(probedS, probedV) else "")
           if (line == old) None else Some((old, line))
         }
         if (updates.nonEmpty)
@@ -2461,15 +2486,39 @@ final class TargetTable(
     * there. For local paths this drops to `File.createNewFile`
     * (O_CREAT|O_EXCL — atomic by contract).
     */
-  private def atomicCreate(p: Path): Boolean = fs match {
+  private def atomicCreate(p: Path, token: String): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
-      try new java.io.File(p.toUri.getPath).createNewFile()
+      try {
+        val f = new java.io.File(p.toUri.getPath)
+        if (!f.createNewFile()) false
+        else {
+          // write the owner token into the just-created claim: the
+          // create is what arbitrates (O_CREAT|O_EXCL); the token write
+          // is un-raced because a sweeper only touches claims older
+          // than CommitClaimStaleMs and this one is microseconds old
+          val out = new java.io.FileOutputStream(f)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        }
+      }
       catch { case _: java.io.IOException => false }
     case _ =>
-      try { fs.create(p, false).close(); true }
+      try {
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      }
       catch { case _: java.io.IOException => false }
   }
+
+  /** Whether the claim file still exists AND carries `token` — the
+    * ownership re-check a committer runs just before its version
+    * rename (see [[commitVersion]] step 4a).
+    */
+  private def ownsClaim(claim: Path, token: String): Boolean =
+    scala.util.Try(readLines(claim).headOption).toOption.flatten
+      .contains(token)
 
   /** Land one version under the concurrent-commit protocol. Writers —
     * lease-holding or lease-less ([[appendConcurrent]], background
@@ -2491,15 +2540,25 @@ final class TargetTable(
     *     writer may hold a stale seq from an earlier listing);
     *  4. evaluate the content thunk (optimistic committers run their
     *     conflict validation here — nothing can land at this seq while
-    *     the claim is held, so check→rename is atomic), write, rename
-    *     uncontended;
-    *  5. post-rename epoch/lease fences as before; release the claim.
+    *     the claim is held, so check→rename is atomic), write the tmp
+    *     file;
+    *  4a. RE-VERIFY claim ownership by token just before the rename:
+    *     the claim carries its owner's token, and a thunk outliving
+    *     [[TargetTable.CommitClaimStaleMs]] (a checkpoint fold writes
+    *     O(live) lines under its claim — seconds at the 10M-entry
+    *     decade on a slow store) can be swept and usurped; a bare
+    *     local-FS rename would then REPLACE the usurper's landed
+    *     same-name version — a lost commit. A non-owned claim aborts
+    *     the attempt (tmp deleted, loop re-lists) instead of renaming;
+    *  5. post-rename epoch/lease fences as before; release the claim —
+    *     only if still owned, so a swept writer never deletes its
+    *     usurper's fresh claim.
     *
-    * Residual window, documented: a writer pausing longer than the
-    * claim staleness between its claim and its rename can be swept and
-    * then clobber its usurper on a local FS — the same zombie class the
-    * lease's settle window bounds, vanishingly rare (the claim is held
-    * across two metadata ops, not across data work).
+    * Residual window, documented: a writer pausing between its
+    * ownership re-check and its rename (two adjacent metadata ops, no
+    * data work) can still be swept and clobber — the same zombie class
+    * the lease's settle window bounds, now vanishingly rare because the
+    * O(content) work is fenced by the token check.
     */
   private def commitVersion(content: () => String, isDelta: Boolean): Unit = synchronized {
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
@@ -2523,7 +2582,8 @@ final class TargetTable(
             s"could not commit manifest $name under $manifestDir within " +
               s"${LeaseStaleMs / 1000}s of claim contention — commit storm " +
               "or stuck store?")
-      if (!atomicCreate(claim)) {
+      val token = java.util.UUID.randomUUID().toString
+      if (!atomicCreate(claim, token)) {
         // seq contended: normal under concurrent lease-less committers.
         // Sweep a crashed owner's stale claim; otherwise yield briefly
         // and re-list (the winner's version advances the seq).
@@ -2552,15 +2612,21 @@ final class TargetTable(
               s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
             val out = fs.create(tmp, true)
             try out.write(body.getBytes("UTF-8")) finally out.close()
-            if (!fs.rename(tmp, new Path(manifestDir, name))) {
+            // step 4a: the thunk may have outlived the claim staleness
+            // (a fold writes O(live) lines) and been swept — renaming
+            // anyway would clobber a usurper's landed version on a
+            // local FS (rename replaces). Abort the attempt instead.
+            if (!ownsClaim(claim, token)) {
+              fs.delete(tmp, false)
+              spinCheck()
+            } else if (!fs.rename(tmp, new Path(manifestDir, name))) {
               fs.delete(tmp, false)
               throw new IllegalStateException(
                 s"could not rename manifest version $name into place under " +
                   s"$manifestDir despite holding the sequence claim — stuck store?")
-            }
-            landed = true
+            } else landed = true
           }
-        } finally fs.delete(claim, false)
+        } finally if (ownsClaim(claim, token)) fs.delete(claim, false)
         if (landed) {
         val after = manifestVersions()
         val epochAfter = after.map(_.epoch).maxOption.getOrElse(0L)
@@ -2830,7 +2896,40 @@ final class TargetTable(
     // (or the relist commit) can read a stale stored schema
     repairOrphanedReplace()
     repairOrphanedAppends()
+    // a FRESH optimistic marker is a live lease-less writer mid-flight
+    // (repairOrphanedAppends deliberately skipped it): its moved-but-
+    // uncommitted files are on disk, and this relist would absorb them
+    // as live rows NOW and the writer's own commit would publish them
+    // AGAIN — silent duplicates. Refuse; the window closes within
+    // OptAppendStaleMs either by the writer's commit or by repair.
+    val fresh = freshOptimisticMarkers()
+    if (fresh.nonEmpty)
+      throw new IllegalStateException(
+        s"relistManifest on $path: ${fresh.size} fresh optimistic-writer " +
+          s"intent marker(s) present (${fresh.map(_.getName).take(3).mkString(", ")}) " +
+          "— a lease-less append/replace is likely in flight and a relist " +
+          "would absorb its un-committed files as duplicate live rows; " +
+          s"retry after it commits (markers go stale after " +
+          s"${OptAppendStaleMs / 60000} min and then repair cleanly)")
     commitManifestRelist()
+  }
+
+  /** Optimistic-writer intent markers young enough to belong to a LIVE
+    * lease-less sibling (see [[relistManifest]]'s refusal and
+    * [[repairOrphanedAppends]]'s skip).
+    */
+  private def freshOptimisticMarkers(): Seq[Path] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(AppendIntentPrefix) &&
+        !p.getName.endsWith(".tmp") && !p.getName.endsWith(TornSidecarSuffix))
+      .filter { p =>
+        val kv = readKv(p, required = Nil)
+        kv.exists(_.get("opt").contains("1")) &&
+          kv.flatMap(_.get("hb")).flatMap(_.toLongOption)
+            .exists(System.currentTimeMillis() - _ < OptAppendStaleMs)
+      }
   }
 
   /** Full re-list commit — init, repairs, and first-manifest upgrades. */
@@ -3805,15 +3904,6 @@ object TargetTable {
     */
   val AppendIntentPrefix = "_graft_append_intent_"
 
-  /** Age gate for an OPTIMISTIC append's intent marker
-    * ([[TargetTable.appendConcurrent]]): younger markers may belong to
-    * a live lease-less sibling whose commit lands any second, so
-    * [[TargetTable.repairOrphanedAppends]] must not roll them back;
-    * older ones are crashed appends (the move→commit window is
-    * sub-second) and repair normally.
-    */
-  val OptAppendStaleMs: Long = 15L * 60 * 1000
-
   /** Suffix of the atomic sidecar persisting a torn append rollback's
     * published-vs-never-published classification across a re-crash of
     * the repair itself (see [[TargetTable.repairOrphanedAppends]]):
@@ -3894,6 +3984,21 @@ object TargetTable {
     * not a long CTAS, full-table rewrite, or slow period.
     */
   val LeaseStaleMs: Long = 10L * 60 * 1000
+
+  /** Age gate for an OPTIMISTIC writer's intent marker
+    * ([[TargetTable.appendConcurrent]] /
+    * [[TargetTable.replaceRangeConcurrent]]): younger markers may
+    * belong to a live lease-less sibling whose commit lands any second,
+    * so [[TargetTable.repairOrphanedAppends]] must not roll them back;
+    * older ones are crashed writers (the move→commit window is
+    * sub-second) and repair normally. DERIVED from [[LeaseStaleMs]]
+    * with an explicit margin: the lease's commit-contention spin bound
+    * is the longest a live optimistic writer can legitimately hold its
+    * marker (it spins at most that long inside commitVersion), and the
+    * margin absorbs a GC-paused-but-live writer on top of it — the two
+    * constants must never be allowed to drift independently.
+    */
+  val OptAppendStaleMs: Long = LeaseStaleMs + 5L * 60 * 1000
 
   /** Background heartbeat cadence — an order of magnitude inside
     * [[LeaseStaleMs]], so a holder survives many consecutive transient

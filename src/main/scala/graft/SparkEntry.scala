@@ -144,6 +144,7 @@ object SparkEntry {
     "q99_bm25_index_search" -> (ExtensionQueries.bm25IndexSearch _),
     "q100_pq_index_search" -> (ExtensionQueries.pqIndexSearch _),
     "q101_ivfpq_search" -> (ExtensionQueries.ivfPqSearch _),
+    "q102_ivfpq_index_search" -> (ExtensionQueries.ivfPqIndexSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -246,5 +247,6 @@ object SparkEntry {
     "q99_bm25_index_search" -> ExtensionQueries.bm25IndexSearchSql,
     "q100_pq_index_search" -> ExtensionQueries.pqIndexSearchSql,
     "q101_ivfpq_search" -> ExtensionQueries.ivfPqSearchSql,
+    "q102_ivfpq_index_search" -> ExtensionQueries.ivfPqIndexSearchSql,
   )
 }

@@ -51,27 +51,56 @@ final class LexicalIndex(val spark: SparkSession, val path: String) {
   private def toks(c: Column) = when(length(trim(c)) === 0,
     array().cast("array<string>")).otherwise(split(trim(c), "\\s+"))
 
-  /** Tokenize and index one batch of documents. */
+  /** Tokenize and index one batch of documents — ONE scan of the batch:
+    * the doc-lengths frame persists across the three writes (postings,
+    * df partials, stats), so the batch's text is read and tokenized
+    * once, and the df write reuses the postings' shuffled `tf` rather
+    * than re-exploding the corpus. At a daily loop cadence this is the
+    * difference between reading each period once and three times.
+    */
   def append(
       docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // posexplode_outer keeps token-less documents as one (null, null)
+    // row, so the SAME pass that feeds the postings also carries every
+    // document exactly once at pos 0/null — which is what lets the
+    // corpus stats ride the postings write as observed metrics (the
+    // TargetTable.writeCounted pattern: per-partition accumulators
+    // merged on the driver, zero extra passes) instead of a second
+    // tokenize scan
+    // two-step select so the tokenization runs once per row (the
+    // generator sits above a project holding `w`, not beside a second
+    // split of the same text)
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       toks(col(textCol)).as("w"))
-    val tf = base
-      .select(col("doc_id"), size(col("w")).cast("long").as("len"),
-        explode(col("w")).as("token"))
+    val ex = base.select(col("doc_id"), size(col("w")).cast("long").as("len"),
+      posexplode_outer(col("w")).as(Seq("pos", "token")))
+    val isDocHead = col("pos").isNull || col("pos") === 0
+    val obs = org.apache.spark.sql.Observation(
+      s"lexidx_stats_${java.util.UUID.randomUUID().toString.take(8)}")
+    val tf = ex.observe(obs,
+        count(when(isDocHead, lit(1))).as("n"),
+        coalesce(sum(when(isDocHead, col("len")).otherwise(lit(0L))), lit(0L))
+          .as("tl"))
+      .filter(col("token").isNotNull)
       .groupBy(col("doc_id"), col("len"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    tf.select(col("token"), col("doc_id"), col("len"), col("tf"))
-      .write.mode("append").parquet(postingsPath)
-    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .write.mode("append").parquet(dfPath)
-    // N counts token-less docs too (they weight avgdl's denominator),
-    // exactly like bm25TopK's totals
-    base.select(size(col("w")).cast("long").as("len"))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tl"))
-      .coalesce(1)
-      .write.mode("append").parquet(statsPath)
+      // persisted across the two writes below: the df partials reuse
+      // the postings' shuffled rows instead of re-exploding the text
+      .persist()
+    try {
+      tf.select(col("token"), col("doc_id"), col("len"), col("tf"))
+        .write.mode("append").parquet(postingsPath)
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .write.mode("append").parquet(dfPath)
+      // N counts token-less docs too (they weight avgdl's denominator),
+      // exactly like bm25TopK's totals — observed off the postings job
+      import spark.implicits._
+      Seq((obs.get("n").asInstanceOf[Long], obs.get("tl").asInstanceOf[Long]))
+        .toDF("n", "tl")
+        .coalesce(1)
+        .write.mode("append").parquet(statsPath)
+    } finally { tf.unpersist(); () }
   }
 
   /** BM25 top-k over everything indexed so far — identical arithmetic

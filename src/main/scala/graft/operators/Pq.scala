@@ -203,26 +203,45 @@ object Pq {
       nProbe: Int, m: Int, k: Int, topK: Int, maxIters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nProbe > 0, "nProbe must be positive")
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     val books = trainCodebooks(corpus, dim, m, k, maxIters, idCol, vecCol)
     val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
-    val kAct = trainedK(mats)
+    val encoded = encodeWithList(corpus,
+      CentroidMatrix.fromDataFrame(
+        coarse.select(col("centroid_id"), col(vecCol)), vecCol),
+      mats, dim, idCol, vecCol)
+    ivfAdcSearch(encoded, books, coarse, queries, dim, nProbe, topK,
+      idCol, vecCol, queryIdCol)
+  }
+
+  /** List assignment AND the m codes in ONE codegen'd map pass — no
+    * corpus join: (idCol, list_id, codes). The encode half
+    * [[PqIndex.append]] runs per batch against FROZEN coarse centroids
+    * and codebooks.
+    */
+  def encodeWithList(
+      corpus: DataFrame, coarseMat: CentroidMatrix, codebooks: Seq[CentroidMatrix],
+      dim: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.size
     val sub = dim / m
-    val coarseMat = CentroidMatrix.fromDataFrame(
-      coarse.select(col("centroid_id"), col(vecCol)), vecCol)
-    // list assignment AND the m codes in ONE map pass — no corpus join
-    val encoded = corpus.select(col(idCol),
+    corpus.select(col(idCol),
       VectorExprFunctions.nearest_centroid(col(vecCol), coarseMat)
         .getField("centroid_id").as("list_id"),
-      array(mats.zipWithIndex.map { case (mat, s) =>
+      array(codebooks.zipWithIndex.map { case (mat, s) =>
         VectorExprFunctions
           .nearest_centroid(slice(col(vecCol), s * sub + 1, sub), mat)
           .getField("centroid_id")
       }: _*).as("codes"))
-    // query → its nProbe nearest coarse cells: queries × centroids is
-    // broadcast-small by contract (the q32 probe shape)
+  }
+
+  /** Each query's nProbe nearest coarse cells: (queryIdCol, list_id).
+    * queries × centroids is broadcast-small by contract (the q32 probe
+    * shape).
+    */
+  private def probesOf(
+      queries: DataFrame, coarse: DataFrame, nProbe: Int,
+      vecCol: String, queryIdCol: String): DataFrame = {
     val qScored = queries
       .select(col(queryIdCol), col(vecCol).as("q_vec"))
       .join(broadcast(coarse.select(col("centroid_id"), col(vecCol).as("c_vec"))))
@@ -231,10 +250,28 @@ object Pq {
           - lit(2.0) * dot(col("q_vec"), col("c_vec")))
     val wq = org.apache.spark.sql.expressions.Window.partitionBy(col(queryIdCol))
       .orderBy(col("dist2").asc, col("centroid_id").asc)
-    val probes = qScored.withColumn("rn", row_number().over(wq))
+    qScored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col(queryIdCol), col("centroid_id").as("list_id"))
-    val qtables = adcTables(books, queries, sub, kAct, vecCol, queryIdCol)
+  }
+
+  /** IVF-PQ search over an ALREADY-ENCODED corpus — the read half
+    * [[PqIndex.searchIvf]] serves from storage: `encoded` is
+    * (idCol, list_id, codes); candidates come from a broadcast
+    * equi-join on the probed lists, so scored rows ∝ Σ probed-list
+    * sizes — never corpus size; the full vectors never load.
+    */
+  def ivfAdcSearch(
+      encoded: DataFrame, books: Seq[DataFrame], coarse: DataFrame,
+      queries: DataFrame, dim: Int, nProbe: Int, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(nProbe > 0, "nProbe must be positive")
+    val m = books.size
+    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
+    val kAct = trainedK(mats)
+    val probes = probesOf(queries, coarse, nProbe, vecCol, queryIdCol)
+    val qtables = adcTables(books, queries, dim / m, kAct, vecCol, queryIdCol)
     // candidates: codes in probed lists only — broadcast equi-join, so
     // the scored set is Σ probed-list sizes, not the corpus
     val candidates = encoded

@@ -33,6 +33,7 @@ final class PqIndex(
 
   private def booksPath = s"$path/codebooks"
   private def codesPath = s"$path/codes"
+  private def coarsePath = s"$path/coarse"
 
   def exists: Boolean =
     new org.apache.hadoop.fs.Path(booksPath)
@@ -42,8 +43,19 @@ final class PqIndex(
   /** Stored codebooks as one frame: (s, centroid_id, embedding). */
   def readCodebooks(): DataFrame = spark.read.parquet(booksPath)
 
-  /** Stored codes: (vec_id, codes). */
+  /** Stored codes: (vec_id, codes) — plus `list_id` when the index was
+    * created with a coarse quantizer (the IVF-PQ layout).
+    */
   def readCodes(): DataFrame = spark.read.parquet(codesPath)
+
+  /** Whether this index stores a coarse quantizer (IVF-PQ layout). */
+  def hasCoarse: Boolean =
+    new org.apache.hadoop.fs.Path(coarsePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(coarsePath))
+
+  /** Stored coarse centroids: (centroid_id, embedding). */
+  def readCoarse(): DataFrame = spark.read.parquet(coarsePath)
 
   private def booksSeq(): Seq[DataFrame] = {
     val all = readCodebooks()
@@ -55,10 +67,20 @@ final class PqIndex(
   def dim(): Int =
     readCodebooks().select(size(col("embedding"))).head.getInt(0) * m
 
-  /** Train the frozen codebooks on `corpus` and index it. */
+  /** Train the frozen codebooks on `corpus` and index it. With
+    * `coarse` — (centroid_id, embedding) coarse-quantizer centroids,
+    * the q26/q32 shape — the index is IVF-PQ: the centroids freeze in
+    * storage alongside the codebooks (re-deriving them would reassign
+    * every stored code's list), every code row carries its `list_id`,
+    * and [[searchIvf]] probes from storage. This is the only retrieval
+    * layout that bounds BOTH bytes per vector (PQ codes) and scored
+    * rows (nProbe lists) at 100 TB: flat codes still score the whole
+    * corpus per query; uncompressed IVF lists still read full vectors.
+    */
   def create(
       corpus: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      coarse: Option[DataFrame] = None): Unit = {
     require(!exists, s"PqIndex at $path already exists — use append")
     val d = corpus.select(size(col(vecCol))).head.getInt(0)
     val books = Pq.trainCodebooks(corpus, d, m, k, maxIters, idCol, vecCol)
@@ -67,6 +89,9 @@ final class PqIndex(
     }.reduce(_ unionAll _)
       .coalesce(1) // m·k control-plane rows — one tiny file
       .write.mode("error").parquet(booksPath)
+    coarse.foreach(_.select(col("centroid_id"), col("embedding"))
+      .coalesce(1) // nlist control-plane rows — one tiny file
+      .write.mode("error").parquet(coarsePath))
     appendCodes(corpus, d, idCol, vecCol)
   }
 
@@ -84,13 +109,23 @@ final class PqIndex(
   private def appendCodes(
       batch: DataFrame, d: Int, idCol: String, vecCol: String): Unit = {
     val mats = booksSeq().map(b => CentroidMatrix.fromDataFrame(b, "embedding"))
-    Pq.encode(batch, mats, d, idCol, vecCol)
-      .select(col(idCol).as("vec_id"), col("codes"))
-      .write.mode("append").parquet(codesPath)
+    val encoded =
+      if (hasCoarse)
+        // ONE map pass assigns the coarse list AND the m codes — the
+        // frozen centroids ride as a reference object, no join
+        Pq.encodeWithList(batch,
+          CentroidMatrix.fromDataFrame(readCoarse(), "embedding"),
+          mats, d, idCol, vecCol)
+          .select(col(idCol).as("vec_id"), col("list_id"), col("codes"))
+      else
+        Pq.encode(batch, mats, d, idCol, vecCol)
+          .select(col(idCol).as("vec_id"), col("codes"))
+    encoded.write.mode("append").parquet(codesPath)
   }
 
   /** ADC top-k over everything indexed so far — codes + codebooks only,
-    * the original vectors never load.
+    * the original vectors never load. Scores EVERY stored code; on an
+    * IVF-PQ index prefer [[searchIvf]], which bounds the scored set.
     */
   def search(
       queries: DataFrame, topK: Int,
@@ -98,4 +133,22 @@ final class PqIndex(
     Pq.adcSearch(readCodes(), booksSeq(),
       queries.select(col(queryIdCol), col(vecCol).as("embedding")),
       dim(), topK, "vec_id", "embedding", queryIdCol)
+
+  /** IVF-PQ top-k FROM STORAGE: each query probes its `nProbe` nearest
+    * stored coarse cells and ADC-scores only the code rows assigned
+    * there (broadcast equi-join on `list_id`) — scored rows ∝
+    * Σ probed-list sizes at ~(8 + m) bytes per row, never corpus size,
+    * and nothing retrains. Requires the index was created with a
+    * coarse quantizer.
+    */
+  def searchIvf(
+      queries: DataFrame, topK: Int, nProbe: Int,
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    require(hasCoarse,
+      s"PqIndex at $path has no coarse quantizer — create(coarse = ...) " +
+        "builds the IVF-PQ layout; search() serves the flat one")
+    Pq.ivfAdcSearch(readCodes(), booksSeq(), readCoarse(),
+      queries.select(col(queryIdCol), col(vecCol).as("embedding")),
+      dim(), nProbe, topK, "vec_id", "embedding", queryIdCol)
+  }
 }

@@ -2161,7 +2161,7 @@ object ExtensionQueries {
       .select(col("doc_id").as("query_id"),
         array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ").as("qtext"))
     val idx = new graft.operators.LexicalIndex(spark,
-      java.nio.file.Files.createTempDirectory("q_lexidx").toString + "/idx")
+      QueryScratch.fresh("q_lexidx") + "/idx")
     idx.append(docs.filter(col("doc_id") % 2 === 0))
     idx.append(docs.filter(col("doc_id") % 2 =!= 0))
     idx.search(queries, topK = 10)
@@ -2182,7 +2182,7 @@ object ExtensionQueries {
   def pqIndexSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val idx = new graft.operators.PqIndex(spark,
-      java.nio.file.Files.createTempDirectory("q_pqidx").toString + "/idx",
+      QueryScratch.fresh("q_pqidx") + "/idx",
       m = 4, k = 16)
     idx.create(emb.filter(col("vec_id") % 2 === 0))
     idx.append(emb.filter(col("vec_id") % 2 =!= 0))
@@ -2425,4 +2425,46 @@ object ExtensionQueries {
       |FROM approx
       |QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  /** PERSISTED IVF-PQ ([[graft.operators.PqIndex]] with a coarse
+    * quantizer): codebooks AND coarse centroids train/freeze at
+    * [[graft.operators.PqIndex.create]] on the even-id half; the odd-id
+    * half appends (vec_id, list_id, codes) rows in one map pass;
+    * [[graft.operators.PqIndex.searchIvf]] probes 3 lists per query
+    * FROM STORAGE — the production retrieval shape q100 (flat codes:
+    * scores everything) and q101 (rebuilds the index per query) each
+    * lack half of. The oracle replays q101's pipeline with the PQ
+    * training CTEs restricted to the create batch, so the hash gate
+    * adjudicates the frozen-centroid contract, the incremental encode,
+    * AND the storage-served probe in one result.
+    */
+  def ivfPqIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = new graft.operators.PqIndex(spark,
+      QueryScratch.fresh("q_ivfpqidx") + "/idx", m = 4, k = 16)
+    idx.create(emb.filter(col("vec_id") % 2 === 0),
+      coarse = Some(ivfCentroids(spark, dir)))
+    idx.append(emb.filter(col("vec_id") % 2 =!= 0))
+    idx.searchIvf(queryVectors(spark, dir), topK = 10, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q101's replay with the PQ training CTEs restricted to the even
+    * vec_ids (the create batch) — the same seed/Lloyd restriction
+    * q100's oracle applies to q95's. Derived textually so the single
+    * point of difference is explicit and cannot drift.
+    */
+  val ivfPqIndexSearchSql: String = {
+    def replaceOnce(s: String, from: String, to: String): String = {
+      require(s.contains(from), s"oracle derivation anchor missing: $from")
+      s.replace(from, to)
+    }
+    replaceOnce(
+      replaceOnce(ivfPqSearchSql,
+        "seed AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)",
+        "seed AS (SELECT vec_id FROM e WHERE vec_id % 2 = 0\n" +
+          "         ORDER BY vec_id LIMIT 16)"),
+      "FROM sub JOIN init i ON i.s = sub.s\n),",
+      "FROM sub JOIN init i ON i.s = sub.s\n  WHERE sub.vec_id % 2 = 0\n),")
+  }
 }

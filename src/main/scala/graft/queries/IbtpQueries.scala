@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,7 +39,7 @@ object IbtpQueries {
       startDate = Some(minD),
       stopDate = Some(maxD.get.plusDays(1)),
       period = period)
-    val targetDir = Files.createTempDirectory(s"ibtp_q_${period.name}").toString
+    val targetDir = QueryScratch.fresh(s"ibtp_q_${period.name}")
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     IbtpRunner.run(spark, dailyModel(dir), target,
       IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8))
@@ -84,7 +82,7 @@ object IbtpQueries {
     val cfg = IbtpConfig(timestampField = "ts",
       startDate = Some(minD), stopDate = Some(maxD.get.plusDays(1)),
       dateSourceModels = Seq("__events"))
-    val targetDir = Files.createTempDirectory("ibtp_q_autosize").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_autosize")
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     val res = IbtpRunner.run(spark, dailyModel(dir), target,
       IbtpRunner.RunParams(cfg, autoPeriod = true,
@@ -107,7 +105,7 @@ object IbtpQueries {
     val stop = maxD.get.plusDays(1)
     val cfg = IbtpConfig(timestampField = "day",
       startDate = Some(minD), stopDate = Some(stop))
-    val targetDir = Files.createTempDirectory("ibtp_q_backfill").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_backfill")
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     val model = dailyModel(dir)
     IbtpRunner.run(spark, model, target,
@@ -138,7 +136,7 @@ object IbtpQueries {
     // README.md:100-103); the operator under test is the re-delivery
     val cfg = IbtpConfig(timestampField = "day",
       startDate = Some(minD), stopDate = Some(stop))
-    val targetDir = Files.createTempDirectory("ibtp_q_upsert").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_upsert")
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     val model = dailyModel(dir)
     IbtpRunner.run(spark, model, target,
@@ -169,7 +167,7 @@ object IbtpQueries {
     // the tiling — ~5 jobs instead of Day's ~30
     val cfg = IbtpConfig(timestampField = "day",
       startDate = Some(minD), stopDate = Some(stop), period = PeriodUnit.Week)
-    val targetDir = Files.createTempDirectory("ibtp_q_fullrefresh").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_fullrefresh")
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     val model = dailyModel(dir)
     IbtpRunner.run(spark, model, target,
@@ -214,7 +212,7 @@ object IbtpQueries {
     }
     val cfg = IbtpConfig(timestampField = "day",
       startDate = Some(minD), stopDate = Some(stop), period = PeriodUnit.Week)
-    val targetDir = Files.createTempDirectory("ibtp_q_widen").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_widen")
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     // first half lands as INT
     IbtpRunner.run(spark, model(wide = false), target,
@@ -256,7 +254,7 @@ object IbtpQueries {
     val cfg = IbtpConfig(timestampField = "day",
       startDate = Some(minD), stopDate = Some(stop), period = PeriodUnit.Week,
       onSchemaChange = OnSchemaChange.SyncAllColumns)
-    val targetDir = Files.createTempDirectory("ibtp_q_rewiden").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_rewiden")
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     // first half lands with last_seen as DATE
     IbtpRunner.run(spark, model(tsTyped = false), target,
@@ -307,7 +305,7 @@ object IbtpQueries {
     val stop = maxD.get.plusDays(1)
     val cfg = IbtpConfig(timestampField = "day",
       startDate = Some(minD), stopDate = Some(stop), period = PeriodUnit.Week)
-    val targetDir = Files.createTempDirectory("ibtp_q_uniq").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_uniq")
     val target = new TargetTable(spark, targetDir, "day", countRows = false)
     val model = dailyModel(dir)
     IbtpRunner.run(spark, model, target,
@@ -357,7 +355,7 @@ object IbtpQueries {
     val ev = Tables.events(spark, dir)
       .select(col("ts"), col("event_id"), col("user_id"),
         col("event_type"), col("value"))
-    val targetDir = Files.createTempDirectory("ibtp_q_cluster").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_cluster")
     val target = new TargetTable(spark, targetDir, "ts", countRows = false)
     // a TOTAL split: NULL user_ids go to the even slice, so the two
     // appends partition the rows exactly at every scale
@@ -394,7 +392,7 @@ object IbtpQueries {
         col("event_type"), col("value"))
     val mx = ev.agg(max(col("user_id"))).head.getLong(0)
     val q3 = 3L * mx / 4L
-    val targetDir = Files.createTempDirectory("ibtp_q_skip").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_skip")
     val target = new TargetTable(spark, targetDir, "ts", countRows = false)
     val even = coalesce(col("user_id") % 2, lit(0)) === 0
     val base = ev.filter(col("user_id") <= q3)
@@ -435,7 +433,7 @@ object IbtpQueries {
         col("event_type"), col("value"))
     val mx = ev.agg(max(col("user_id")).as("u"), max(col("event_id")).as("e")).head
     val (q3u, q3e) = (3L * mx.getLong(0) / 4L, 3L * mx.getLong(1) / 4L)
-    val targetDir = Files.createTempDirectory("ibtp_q_zorder").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_zorder")
     val target = new TargetTable(spark, targetDir, "ts", countRows = false)
     // a TOTAL split on coalesced keys: top-user slice, then top-event
     // slice of the rest, then the bulk — every row lands exactly once
@@ -493,7 +491,7 @@ object IbtpQueries {
     val types = ev.select(col("event_type")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     require(types.size >= 3, s"need >= 3 event types, got $types")
-    val targetDir = Files.createTempDirectory("ibtp_q_set").toString
+    val targetDir = QueryScratch.fresh("ibtp_q_set")
     val target = new TargetTable(spark, targetDir, "ts", countRows = false)
     target.init(ev.filter(col("event_type").isin(types.dropRight(2): _*)))
     target.declareSetColumns(Seq("event_type"))
@@ -540,7 +538,7 @@ object IbtpQueries {
     val ev = Tables.events(spark, dir)
       .select(col("ts"), col("event_id"), col("user_id"),
         col("event_type"), col("value"))
-    val targetDir = Files.createTempDirectory("ibtp_q_ccappend").toString + "/tbl"
+    val targetDir = QueryScratch.fresh("ibtp_q_ccappend") + "/tbl"
     val t0 = new TargetTable(spark, targetDir, "ts", countRows = false)
     // a TOTAL three-way split on the coalesced key
     val slice = coalesce(col("user_id") % 3, lit(0))
@@ -557,7 +555,11 @@ object IbtpQueries {
     threads.foreach(_.start())
     threads.foreach(_.join(300000))
     require(errs.isEmpty, s"both concurrent appenders must commit: ${errs.peek()}")
-    require(!new java.io.File(targetDir + TargetTable.LeaseSuffix).exists(),
+    // assert via the table's OWN filesystem, not java.io.File — a
+    // java.io check silently passes (vacuously) on any non-local store
+    val lease = new org.apache.hadoop.fs.Path(targetDir + TargetTable.LeaseSuffix)
+    val hfs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!hfs.exists(lease),
       "optimistic appends must not take the writer lease")
     t0.read().orderBy(col("ts"), col("event_id"))
   }

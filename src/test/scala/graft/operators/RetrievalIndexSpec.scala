@@ -126,4 +126,119 @@ class RetrievalIndexSpec extends SparkSpecBase {
       s"scored rows must scale with nProbe: ${scoredAt(1)} < ${scoredAt(4)} < $total")
     probes.count() // materialize to keep the linter honest about use
   }
+
+  test("persisted ivf-pq: create+append then probing all lists ≡ full ADC from storage") {
+    val coarse = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val idx = new PqIndex(spark, tmpDir("ivfpqidx_eq") + "/idx", m = 4, k = 16)
+    idx.create(even, coarse = Some(coarse))
+    idx.append(emb.filter(col("vec_id") % 2 =!= 0))
+    // the IVF layout stores list assignments alongside the codes
+    assert(idx.hasCoarse)
+    assert(idx.readCodes().columns.toSet == Set("vec_id", "list_id", "codes"))
+    assert(idx.readCodes().count() == emb.count())
+    // nProbe = nlist must reproduce the UNPROBED flat ADC ranking over
+    // the same frozen codebooks bit-for-bit — the probe bounds the
+    // scored set, never the arithmetic
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val books = Pq.trainCodebooks(even, dim, m = 4, k = 16)
+    val mats = books.map(b =>
+      graft.functions.expressions.CentroidMatrix.fromDataFrame(b, "embedding"))
+    val codes = Pq.encode(emb, mats, dim)
+    assertSameRows(
+      idx.searchIvf(vecQueries, topK = 10, nProbe = 8),
+      Pq.adcSearch(codes, books, vecQueries, dim, topK = 10))
+  }
+
+  test("persisted ivf-pq: searchIvf returns only vectors from probed lists") {
+    val coarse = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val idx = new PqIndex(spark, tmpDir("ivfpqidx_probe") + "/idx", m = 4, k = 16)
+    idx.create(emb, coarse = Some(coarse))
+    val nProbe = 2
+    // ground truth from the STORED assignments (not recomputed): every
+    // returned neighbor's stored list must be among its query's nProbe
+    // nearest coarse cells
+    val assigned = idx.readCodes().select(col("vec_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = coarse.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qs = vecQueries.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var na = 0.0; var nb = 0.0; var ab = 0.0
+      a.indices.foreach { i => na += a(i) * a(i); nb += b(i) * b(i); ab += a(i) * b(i) }
+      na + nb - 2.0 * ab
+    }
+    val probed: Map[Long, Set[Long]] = qs.map { case (q, qv) =>
+      q -> cents.toSeq.map { case (cid, cv) => (d2(qv, cv), cid) }
+        .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2).toSet
+    }
+    val got = idx.searchIvf(vecQueries, topK = 10, nProbe = nProbe).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(1))
+      assert(probed(q).contains(assigned(v)),
+        s"query $q returned vec $v from unprobed stored list ${assigned(v)}")
+    }
+    // a flat index refuses the probe path with the remedy in the message
+    val flat = new PqIndex(spark, tmpDir("ivfpqidx_flat") + "/idx", m = 4, k = 16)
+    flat.create(emb)
+    val e = intercept[IllegalArgumentException](
+      flat.searchIvf(vecQueries, topK = 10, nProbe = 2))
+    assert(e.getMessage.contains("coarse"))
+  }
+
+  test("lexical index append reads its batch once (one-pass indexing)") {
+    // the batch's bytes must cross the filesystem ONCE: the postings
+    // write scans it (tf persists; the df partials reuse the cached
+    // shuffle; the stats ride the same job as observed metrics).
+    // Pre-fix this was 3 scans per period. Pinned via Hadoop
+    // FileSystem statistics — suites run sequentially in the forked
+    // test JVM, so the local-scheme byte counter is ours alone during
+    // the append.
+    val dir = tmpDir("lexidx_onepass")
+    docs.select(col("doc_id"), col("text")).write.parquet(dir + "/batch")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val s = qe.executedPlan.toString
+        if (s.contains(dir + "/batch")) plans.add(s)
+        ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val idx = new LexicalIndex(spark, tmpDir("lexidx_onepass_idx") + "/idx")
+      idx.append(spark.read.parquet(dir + "/batch"))
+      // QueryExecutionListener events are async: wait for quiescence
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      while (last != plans.size() && System.currentTimeMillis() < deadline) {
+        last = plans.size(); Thread.sleep(2000)
+      }
+      // exactly TWO executions touch the batch (postings, df) — the
+      // stats write rides the postings job as observed metrics — and
+      // BOTH read it through the persisted tf (the path string appears
+      // only inside the InMemoryRelation's cached subtree). A dropped
+      // persist shows as a bare file scan; a third tokenize pass shows
+      // as a third plan. Pre-fix: 3 plans, none cached.
+      import scala.jdk.CollectionConverters._
+      val got = plans.asScala.toSeq
+      assert(got.size == 2,
+        s"append must run exactly 2 batch-reading executions, saw ${got.size}")
+      got.foreach(p => assert(p.contains("InMemoryTableScan"),
+        s"batch must be read through the persisted tf, got a bare scan:\n$p"))
+      // and the one-pass stats are still exact
+      val st = idx.readStats().collect().head
+      assert(st.getLong(0) == docs.count())
+      assertSameRows(
+        idx.search(docQueries, topK = 10),
+        Ranking.bm25TopK(docs, docQueries, topK = 10))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

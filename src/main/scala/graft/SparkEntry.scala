@@ -145,6 +145,7 @@ object SparkEntry {
     "q100_pq_index_search" -> (ExtensionQueries.pqIndexSearch _),
     "q101_ivfpq_search" -> (ExtensionQueries.ivfPqSearch _),
     "q102_ivfpq_index_search" -> (ExtensionQueries.ivfPqIndexSearch _),
+    "q103_bm25_loop_index" -> (ExtensionQueries.bm25LoopIndexSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -248,5 +249,6 @@ object SparkEntry {
     "q100_pq_index_search" -> ExtensionQueries.pqIndexSearchSql,
     "q101_ivfpq_search" -> ExtensionQueries.ivfPqSearchSql,
     "q102_ivfpq_index_search" -> ExtensionQueries.ivfPqIndexSearchSql,
+    "q103_bm25_loop_index" -> ExtensionQueries.bm25LoopIndexSearchSql,
   )
 }

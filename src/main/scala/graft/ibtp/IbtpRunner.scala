@@ -108,7 +108,23 @@ object IbtpRunner {
         * (the reference's warehouse ALTER does the same rewrite
         * server-side, silently).
         */
-      rewriteWidening: Boolean = false)
+      rewriteWidening: Boolean = false,
+      /** Opt-in per-period post-step, invoked AFTER a period's write
+        * commits with the period's bounds and its model frame — the
+        * hook retrieval-index maintenance attaches to (e.g.
+        * [[graft.operators.LexicalIndex.append]] per period keeps a
+        * lexical index current with the materialization; see
+        * q103_bm25_loop_index). Init's period-0 chunk fires it too —
+        * it is a period materialization like any other. Contract is
+        * AT-LEAST-ONCE per period (a re-run, full refresh, or backfill
+        * re-invokes it for re-materialized periods), so the step must
+        * be idempotent or its consumer must dedup — the streaming
+        * foreachBatch contract. Failures propagate and fail the run
+        * before later periods build on them. With
+        * `maxConcurrentPeriods > 1` the step runs concurrently across
+        * periods, on the period's worker thread.
+        */
+      periodPostStep: Option[(PeriodBounds, DataFrame) => Unit] = None)
 
   /** One materialization run, serialized per target by the writer
     * lease: the crash repairs below and the loop's intent-marker state
@@ -239,6 +255,15 @@ object IbtpRunner {
       val n = target.init(initDf)
       rowsInserted += n
       log(s"[ibtp] init: created target with $n rows")
+      // init's chunk is period 0's materialization — the per-period
+      // post-step must see it or a loop-maintained index would
+      // silently miss the first period (the schema-sample init writes
+      // no rows and has no period bounds, so it fires nothing)
+      (initFrom, initTo) match {
+        case (Some(f), Some(t)) =>
+          params.periodPostStep.foreach(_(PeriodBounds(f, t), initDf))
+        case _ => ()
+      }
     }
 
     // ---- loop (`loop.sql:3-146`) -------------------------------------
@@ -312,6 +337,7 @@ object IbtpRunner {
       }
       log(f"[ibtp] period ${s.offset + 1}%d of ${window.numPeriods}%d " +
         s"[${s.from}, ${s.to}): $n rows")
+      params.periodPostStep.foreach(_(PeriodBounds(s.from, s.to), periodDf))
       n
     }
 

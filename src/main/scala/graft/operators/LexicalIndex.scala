@@ -27,14 +27,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 final class LexicalIndex(val spark: SparkSession, val path: String) {
 
+  import org.apache.hadoop.fs.Path
+
   private def postingsPath = s"$path/postings"
   private def dfPath = s"$path/df"
   private def statsPath = s"$path/stats"
 
-  def exists: Boolean =
-    new org.apache.hadoop.fs.Path(postingsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(postingsPath))
+  private def fs = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new Path(postingsPath))
 
   /** Stored postings: (token, doc_id, len, tf). */
   def readPostings(): DataFrame = spark.read.parquet(postingsPath)
@@ -61,6 +63,7 @@ final class LexicalIndex(val spark: SparkSession, val path: String) {
   def append(
       docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    repairFold()
     // posexplode_outer keeps token-less documents as one (null, null)
     // row, so the SAME pass that feeds the postings also carries every
     // document exactly once at pos 0/null — which is what lets the
@@ -96,7 +99,12 @@ final class LexicalIndex(val spark: SparkSession, val path: String) {
       // N counts token-less docs too (they weight avgdl's denominator),
       // exactly like bm25TopK's totals — observed off the postings job
       import spark.implicits._
-      Seq((obs.get("n").asInstanceOf[Long], obs.get("tl").asInstanceOf[Long]))
+      // an EMPTY batch runs a zero-task write job whose observation
+      // carries no metrics at all — that is genuinely (0, 0)
+      val (n, tl) = scala.util.Try(
+        (obs.get("n").asInstanceOf[Long], obs.get("tl").asInstanceOf[Long]))
+        .getOrElse((0L, 0L))
+      Seq((n, tl))
         .toDF("n", "tl")
         .coalesce(1)
         .write.mode("append").parquet(statsPath)
@@ -109,12 +117,113 @@ final class LexicalIndex(val spark: SparkSession, val path: String) {
     * result matches a full-corpus run bit-for-bit. Returns
     * (queryIdCol, idCol, score, rank).
     */
+  /** Fold the accumulated per-batch partials — [[append]] grows one df
+    * partial set, one stats row, and a few postings files PER BATCH, so
+    * a daily loop accumulates 365 batches/year and the df table grows
+    * ∝ batches × vocabulary. compact() folds df to one row per token
+    * (Σ partials — the integer sum [[search]] computes anyway), stats
+    * to ONE row, and coalesces the postings into `postingsFiles` files
+    * — the manifest checkpoint-fold pattern applied to the index.
+    * Search results are BIT-IDENTICAL before and after (spec-pinned):
+    * the fold materializes exactly the aggregation the search's first
+    * stage performs.
+    *
+    * Each component swaps via stage → intent marker → rename, and
+    * [[repairFold]] (run at every append/search/compact entry) rolls a
+    * crashed swap forward or back deterministically — the
+    * TargetTable.initSwap state machine, one component at a time.
+    * Single-maintainer contract, like [[append]].
+    */
+  def compact(postingsFiles: Int = 0): Unit = {
+    repairFold()
+    val pf = if (postingsFiles > 0) postingsFiles
+             else spark.sparkContext.defaultParallelism
+    swapDir("df", out => readDf()
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+      .write.parquet(out))
+    swapDir("stats", out => readStats()
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tl")), lit(0L)).as("tl"))
+      .coalesce(1).write.parquet(out))
+    swapDir("postings", out => readPostings()
+      .coalesce(pf).write.parquet(out))
+  }
+
+  private def foldIntent = new Path(s"$path/_fold_intent")
+
+  /** Stage → marker → swap one component directory; contents identical
+    * by construction, so the only atomicity needed is "readers see the
+    * old or the new directory, and a crash heals" — the marker is
+    * written only once the staged build is complete, so rolling
+    * FORWARD is always safe (same argument as TargetTable.initSwap).
+    */
+  private def swapDir(sub: String, build: String => Unit): Unit = {
+    val live = new Path(s"$path/$sub")
+    val stage = new Path(s"$path/${sub}__fold")
+    val old = new Path(s"$path/${sub}__old")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    build(stage.toString)
+    val tmp = new Path(s"$path/_fold_intent.tmp")
+    val o = fs.create(tmp, true)
+    try o.write(s"sub=$sub\n".getBytes("UTF-8")) finally o.close()
+    if (!fs.rename(tmp, foldIntent))
+      throw new IllegalStateException(s"could not write fold intent under $path")
+    fs.rename(live, old)
+    fs.rename(stage, live)
+    fs.delete(old, true)
+    fs.delete(foldIntent, false)
+    ()
+  }
+
+  /** Heal a [[compact]] swap orphaned by a crash — deterministic from
+    * which directories survived, exactly like TargetTable's swap
+    * repair: the intent exists only while the staged fold is complete,
+    * so forward is always safe; only-the-old-left restores it.
+    */
+  private[operators] def repairFold(): Boolean =
+    if (!fs.exists(foldIntent)) false
+    else {
+      val in = fs.open(foldIntent)
+      val sub =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .find(_.startsWith("sub=")).map(_.stripPrefix("sub=")).getOrElse(
+            throw new IllegalStateException(
+              s"corrupt fold intent $foldIntent — inspect $path, restore the " +
+                "__old directory if its live sibling is missing, then delete " +
+                "the marker"))
+        finally in.close()
+      val live = new Path(s"$path/$sub")
+      val stage = new Path(s"$path/${sub}__fold")
+      val old = new Path(s"$path/${sub}__old")
+      if (fs.exists(stage)) {
+        // staged fold complete (the marker is written only after the
+        // build): finish the swap forward
+        if (fs.exists(live)) {
+          if (fs.exists(old)) fs.delete(old, true)
+          fs.rename(live, old)
+        }
+        fs.rename(stage, live)
+        fs.delete(old, true)
+      } else if (fs.exists(live)) {
+        fs.delete(old, true) // swap done; only cleanup was lost
+      } else if (fs.exists(old)) {
+        fs.rename(old, live) // cannot arise from this protocol alone
+      } else
+        throw new IllegalStateException(
+          s"orphaned fold intent for '$sub' under $path but no directory " +
+            "survived — rebuild the index")
+      fs.delete(foldIntent, false)
+      true
+    }
+
   def search(
       queries: DataFrame, topK: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id",
       queryIdCol: String = "query_id", queryTextCol: String = "qtext"): DataFrame = {
     require(topK > 0 && k1 >= 0 && b >= 0 && b <= 1, s"bad params k1=$k1 b=$b topK=$topK")
+    repairFold()
     val k1p1 = k1 + 1.0
     val oneMinusB = 1.0 - b
     val tot = readStats().agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))

@@ -2171,6 +2171,55 @@ object ExtensionQueries {
   /** Same oracle as q96: the index must be invisible to results. */
   val bm25IndexSearchSql: String = bm25SearchSql
 
+  /** The IBTP loop MAINTAINING a retrieval index (the production
+    * wiring): documents tile into 30 synthetic days (`doc_id % 30` —
+    * deterministic at every scale), a week-period materialization
+    * builds the target, and [[graft.ibtp.IbtpRunner.RunParams
+    * .periodPostStep]] appends each period's docs to a
+    * [[graft.operators.LexicalIndex]] as it commits — init's period-0
+    * chunk included. The per-batch partials are then folded by
+    * [[graft.operators.LexicalIndex.compact]] (df → one row per token,
+    * stats → one row, postings coalesced). The oracle is q96's
+    * full-corpus replay verbatim: a loop-built-and-folded index must
+    * answer bit-identically to a one-shot scan — the q16 loop ≡
+    * one-shot contract applied to index maintenance.
+    */
+  def bm25LoopIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ibtp._
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ").as("qtext"))
+    val idx = new graft.operators.LexicalIndex(spark,
+      QueryScratch.fresh("q_lexidx_loop") + "/idx")
+    val start = java.time.LocalDate.of(2024, 1, 1)
+    val dayCol = date_add(lit(java.sql.Date.valueOf(start)),
+      (col("doc_id") % 30).cast("int"))
+    val model = new IbtpModel {
+      def query(s: SparkSession, b: PeriodBounds): DataFrame =
+        docs.withColumn("day", dayCol)
+          .filter(col("day") >= lit(java.sql.Date.valueOf(b.from)) &&
+            col("day") < lit(java.sql.Date.valueOf(b.to)))
+          .select(col("day"), col("doc_id"), col("text"))
+    }
+    val cfg = IbtpConfig(timestampField = "day",
+      startDate = Some(start), stopDate = Some(start.plusDays(30)),
+      period = PeriodUnit.Week)
+    val target = new TargetTable(spark,
+      QueryScratch.fresh("q_lexidx_loop_tbl") + "/tbl", "day", countRows = false)
+    IbtpRunner.run(spark, model, target,
+      IbtpRunner.RunParams(cfg,
+        periodPostStep = Some((_, df) => idx.append(df.select("doc_id", "text")))))
+    // one df/stats partial landed per period: fold them (search must
+    // not change — the hash gate adjudicates that too)
+    idx.compact()
+    idx.search(queries, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Same oracle as q96/q99: loop + fold must be invisible to results. */
+  val bm25LoopIndexSearchSql: String = bm25SearchSql
+
   /** PQ search served from a PERSISTED code index
     * ([[graft.operators.PqIndex]]): codebooks train ONCE on the even-id
     * half (the create batch) and freeze; the odd-id half appends codes

@@ -190,6 +190,126 @@ class RetrievalIndexSpec extends SparkSpecBase {
     assert(e.getMessage.contains("coarse"))
   }
 
+  test("lexical index compact folds partials with bit-identical search results") {
+    val idx = new LexicalIndex(spark, tmpDir("lexidx_fold") + "/idx")
+    (0 until 5).foreach(i => idx.append(docs.filter(col("doc_id") % 5 === i)))
+    val before = idx.search(docQueries, topK = 10).collect().map(_.toString).sorted
+    val dfFilesBefore = idx.readDf().inputFiles.length
+    assert(idx.readStats().count() == 5, "one stats partial per batch")
+    idx.compact(postingsFiles = 2)
+    // folded: one stats row, one df row per token, fewer files
+    assert(idx.readStats().count() == 1)
+    assert(idx.readDf().inputFiles.length < dfFilesBefore,
+      s"df files must shrink: ${idx.readDf().inputFiles.length} vs $dfFilesBefore")
+    assert(idx.readDf().groupBy(col("token")).count()
+      .filter(col("count") > 1).isEmpty, "df must hold one row per token")
+    assert(idx.readPostings().inputFiles.length <= 2)
+    val after = idx.search(docQueries, topK = 10).collect().map(_.toString).sorted
+    assert(before.sameElements(after), "compact must be invisible to search")
+    // appending after a fold keeps working (partials resume on top)
+    idx.append(docs.limit(0))
+    assertSameRows(
+      idx.search(docQueries, topK = 10),
+      Ranking.bm25TopK(docs, docQueries, topK = 10))
+  }
+
+  test("lexical index fold swap heals a crash at every boundary") {
+    // enumerate the states the swap can die in by reproducing them
+    // directly (stage complete + marker; marker + old only; marker +
+    // live only) — repairFold must converge to a searchable index with
+    // unchanged results in each
+    def freshIdx(name: String): (LexicalIndex, org.apache.hadoop.fs.Path) = {
+      val idx = new LexicalIndex(spark, tmpDir(name) + "/idx")
+      idx.append(docs.filter(col("doc_id") % 2 === 0))
+      idx.append(docs.filter(col("doc_id") % 2 =!= 0))
+      (idx, new org.apache.hadoop.fs.Path(idx.path))
+    }
+    val expect = Ranking.bm25TopK(docs, docQueries, topK = 10)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(root: org.apache.hadoop.fs.Path, s: String) =
+      new org.apache.hadoop.fs.Path(root, s)
+    def write(f: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val fs = f.getFileSystem(conf)
+      val o = fs.create(f, true); try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    // crash after marker, before any rename: stage + live present
+    locally {
+      val (idx, root) = freshIdx("lexidx_crash1")
+      val fs = root.getFileSystem(conf)
+      idx.readStats().agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
+        .coalesce(1).write.parquet(p(root, "stats__fold").toString)
+      write(p(root, "_fold_intent"), "sub=stats\n")
+      assert(idx.repairFold())
+      assert(!fs.exists(p(root, "_fold_intent")))
+      assert(idx.readStats().count() == 1)
+      assertSameRows(idx.search(docQueries, topK = 10), expect)
+    }
+    // crash between the renames: stage + old present, live missing
+    locally {
+      val (idx, root) = freshIdx("lexidx_crash2")
+      val fs = root.getFileSystem(conf)
+      idx.readStats().agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
+        .coalesce(1).write.parquet(p(root, "stats__fold").toString)
+      fs.rename(p(root, "stats"), p(root, "stats__old"))
+      write(p(root, "_fold_intent"), "sub=stats\n")
+      assert(idx.repairFold())
+      assert(idx.readStats().count() == 1)
+      assertSameRows(idx.search(docQueries, topK = 10), expect)
+    }
+    // crash after swap, before cleanup: live + old present, no stage
+    locally {
+      val (idx, root) = freshIdx("lexidx_crash3")
+      val fs = root.getFileSystem(conf)
+      write(p(root, "_fold_intent"), "sub=stats\n")
+      fs.mkdirs(p(root, "stats__old"))
+      assert(idx.repairFold())
+      assert(!fs.exists(p(root, "stats__old")))
+      assertSameRows(idx.search(docQueries, topK = 10), expect)
+    }
+    // only the old survived: restore it
+    locally {
+      val (idx, root) = freshIdx("lexidx_crash4")
+      val fs = root.getFileSystem(conf)
+      fs.rename(p(root, "stats"), p(root, "stats__old"))
+      write(p(root, "_fold_intent"), "sub=stats\n")
+      assert(idx.repairFold())
+      assertSameRows(idx.search(docQueries, topK = 10), expect)
+    }
+  }
+
+  test("ibtp loop maintains a lexical index via periodPostStep") {
+    import graft.ibtp._
+    val idx = new LexicalIndex(spark, tmpDir("lexidx_loop") + "/idx")
+    val start = java.time.LocalDate.of(2024, 1, 1)
+    val dayCol = date_add(lit(java.sql.Date.valueOf(start)),
+      (col("doc_id") % 30).cast("int"))
+    val model = new IbtpModel {
+      def query(s: org.apache.spark.sql.SparkSession,
+          b: PeriodBounds): org.apache.spark.sql.DataFrame =
+        docs.withColumn("day", dayCol)
+          .filter(col("day") >= lit(java.sql.Date.valueOf(b.from)) &&
+            col("day") < lit(java.sql.Date.valueOf(b.to)))
+          .select(col("day"), col("doc_id"), col("text"))
+    }
+    val cfg = IbtpConfig(timestampField = "day",
+      startDate = Some(start), stopDate = Some(start.plusDays(30)),
+      period = PeriodUnit.Week)
+    val target = new TargetTable(spark, tmpDir("lexidx_loop_tbl") + "/tbl",
+      "day", countRows = false)
+    var periods = 0
+    IbtpRunner.run(spark, model, target,
+      IbtpRunner.RunParams(cfg, periodPostStep = Some((_, df) => {
+        periods += 1; idx.append(df.select("doc_id", "text"))
+      })))
+    // init's period-0 chunk must have fired the step too — one stats
+    // partial per materialized period, no period missed
+    assert(periods >= 5, s"post-step must fire per period incl init, got $periods")
+    assert(idx.readStats().count() == periods)
+    assertSameRows(
+      idx.search(docQueries, topK = 10),
+      Ranking.bm25TopK(docs, docQueries, topK = 10))
+  }
+
   test("lexical index append reads its batch once (one-pass indexing)") {
     // the batch's bytes must cross the filesystem ONCE: the postings
     // write scans it (tf persists; the df partials reuse the cached

@@ -146,6 +146,7 @@ object SparkEntry {
     "q101_ivfpq_search" -> (ExtensionQueries.ivfPqSearch _),
     "q102_ivfpq_index_search" -> (ExtensionQueries.ivfPqIndexSearch _),
     "q103_bm25_loop_index" -> (ExtensionQueries.bm25LoopIndexSearch _),
+    "q104_concurrent_backfill" -> (IbtpQueries.concurrentBackfill _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -250,5 +251,6 @@ object SparkEntry {
     "q101_ivfpq_search" -> ExtensionQueries.ivfPqSearchSql,
     "q102_ivfpq_index_search" -> ExtensionQueries.ivfPqIndexSearchSql,
     "q103_bm25_loop_index" -> ExtensionQueries.bm25LoopIndexSearchSql,
+    "q104_concurrent_backfill" -> IbtpQueries.concurrentBackfillSql,
   )
 }

@@ -216,6 +216,8 @@ object IbtpRunner {
       // silent duplicate rows
       val healed = target.repairOrphanedAppends()
       if (healed > 0) log(s"[ibtp] repaired $healed orphaned append(s)")
+      val healedR = target.repairOrphanedConcurrentReplaces()
+      if (healedR > 0) log(s"[ibtp] repaired $healedR orphaned optimistic replace(s)")
     }
     // compact orphans were previously healed only by the next compact()
     // call — with auto-compaction opt-in and off, a crashed CLI

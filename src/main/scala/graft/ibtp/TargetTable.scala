@@ -864,6 +864,210 @@ final class TargetTable(
     }
   }
 
+  /** OPTIMISTIC concurrent range replace — the lease-less backfill.
+    * Two pipelines idempotently re-delivering DISJOINT period ranges
+    * (the reference's own replace workflow,
+    * `insert_by_timeperiod_loop.sql:92-99`, run from independent
+    * schedulers) have no reason to serialize behind the writer lease:
+    * like [[appendConcurrent]] this stages job-unique files, then
+    * commits Delta-style with the conflict validation INSIDE every
+    * commit attempt and the removal set RECOMPUTED per attempt.
+    *
+    * Conflict rules (Serializable):
+    *  - a concurrent APPEND — never a conflict: whether it lands in or
+    *    out of this range, the per-attempt removal recompute absorbs
+    *    its in-range files, serializing the history as "append, then
+    *    replace" (exactly the lease-held [[replaceRange]] semantics);
+    *  - a concurrent REPLACE/compact/upsert that REMOVED files in THIS
+    *    range — [[ConcurrentWriteConflictException]], full rollback:
+    *    overlapping replaces cannot serialize without one destroying
+    *    the other's fresh rows. Disjoint ranges never see each other's
+    *    removals and both commit;
+    *  - a SCHEMA change — conflict (these files carry the old schema);
+    *  - a checkpoint since the basis (rare) falls back to a state diff
+    *    restricted to this range, conservative the same way.
+    *
+    * Fresh rows must land inside [from, to) — including no NULL-ts
+    * rows (the NULL partition is date-less, so no range can claim it;
+    * use the lease-held [[replaceRange]] for those). Crash safety is
+    * the per-call `opt=1` marker + [[repairOrphanedConcurrentReplaces]]
+    * (manifest decides forward/back, exactly like
+    * [[repairOrphanedReplace]]); requires a manifest-era table.
+    */
+  def replaceRangeConcurrent(df: DataFrame, from: LocalDate, to: LocalDate): Long = {
+    if (latestManifest().isEmpty)
+      throw new IllegalStateException(
+        s"replaceRangeConcurrent on $path requires a manifest-era table: any " +
+          "lease-holding write commits one (or call relistManifest() once)")
+    val inRange = (part: String) => {
+      val v = part.stripPrefix(s"$PartitionCol=")
+      scala.util.Try(LocalDate.parse(v)).toOption
+        .exists(d => !d.isBefore(from) && d.isBefore(to))
+    }
+    // the basis: what this writer considers current, captured before
+    // staging; every commit attempt diffs the then-current chain
+    // against it
+    val basisSchemaJson = schemaOfManifestLines(latestHeaderLines()).map(_.json)
+    val basisTip = latestManifestTip()
+    val basisLive = latestManifest().getOrElse(Nil).toSet
+    val aligned = withPartitionCol(alignToTarget(df))
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(path + s"__stage_$id")
+    try {
+      val n = writeCounted(aligned, stage.toString, "overwrite")
+      val stagedRel = listStagedRel(stage)
+      val badPart = stagedRel.map(_.takeWhile(_ != '/')).distinct.filterNot(inRange)
+      if (badPart.nonEmpty)
+        throw new IllegalArgumentException(
+          s"replaceRangeConcurrent on $path: fresh rows land outside " +
+            s"[$from, $to): ${badPart.take(3).mkString(", ")} — an optimistic " +
+            "replace owns exactly its range (NULL-ts rows included); widen " +
+            "the range or use the lease-held replaceRange")
+      val stagedLines = enrichWithStats(stagedRel, stage, latestStatsCol(), latestSetCol())
+      val origAtBasis = basisLive.filter(f => inRange(f.takeWhile(_ != '/'))).toSeq.sorted
+      // no-op fast path: nothing staged and nothing live in range
+      if (stagedRel.isEmpty && origAtBasis.isEmpty) return n
+      val dst = new Path(path)
+      if (!fs.exists(dst)) fs.mkdirs(dst)
+      val marker = new Path(path, ReplaceIntentPrefix + id)
+      writeMarker(marker, s"orig=${origAtBasis.mkString(",")}\n" +
+        s"staged=${stagedRel.mkString(",")}\n" +
+        s"opt=1\nhb=${System.currentTimeMillis()}\n")
+      stagedRel.foreach { rel =>
+        val dir = new Path(dst, rel.takeWhile(_ != '/'))
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        if (!fs.rename(new Path(stage, rel), new Path(path, rel)))
+          throw new IllegalStateException(
+            s"could not move staged replace file $rel into $path: aborting " +
+              "before the manifest commit (repairOrphanedConcurrentReplaces " +
+              "rolls the partial move back)")
+      }
+      def conflict(msg: String): Nothing =
+        throw new ConcurrentWriteConflictException(
+          s"replaceRangeConcurrent on $path: $msg; re-run against the new state")
+      def conflictCheck(): Unit = {
+        import scala.math.Ordering.Implicits._
+        val newer = manifestVersions().filter(_.key > basisTip).sortBy(_.key)
+        if (newer.isEmpty) return
+        val curSchemaJson = schemaOfManifestLines(latestHeaderLines()).map(_.json)
+        if (curSchemaJson != basisSchemaJson)
+          conflict("the table schema changed while this replace was in " +
+            "flight — its files were written under the old schema")
+        val removedInRange =
+          if (newer.forall(_.isDelta))
+            // O(changes): only the new deltas' removal lines can conflict
+            newer.iterator.flatMap(v => readLines(v.p))
+              .filter(_.startsWith("-")).map(_.substring(1))
+              .filter(f => inRange(f.takeWhile(_ != '/'))).toSeq
+          else {
+            // a checkpoint landed since the basis: state diff (rare)
+            val curLive = latestManifest().getOrElse(Nil).toSet
+            basisLive.diff(curLive)
+              .filter(f => inRange(f.takeWhile(_ != '/'))).toSeq
+          }
+        if (removedInRange.nonEmpty)
+          conflict(s"a concurrent writer replaced ${removedInRange.size} " +
+            s"files inside [$from, $to) — overlapping replaces cannot " +
+            "serialize without one destroying the other's rows")
+      }
+      // per-attempt removal recompute: a raced in-range APPEND commit
+      // is absorbed into the replaced set ("append, then replace"); the
+      // successful attempt's set is what gets trash-parked
+      var committedOrig: Seq[String] = origAtBasis
+      def freshOrig(): Seq[String] = {
+        val o = latestManifestBody().map(pathOf)
+          .filter(f => inRange(f.takeWhile(_ != '/')))
+          .filterNot(stagedRel.toSet) // never self-remove the staged adds
+        committedOrig = o
+        o
+      }
+      onOptimisticCommit()
+      try
+        commitManifestDelta(add = stagedLines, remove = origAtBasis,
+          preCheck = () => conflictCheck(),
+          recomputeRemove = Some(() => freshOrig()))
+      catch {
+        case e: ConcurrentWriteConflictException =>
+          // published to NO manifest (the check throws before the
+          // rename): delete the moved files outright, clear the marker
+          stagedRel.foreach { rel =>
+            val p = new Path(path, rel)
+            if (fs.exists(p)) fs.delete(p, false)
+          }
+          fs.delete(marker, false)
+          throw e
+      }
+      writeTrash(committedOrig.filter(rel => fs.exists(new Path(path, rel))))
+      fs.delete(marker, false)
+      n
+    } finally if (fs.exists(stage)) fs.delete(stage, true)
+  }
+
+  /** Heal optimistic replaces orphaned by a crash — per-call markers,
+    * manifest decides the direction exactly like
+    * [[repairOrphanedReplace]]: staged set committed → roll FORWARD
+    * (park the recorded originals still on disk); not committed → roll
+    * BACK (delete the staged copies — readers never saw them). Markers
+    * younger than [[TargetTable.OptAppendStaleMs]] belong to a LIVE
+    * lease-less sibling and are skipped, like optimistic appends'.
+    * MUST otherwise run single-writer (start-of-run under the lease).
+    * Returns the number of replaces rolled back or forward.
+    */
+  def repairOrphanedConcurrentReplaces(): Int = {
+    val root = new Path(path)
+    val markers =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(ReplaceIntentPrefix) &&
+          !p.getName.endsWith(".tmp"))
+    var repaired = 0
+    markers.foreach { m =>
+      val kv = readKv(m, required = Seq("staged")).get
+      val fresh = kv.get("opt").contains("1") &&
+        kv.get("hb").flatMap(_.toLongOption)
+          .exists(System.currentTimeMillis() - _ < OptAppendStaleMs)
+      if (fresh) {
+        TargetTable.log.info(s"skipping fresh optimistic-replace marker " +
+          s"${m.getName} on $path (live sibling in flight)")
+      } else {
+        val staged = kv("staged").split(",").filter(_.nonEmpty).toSeq
+        val orig = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
+        val manifest = latestManifest().getOrElse(Nil).toSet
+        val committedCount = staged.count(manifest.contains)
+        // the commit is ONE atomic rename: staged names are all-or-none
+        // in the manifest (relists are refused while the marker is
+        // fresh). Direction exactly like repairOrphanedReplace — a
+        // pure-delete replace (nothing staged) decides by the
+        // originals' own liveness.
+        val committed =
+          if (staged.nonEmpty) committedCount == staged.size
+          else orig.nonEmpty && !orig.exists(manifest.contains)
+        if (staged.nonEmpty && committedCount != 0 && committedCount != staged.size)
+          throw new IllegalStateException(
+            s"optimistic replace marker ${m.getName} on $path is TORN " +
+              s"($committedCount of ${staged.size} staged files in the " +
+              "manifest) — a relist absorbed a partial move; inspect the " +
+              "range, re-backfill it, then delete the marker")
+        if (committed) {
+          TargetTable.log.warn(s"repairing orphaned optimistic replace on " +
+            s"$path: rolling FORWARD (parking ${orig.size} replaced originals)")
+          writeTrash(orig.filter(rel => !manifest.contains(rel) &&
+            fs.exists(new Path(path, rel))))
+        } else {
+          TargetTable.log.warn(s"repairing orphaned optimistic replace on " +
+            s"$path: rolling BACK (removing ${staged.size} staged files)")
+          staged.foreach { rel =>
+            val p = new Path(path, rel)
+            if (fs.exists(p)) fs.delete(p, false)
+          }
+        }
+        repaired += 1
+        fs.delete(m, false)
+      }
+    }
+    repaired
+  }
+
   /** Exhaustive crash-point injection: called at EVERY
     * marker/move/commit/park/clear boundary of the mutation state
     * machines (append, snapshot replace, compaction) and their crash
@@ -2896,6 +3100,7 @@ final class TargetTable(
     // (or the relist commit) can read a stale stored schema
     repairOrphanedReplace()
     repairOrphanedAppends()
+    repairOrphanedConcurrentReplaces()
     // a FRESH optimistic marker is a live lease-less writer mid-flight
     // (repairOrphanedAppends deliberately skipped it): its moved-but-
     // uncommitted files are on disk, and this relist would absorb them
@@ -2922,7 +3127,8 @@ final class TargetTable(
     val root = new Path(path)
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith(AppendIntentPrefix) &&
+      .filter(p => (p.getName.startsWith(AppendIntentPrefix) ||
+          p.getName.startsWith(ReplaceIntentPrefix)) &&
         !p.getName.endsWith(".tmp") && !p.getName.endsWith(TornSidecarSuffix))
       .filter { p =>
         val kv = readKv(p, required = Nil)
@@ -3903,6 +4109,14 @@ object TargetTable {
     * absorb the orphans as duplicates); underscore-prefixed metadata.
     */
   val AppendIntentPrefix = "_graft_append_intent_"
+
+  /** Per-call crash-repair markers for in-flight OPTIMISTIC range
+    * replaces ([[TargetTable.replaceRangeConcurrent]]) — per-call
+    * (unlike the lease-held replace's single intent file) because
+    * concurrent replaces are the point; repaired by
+    * [[TargetTable.repairOrphanedConcurrentReplaces]].
+    */
+  val ReplaceIntentPrefix = "_graft_replace_intent_"
 
   /** Suffix of the atomic sidecar persisting a torn append rollback's
     * published-vs-never-published classification across a re-crash of

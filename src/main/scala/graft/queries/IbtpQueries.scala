@@ -568,4 +568,58 @@ object IbtpQueries {
     """SELECT ts, event_id, user_id, event_type, value
       |FROM events
       |ORDER BY ts, event_id""".stripMargin
+
+  /** Optimistic concurrent BACKFILLS under the hash gate: the table
+    * initializes with two disjoint mid-history windows POISONED, then
+    * two separate [[TargetTable]] instances repair one window each via
+    * [[TargetTable.replaceRangeConcurrent]] — lease-less, conflict-
+    * checked per commit attempt, removal sets recomputed per attempt.
+    * Poisoning makes the gate sharp: the final table equals the
+    * one-shot load ONLY if both replaces actually landed (a silently
+    * lost replace would leave its window poisoned and hash-mismatch).
+    * The query also REQUIRES that no writer lease was ever created and
+    * both threads succeeded — two independent backfill pipelines
+    * landing on one table serialize only at the commit protocol, the
+    * reference's own idempotent-replace workflow
+    * (`insert_by_timeperiod_loop.sql:92-99`) run in parallel.
+    */
+  def concurrentBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+    val minD = ev.agg(min(col("ts").cast("date"))).head
+      .getDate(0).toLocalDate
+    val w1 = (minD.plusDays(5), minD.plusDays(10))
+    val w2 = (minD.plusDays(15), minD.plusDays(20))
+    def inWin(w: (java.time.LocalDate, java.time.LocalDate)) =
+      col("ts").cast("date") >= lit(java.sql.Date.valueOf(w._1)) &&
+        col("ts").cast("date") < lit(java.sql.Date.valueOf(w._2))
+    val targetDir = QueryScratch.fresh("ibtp_q_ccbackfill") + "/tbl"
+    val t0 = new TargetTable(spark, targetDir, "ts", countRows = false)
+    t0.init(ev.withColumn("value",
+      when(inWin(w1) || inWin(w2), lit(-999999.0)).otherwise(col("value"))))
+    val writers = Seq(w1, w2).map(_ => new TargetTable(spark, targetDir, "ts",
+      countRows = false))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = writers.zip(Seq(w1, w2)).zipWithIndex.map { case ((wr, w), i) =>
+      new Thread(() => {
+        try wr.replaceRangeConcurrent(ev.filter(inWin(w)), w._1, w._2)
+        catch { case e: Throwable => errs.add(e) }
+      }, s"q104-backfill-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    require(errs.isEmpty,
+      s"both concurrent backfills must commit: ${errs.peek()}")
+    val lease = new org.apache.hadoop.fs.Path(targetDir + TargetTable.LeaseSuffix)
+    val hfs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!hfs.exists(lease),
+      "optimistic backfills must not take the writer lease")
+    require(!new java.io.File(targetDir).listFiles.exists(
+      _.getName.startsWith(TargetTable.ReplaceIntentPrefix)),
+      "both replace markers must be cleared")
+    t0.read().orderBy(col("ts"), col("event_id"))
+  }
+
+  val concurrentBackfillSql: String = concurrentAppendSql
 }

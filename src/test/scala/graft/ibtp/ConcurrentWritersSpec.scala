@@ -200,6 +200,168 @@ class ConcurrentWritersSpec extends SparkSpecBase {
       .read().count() == afterLive, "live rows untouched by the repair")
   }
 
+  test("two optimistic backfills to DISJOINT ranges both commit lease-less") {
+    val dir = tmpDir("cw_replc_disjoint") + "/tbl"
+    val t0 = new TargetTable(spark, dir, "ts", countRows = false)
+    // poisoned windows: only a replace that actually LANDED can make
+    // the final state equal the clean table
+    val w1 = (java.time.LocalDate.parse("2024-01-06"),
+      java.time.LocalDate.parse("2024-01-11"))
+    val w2 = (java.time.LocalDate.parse("2024-01-16"),
+      java.time.LocalDate.parse("2024-01-21"))
+    def inWin(w: (java.time.LocalDate, java.time.LocalDate)) =
+      col("ts").cast("date") >= lit(java.sql.Date.valueOf(w._1)) &&
+        col("ts").cast("date") < lit(java.sql.Date.valueOf(w._2))
+    t0.init(events.withColumn("value",
+      when(inWin(w1) || inWin(w2), lit(-999.0)).otherwise(col("value"))))
+    val a = new TargetTable(spark, dir, "ts", countRows = false)
+    val b = new TargetTable(spark, dir, "ts", countRows = false)
+    val errs = inParallel(
+      () => a.replaceRangeConcurrent(events.filter(inWin(w1)), w1._1, w1._2),
+      () => b.replaceRangeConcurrent(events.filter(inWin(w2)), w2._1, w2._2))
+    assert(errs.forall(_.isEmpty), s"both disjoint backfills must commit: $errs")
+    assert(!new java.io.File(dir + TargetTable.LeaseSuffix).exists(),
+      "optimistic replaces must not create the writer lease")
+    assert(!new java.io.File(dir).listFiles.exists(
+      _.getName.startsWith(TargetTable.ReplaceIntentPrefix)),
+      "both markers must be cleared")
+    assertSameRows(
+      new TargetTable(spark, dir, "ts", countRows = false).read(), events)
+  }
+
+  test("overlapping optimistic backfills: the loser aborts with a full rollback") {
+    val dir = tmpDir("cw_replc_overlap") + "/tbl"
+    val t0 = new TargetTable(spark, dir, "ts", countRows = false)
+    t0.init(daySlice(1, 15))
+    val a = new TargetTable(spark, dir, "ts", countRows = false)
+    val b = new TargetTable(spark, dir, "ts", countRows = false)
+    val bFresh = daySlice(3, 5).withColumn("value", lit(7.0))
+    // b commits its overlapping replace between a's file moves and a's
+    // commit: a must see b's in-range removals and abort
+    a.onOptimisticCommit = () =>
+      b.replaceRangeConcurrent(bFresh,
+        java.time.LocalDate.parse("2024-01-03"),
+        java.time.LocalDate.parse("2024-01-06"))
+    val e = intercept[ConcurrentWriteConflictException] {
+      a.replaceRangeConcurrent(
+        daySlice(2, 4).withColumn("value", lit(9.0)),
+        java.time.LocalDate.parse("2024-01-02"),
+        java.time.LocalDate.parse("2024-01-05"))
+    }
+    assert(e.getMessage.contains("overlapping"), e.getMessage)
+    // full rollback: exactly b's outcome, no markers, retry succeeds
+    val t = new TargetTable(spark, dir, "ts", countRows = false)
+    assertSameRows(t.read(),
+      daySlice(1, 2).unionAll(bFresh).unionAll(daySlice(6, 15)))
+    assert(!new java.io.File(dir).listFiles.exists(
+      _.getName.startsWith(TargetTable.ReplaceIntentPrefix)),
+      "the aborted replace must clear its marker")
+    a.onOptimisticCommit = () => ()
+    a.replaceRangeConcurrent(
+      daySlice(2, 4).withColumn("value", lit(9.0)),
+      java.time.LocalDate.parse("2024-01-02"),
+      java.time.LocalDate.parse("2024-01-05"))
+    assertSameRows(
+      new TargetTable(spark, dir, "ts", countRows = false).read(),
+      daySlice(1, 1).unionAll(daySlice(2, 4).withColumn("value", lit(9.0)))
+        .unionAll(bFresh.filter(dayofmonth(col("ts")) === 5))
+        .unionAll(daySlice(6, 15)))
+  }
+
+  test("an append racing an optimistic replace is absorbed (append-then-replace)") {
+    val dir = tmpDir("cw_replc_absorb") + "/tbl"
+    val t0 = freshTable(dir)
+    val a = new TargetTable(spark, dir, "ts", countRows = false)
+    val b = new TargetTable(spark, dir, "ts", countRows = false)
+    val fresh = daySlice(2, 3).withColumn("value", lit(0.0))
+    var appendErr: Option[Throwable] = None
+    b.onOptimisticCommit = () =>
+      appendErr = try { a.appendConcurrent(daySlice(2, 2)); None }
+        catch { case e: Throwable => Some(e) }
+    b.replaceRangeConcurrent(fresh,
+      java.time.LocalDate.parse("2024-01-02"),
+      java.time.LocalDate.parse("2024-01-04"))
+    b.onOptimisticCommit = () => ()
+    assert(appendErr.isEmpty,
+      s"the raced append itself must succeed (it committed first): $appendErr")
+    assertSameRows(
+      new TargetTable(spark, dir, "ts", countRows = false).read(),
+      daySlice(1, 1).unionAll(fresh).unionAll(daySlice(4, 5)))
+    t0.read().count() // keep t0 used
+  }
+
+  test("optimistic replace rejects rows outside its range, NULL-ts included") {
+    val dir = tmpDir("cw_replc_range") + "/tbl"
+    freshTable(dir)
+    val a = new TargetTable(spark, dir, "ts", countRows = false)
+    val e = intercept[IllegalArgumentException] {
+      a.replaceRangeConcurrent(daySlice(2, 6),
+        java.time.LocalDate.parse("2024-01-02"),
+        java.time.LocalDate.parse("2024-01-04"))
+    }
+    assert(e.getMessage.contains("outside"), e.getMessage)
+    // nothing changed, nothing leaked
+    assertSameRows(
+      new TargetTable(spark, dir, "ts", countRows = false).read(),
+      daySlice(1, 5))
+    assert(!new java.io.File(dir).listFiles.exists(
+      _.getName.startsWith(TargetTable.ReplaceIntentPrefix)))
+  }
+
+  test("stale optimistic-replace markers repair forward or back by the manifest") {
+    val dir = tmpDir("cw_replc_repair") + "/tbl"
+    val t0 = freshTable(dir)
+    val live = new java.io.File(dir).listFiles
+      .find(_.getName.startsWith("p_date=")).get
+    val liveFile = live.listFiles.find(_.getName.endsWith(".parquet")).get
+    val orphan = new java.io.File(live, "part-replc-orphan.c000.snappy.parquet")
+    java.nio.file.Files.copy(liveFile.toPath, orphan.toPath)
+    val staleHb = System.currentTimeMillis() - TargetTable.OptAppendStaleMs - 1000
+    // BACK: staged file never committed -> deleted outright
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, TargetTable.ReplaceIntentPrefix + "back0001").toPath,
+      s"orig=${live.getName}/${liveFile.getName}\n" +
+        s"staged=${live.getName}/${orphan.getName}\nopt=1\nhb=$staleHb\n")
+    assert(t0.repairOrphanedConcurrentReplaces() == 1)
+    assert(!orphan.exists(), "uncommitted staged file must be deleted")
+    assertSameRows(
+      new TargetTable(spark, dir, "ts", countRows = false).read(), daySlice(1, 5))
+    // FORWARD: staged names all live in the manifest; the recorded
+    // original (on disk, unpublished) must be trash-parked
+    java.nio.file.Files.copy(liveFile.toPath, orphan.toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, TargetTable.ReplaceIntentPrefix + "fwd00001").toPath,
+      s"orig=${live.getName}/${orphan.getName}\n" +
+        s"staged=${live.getName}/${liveFile.getName}\nopt=1\nhb=$staleHb\n")
+    assert(t0.repairOrphanedConcurrentReplaces() == 1)
+    assert(orphan.exists(), "a parked original stays on disk until vacuum")
+    t0.vacuum(olderThanMillis = 0)
+    assert(!orphan.exists(), "vacuum must reap the parked original")
+    assertSameRows(
+      new TargetTable(spark, dir, "ts", countRows = false).read(), daySlice(1, 5))
+  }
+
+  test("relistManifest refuses while a fresh optimistic marker exists") {
+    val dir = tmpDir("cw_relist_guard") + "/tbl"
+    freshTable(dir)
+    val a = new TargetTable(spark, dir, "ts", countRows = false)
+    val b = new TargetTable(spark, dir, "ts", countRows = false)
+    var refusal: Option[Throwable] = None
+    a.onOptimisticCommit = () =>
+      refusal = try { b.relistManifest(); None }
+        catch { case e: Throwable => Some(e) }
+    a.appendConcurrent(daySlice(10, 12))
+    a.onOptimisticCommit = () => ()
+    assert(refusal.exists(_.isInstanceOf[IllegalStateException]),
+      s"a relist during a live optimistic append must refuse: $refusal")
+    assert(refusal.exists(_.getMessage.contains("optimistic")), refusal)
+    // the append still committed, and a relist AFTER it succeeds
+    b.relistManifest()
+    assertSameRows(
+      new TargetTable(spark, dir, "ts", countRows = false).read(),
+      daySlice(1, 5).unionAll(daySlice(10, 12)))
+  }
+
   test("a schema change mid-flight aborts the append") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("cw_schema") + "/tbl"

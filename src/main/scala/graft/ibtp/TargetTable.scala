@@ -2879,33 +2879,73 @@ final class TargetTable(
     * and is always read — prune on proof only, like files).
     */
   private def shardCheckpointContent(
-      name: String, body: String): (String, Seq[Path]) = {
-    val lines = body.split('\n')
-    val nHeader = lines.indexWhere(l => !l.startsWith("#")) match {
-      case -1 => lines.length
-      case i  => i
+      name: String, body: String,
+      heartbeat: () => Unit = () => ()): (String, Seq[Path]) = {
+    // Offset-based streaming over the (possibly multi-GB) content
+    // string: at 10M lines, materializing a split() array plus
+    // per-shard mkString copies OOMs an 8g driver — instead the header
+    // boundary, the line count, and each shard's bytes are found and
+    // written by index walks, with only one transient substring per
+    // line for the aggregate extractor.
+    val n = body.length
+    // header = leading '#' lines
+    var headerEnd = 0
+    while (headerEnd < n && body.charAt(headerEnd) == '#') {
+      val nl = body.indexOf('\n', headerEnd)
+      headerEnd = if (nl < 0) n else nl + 1
     }
-    val bodyLines = lines.drop(nHeader).filter(_.nonEmpty)
-    if (bodyLines.length <= CheckpointShardLines) (body, Nil)
+    // count body lines without allocating
+    var bodyLines = 0
+    var i = headerEnd
+    while (i < n) {
+      val nl = body.indexOf('\n', i)
+      if (nl > i) bodyLines += 1 // skip empty lines, like split+filter did
+      i = if (nl < 0) n else nl + 1
+    }
+    if (bodyLines <= CheckpointShardLines) (body, Nil)
     else {
-      val header = lines.take(nHeader).toSeq
-      val statCols = statsColOfLines(header).toSeq
+      val header = body.substring(0, headerEnd)
+      val statCols = statsColOfLines(header.linesIterator.toSeq).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-      val groups = bodyLines.grouped(CheckpointShardLines).toSeq
       val id = java.util.UUID.randomUUID().toString.take(8)
       val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val indexLines = scala.collection.mutable.ArrayBuffer.empty[String]
       try {
-        val indexLines = groups.zipWithIndex.map { case (g, i) =>
-          val fname = f"$name.shard$i%05d-$id"
+        var pos = headerEnd
+        var shardIdx = 0
+        while (pos < n) {
+          val fname = f"$name.shard$shardIdx%05d-$id"
           val p = new Path(manifestDir, fname)
-          val out = fs.create(p, true)
-          try out.write(g.mkString("", "\n", "\n").getBytes("UTF-8"))
-          finally out.close()
+          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8),
+            1 << 16)
+          var count = 0
+          val aggs = statCols.map(c => new ShardAgg(c))
+          try {
+            while (pos < n && count < CheckpointShardLines) {
+              val nl = body.indexOf('\n', pos)
+              val end = if (nl < 0) n else nl
+              if (end > pos) {
+                out.write(body, pos, end - pos)
+                out.write('\n')
+                count += 1
+                if (aggs.nonEmpty) {
+                  // one short-lived substring per line, GC-transient
+                  val line = body.substring(pos, end)
+                  aggs.foreach(_.add(line))
+                }
+              }
+              pos = if (nl < 0) n else nl + 1
+            }
+          } finally out.close()
+          heartbeat() // keep the commit claim visibly live per shard
           written += p
-          (s"#shard=$fname\t${g.length}" +
-            shardAggBlobs(g, statCols).map("\t" + _).mkString)
+          indexLines += s"#shard=$fname\t$count" +
+            aggs.flatMap(_.blob()).map("\t" + _).mkString
+          shardIdx += 1
         }
-        ((header ++ indexLines).mkString("", "\n", "\n"), written.toSeq)
+        ((header.linesIterator.toSeq ++ indexLines).mkString("", "\n", "\n"),
+          written.toSeq)
       } catch {
         case e: Throwable =>
           written.foreach(p => scala.util.Try(fs.delete(p, false)))
@@ -2914,72 +2954,73 @@ final class TargetTable(
     }
   }
 
-  /** Aggregate stat blobs over one shard's lines, per declared column —
-    * the allocation-light positional walk the hot pruner uses, not the
-    * parsing API (this runs O(live) at fold time).
+  /** Streaming per-shard aggregate accumulator for one declared stats
+    * column — the allocation-light positional walk the hot pruner
+    * uses, fed one line at a time (see [[shardCheckpointContent]]).
+    * Yields a blob only when EVERY line carried the column's stat.
     */
-  private def shardAggBlobs(
-      lines: Array[String], statCols: Seq[String]): Seq[String] =
-    statCols.flatMap { c =>
-      val seek = "\tcol=" + b64(c) + ",t="
-      var typ: String = null
-      var ok = true
-      var minL = Long.MaxValue; var maxL = Long.MinValue
-      var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
-      var minS: String = null; var maxS: String = null
-      var rows = 0L
-      var i = 0
-      while (ok && i < lines.length) {
-        val line = lines(i)
-        val at = line.indexOf(seek)
-        if (at < 0) ok = false
-        else {
-          val end0 = line.indexOf('\t', at + 1)
-          val end = if (end0 < 0) line.length else end0
-          val blob = line.substring(at + 1, end)
-          ok = scala.util.Try {
-            val pLen = seek.length - 1 // blob starts at "col="
-            val tEnd = blob.indexOf(",min=", pLen)
-            val t = blob.substring(pLen, tEnd)
-            if (typ == null) typ = t
-            if (typ != t) false
-            else {
-              val mEnd = blob.indexOf(",max=", tEnd + 5)
-              val minV = blob.substring(tEnd + 5, mEnd)
-              val rEnd = blob.indexOf(",rows=", mEnd + 5)
-              val maxV = blob.substring(mEnd + 5, rEnd)
-              rows += blob.substring(rEnd + 6).toLong
-              t match {
-                case "long" =>
-                  val lo = minV.toLong; val hi = maxV.toLong
-                  if (lo < minL) minL = lo
-                  if (hi > maxL) maxL = hi
-                case "double" =>
-                  val lo = minV.toDouble; val hi = maxV.toDouble
-                  if (lo < minD) minD = lo
-                  if (hi > maxD) maxD = hi
-                case "string" =>
-                  val lo = unb64(minV); val hi = unb64(maxV)
-                  if (minS == null || lo.compareTo(minS) < 0) minS = lo
-                  if (maxS == null || hi.compareTo(maxS) > 0) maxS = hi
-                case _ => typ = "?"
-              }
-              typ != "?"
+  private final class ShardAgg(c: String) {
+    private val seek = "\tcol=" + b64(c) + ",t="
+    private var typ: String = null
+    private var ok = true
+    private var minL = Long.MaxValue; private var maxL = Long.MinValue
+    private var minD = Double.PositiveInfinity
+    private var maxD = Double.NegativeInfinity
+    private var minS: String = null; private var maxS: String = null
+    private var rows = 0L
+
+    def add(line: String): Unit = if (ok) {
+      val at = line.indexOf(seek)
+      if (at < 0) ok = false
+      else {
+        val end0 = line.indexOf('\t', at + 1)
+        val end = if (end0 < 0) line.length else end0
+        val blob = line.substring(at + 1, end)
+        ok = scala.util.Try {
+          val pLen = seek.length - 1 // blob starts at "col="
+          val tEnd = blob.indexOf(",min=", pLen)
+          val t = blob.substring(pLen, tEnd)
+          if (typ == null) typ = t
+          if (typ != t) false
+          else {
+            val mEnd = blob.indexOf(",max=", tEnd + 5)
+            val minV = blob.substring(tEnd + 5, mEnd)
+            val rEnd = blob.indexOf(",rows=", mEnd + 5)
+            val maxV = blob.substring(mEnd + 5, rEnd)
+            rows += blob.substring(rEnd + 6).toLong
+            t match {
+              case "long" =>
+                val lo = minV.toLong; val hi = maxV.toLong
+                if (lo < minL) minL = lo
+                if (hi > maxL) maxL = hi
+              case "double" =>
+                val lo = minV.toDouble; val hi = maxV.toDouble
+                if (lo < minD) minD = lo
+                if (hi > maxD) maxD = hi
+              case "string" =>
+                val lo = unb64(minV); val hi = unb64(maxV)
+                if (minS == null || lo.compareTo(minS) < 0) minS = lo
+                if (maxS == null || hi.compareTo(maxS) > 0) maxS = hi
+              case _ => typ = "?"
             }
-          }.getOrElse(false)
-        }
-        i += 1
+            typ != "?"
+          }
+        }.getOrElse(false)
       }
+    }
+
+    def blob(): Option[String] =
       if (!ok || typ == null) None
       else typ match {
         case "long"   => Some(encodeStat(FileSkipStat(c, "long",
           minL.toString, maxL.toString, rows)))
         case "double" => Some(encodeStat(FileSkipStat(c, "double",
           minD.toString, maxD.toString, rows)))
-        case "string" => Some(encodeStat(FileSkipStat(c, "string", minS, maxS, rows)))
+        case "string" =>
+          Some(encodeStat(FileSkipStat(c, "string", minS, maxS, rows)))
         case _        => None
       }
-    }
+  }
 
   /** Shard file name of one `#shard=` index line. */
   private def shardNameOf(indexLine: String): String = {
@@ -3074,9 +3115,18 @@ final class TargetTable(
             // published only by the main rename below (readers resolve
             // them through the #shard index; aborted attempts delete
             // their own shards — never another attempt's)
+            // per-shard claim heartbeat: a multi-GB fold legitimately
+            // outlives CommitClaimStaleMs; touching the claim's mtime
+            // as each shard lands keeps sweepers off a LIVE fold (the
+            // owner token already prevents the clobber; this prevents
+            // the sweep-abort-retry livelock)
             val (body, myShards) =
               if (isDelta) (raw, Nil)
-              else shardCheckpointContent(name, raw)
+              else shardCheckpointContent(name, raw, () => {
+                scala.util.Try(
+                  fs.setTimes(claim, System.currentTimeMillis(), -1))
+                ()
+              })
             def dropShards(): Unit =
               myShards.foreach(p => scala.util.Try(fs.delete(p, false)))
             val tmp = new Path(manifestDir,

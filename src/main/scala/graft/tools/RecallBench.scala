@@ -46,8 +46,8 @@ object RecallBench {
     val exact = CorpusStats.topKPerGroup(
       emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          -(normSq(col("embedding")) + normSq(col("q_vec"))
-            - lit(2.0) * dot(col("embedding"), col("q_vec"))).as("negd2")),
+          (-(normSq(col("embedding")) + normSq(col("q_vec"))
+            - lit(2.0) * dot(col("embedding"), col("q_vec")))).as("negd2")),
       "query_id", "vec_id", "negd2", topK)
     val truth: Map[Long, Set[Long]] = exact.collect()
       .groupBy(_.getLong(0))

@@ -24,6 +24,13 @@ import graft.sources.{GraftSession, Tables}
   *   [--sample-schema-sql file.sql] [--compact-after]
   *   [--auto-compact-bytes N]   (post-loop compaction of the run window)
   *   [--check-unique k1,k2]   (post-load uniqueness gate, README.md:102)
+  *   [--lexical-index /path/idx]   (per-period retrieval-index
+  *        maintenance: each period's output appends to a persisted BM25
+  *        index as it commits — init's chunk included; at-least-once on
+  *        re-materialized periods)
+  *   [--index-id-col doc_id] [--index-text-col text]
+  *   [--index-compact]   (fold the index's per-period partials after
+  *        the run: df -> one row per token, stats -> one row)
   * }}}
   *
   * Maintenance-only invocations (no forward materialization):
@@ -180,9 +187,20 @@ object IbtpCli {
           println(s"[ibtp] repaired hole [$f, $t)") }
         return
       }
+      // per-period retrieval-index maintenance (see q103): the loop
+      // keeps a persisted BM25 index current with the materialization
+      val lexIndex = opts.get("lexical-index").filter(_.nonEmpty)
+        .map(p => new graft.operators.LexicalIndex(spark, p))
+      val idxIdCol = opts.getOrElse("index-id-col", "doc_id")
+      val idxTextCol = opts.getOrElse("index-text-col", "text")
       val res = IbtpRunner.run(spark, IbtpModel.SqlModel(sqlText), target,
         IbtpRunner.RunParams(cfg, mode, log = println,
           preHooks = hooks("pre-hook"), postHooks = hooks("post-hook"),
+          periodPostStep = lexIndex.map(idx =>
+            (b: PeriodBounds, df: org.apache.spark.sql.DataFrame) => {
+              idx.append(df.select(idxIdCol, idxTextCol), idxIdCol, idxTextCol)
+              println(s"[ibtp] indexed period [${b.from}, ${b.to})")
+            }),
           guardPeriodFilter = opts.contains("guard-period-filter"),
           maxConcurrentPeriods = opts.getOrElse("max-concurrent-periods", "1").toInt,
           autoPeriod = autoPeriod,
@@ -202,6 +220,12 @@ object IbtpCli {
       opts.get("check-unique").filter(_.nonEmpty).foreach { k =>
         TableChecks.requireUnique(target.read(), k.split(",").toSeq)
         println(s"[ibtp] uniqueness check passed on ($k)")
+      }
+      // fold the index's per-period partials (the manifest-fold
+      // analogue: a daily loop otherwise grows df partials forever)
+      if (opts.contains("index-compact")) lexIndex.foreach { idx =>
+        idx.compact()
+        println("[ibtp] lexical index compacted")
       }
       // post-load maintenance: rewrite small-file day-partitions
       if (opts.contains("compact-after"))

@@ -102,13 +102,27 @@ class ShardedCheckpointSpec extends SparkSpecBase {
       assert(idxLines.size >= 2)
       assert(idxLines.exists(_.contains("col=")),
         s"index lines must carry aggregates: $idxLines")
-      // deleting one NON-matching shard's file must not affect a plan
-      // that skips it (proof the shard is never read); a matching plan
-      // would crash — so restore it afterwards
+      val expect = t.planFilesForRange("user_id", 12L, 14L)
+      assert(expect._1.nonEmpty)
+      // HARD proof of skipping: delete a shard whose aggregate range
+      // cannot contain [12,14] — the cold plan must still succeed with
+      // identical results (it never opens that shard), while a full
+      // read (which needs every shard) must now fail
+      val deletable = idxLines.filter { l =>
+        val m = "min=(\\d+),max=(\\d+)".r.findFirstMatchIn(l)
+        m.exists(g => g.group(2).toLong < 12L || g.group(1).toLong > 14L)
+      }
+      assert(deletable.nonEmpty, s"need a non-matching shard: $idxLines")
+      val victim = deletable.head
+      val victimName = victim.stripPrefix("#shard=").takeWhile(_ != '\t')
+      assert(new java.io.File(md, victimName).delete())
       val cold = new TargetTable(spark, dir, "ts", countRows = false)
-      val plan = cold.planFilesForRange("user_id", 12L, 14L)
-      assert(plan._1.nonEmpty)
-      t.read().count() // t stays usable
+      val got = cold.planFilesForRange("user_id", 12L, 14L)
+      assert(got._1.sorted == expect._1.sorted && got._2 == expect._2,
+        "the plan must not need the non-matching shard")
+      intercept[Exception] {
+        new TargetTable(spark, dir, "ts", countRows = false).read().count()
+      } // the deleted shard WAS load-bearing for a full replay
     }
   }
 

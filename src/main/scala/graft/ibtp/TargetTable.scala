@@ -997,8 +997,18 @@ final class TargetTable(
           fs.delete(marker, false)
           throw e
       }
+      // record the landed commit as a FACT in a sidecar before the
+      // trash-park: a crash from here on repairs FORWARD without the
+      // membership heuristic (a later compaction legitimately removing
+      // staged files must never read as a torn move). A sidecar, not a
+      // marker rewrite — rename-over-existing is not atomic on every
+      // store — and it carries the RECOMPUTED removal set so the park
+      // covers exactly what the committed attempt removed.
+      writeMarker(committedSidecarOf(marker),
+        s"orig=${committedOrig.mkString(",")}\n")
       writeTrash(committedOrig.filter(rel => fs.exists(new Path(path, rel))))
       fs.delete(marker, false)
+      fs.delete(committedSidecarOf(marker), false)
       n
     } finally if (fs.exists(stage)) fs.delete(stage, true)
   }
@@ -1015,11 +1025,20 @@ final class TargetTable(
     */
   def repairOrphanedConcurrentReplaces(): Int = {
     val root = new Path(path)
-    val markers =
+    val listed =
       if (!fs.exists(root)) Nil
       else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith(ReplaceIntentPrefix) &&
-          !p.getName.endsWith(".tmp"))
+        .filter(_.getName.startsWith(ReplaceIntentPrefix))
+    val markers = listed.filter(p => !p.getName.endsWith(".tmp") &&
+      !p.getName.endsWith(CommittedSidecarSuffix))
+    // an orphaned `.committed` sidecar whose base marker is gone is the
+    // final crash window (marker deleted, sidecar not): everything was
+    // repaired/parked already — sweep it
+    val markerNames = markers.map(_.getName).toSet
+    listed.filter(p => p.getName.endsWith(CommittedSidecarSuffix) &&
+        !markerNames.contains(
+          p.getName.stripSuffix(CommittedSidecarSuffix)))
+      .foreach(p => fs.delete(p, false))
     var repaired = 0
     markers.foreach { m =>
       val kv = readKv(m, required = Seq("staged")).get
@@ -1031,18 +1050,34 @@ final class TargetTable(
           s"${m.getName} on $path (live sibling in flight)")
       } else {
         val staged = kv("staged").split(",").filter(_.nonEmpty).toSeq
-        val orig = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
         val manifest = latestManifest().getOrElse(Nil).toSet
         val committedCount = staged.count(manifest.contains)
+        // the `.committed` sidecar is written right after the commit
+        // returns: it is PROOF the version landed, so repair rolls
+        // forward even when a subsequent writer (compaction, a second
+        // same-range replace) has since legitimately removed some
+        // staged names — which the membership heuristic below would
+        // misread as a torn move. The heuristic remains only for
+        // markers without the sidecar (crash inside the two-metadata-op
+        // window between the commit and the sidecar write). It also
+        // carries the RECOMPUTED removal set (raced in-range appends
+        // absorbed), superseding the marker's basis-time one.
+        val sidecarKv = readKv(committedSidecarOf(m), required = Nil)
+        val committedFact = sidecarKv.isDefined
+        val orig = sidecarKv.flatMap(_.get("orig"))
+          .orElse(kv.get("orig")).getOrElse("")
+          .split(",").filter(_.nonEmpty).toSeq
         // the commit is ONE atomic rename: staged names are all-or-none
         // in the manifest (relists are refused while the marker is
         // fresh). Direction exactly like repairOrphanedReplace — a
         // pure-delete replace (nothing staged) decides by the
         // originals' own liveness.
-        val committed =
+        val committed = committedFact || {
           if (staged.nonEmpty) committedCount == staged.size
           else orig.nonEmpty && !orig.exists(manifest.contains)
-        if (staged.nonEmpty && committedCount != 0 && committedCount != staged.size)
+        }
+        if (!committedFact &&
+            staged.nonEmpty && committedCount != 0 && committedCount != staged.size)
           throw new IllegalStateException(
             s"optimistic replace marker ${m.getName} on $path is TORN " +
               s"($committedCount of ${staged.size} staged files in the " +
@@ -1063,10 +1098,18 @@ final class TargetTable(
         }
         repaired += 1
         fs.delete(m, false)
+        if (committedFact) fs.delete(committedSidecarOf(m), false)
       }
     }
     repaired
   }
+
+  /** The `.committed` sidecar recording that a concurrent replace's
+    * manifest commit LANDED (plus its recomputed removal set) — see
+    * [[replaceRangeConcurrent]] / [[repairOrphanedConcurrentReplaces]].
+    */
+  private def committedSidecarOf(marker: Path): Path =
+    new Path(marker.getParent, marker.getName + CommittedSidecarSuffix)
 
   /** Exhaustive crash-point injection: called at EVERY
     * marker/move/commit/park/clear boundary of the mutation state
@@ -2495,9 +2538,22 @@ final class TargetTable(
     val main = readLines(vs(ckptIdx).p)
     val shardIdx = main.filter(_.startsWith("#shard="))
     if (shardIdx.isEmpty) return fullReplay()
-    // delta tail replayed into (added, removed) against the checkpoint
+    // Delta tail replayed into overlay state against the checkpoint,
+    // mirroring latestManifestRaw's map semantics:
+    //   added    — the live overlay lines (`+` sets, `-` deletes);
+    //   suppress — every path that EVER saw a `-`: its checkpoint line
+    //              (if any) is dead even when the path was later
+    //              re-added (the overlay line supersedes it). Dropping
+    //              only currently-overlaid paths is wrong: after a
+    //              restat (-p,+p) a later genuine -p would find p in
+    //              `added` and the stale shard line would resurface;
+    //   fromCkpt — paths PROVEN to originate in the checkpoint (first
+    //              touch was a `-` while not in the overlay — writers
+    //              only remove live files), the exact correction the
+    //              shard-count total needs without reading any shard.
     val added = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val removed = scala.collection.mutable.HashSet.empty[String]
+    val suppress = scala.collection.mutable.HashSet.empty[String]
+    val fromCkpt = scala.collection.mutable.HashSet.empty[String]
     var header: Seq[String] = main.filterNot(_.startsWith("#shard="))
     vs.drop(ckptIdx + 1).foreach { v =>
       val lines = readLines(v.p)
@@ -2507,18 +2563,23 @@ final class TargetTable(
         if (l.startsWith("#")) ()
         else if (l.startsWith("+")) {
           val b = l.substring(1); val p = pathOf(b)
-          added += p -> b; removed -= p
+          added += p -> b
         } else if (l.startsWith("-")) {
           val p = l.substring(1)
-          if (added.remove(p).isEmpty) removed += p
+          if (added.remove(p).isEmpty) fromCkpt += p
+          suppress += p
         }
       }
     }
-    val total = shardIdx.map(shardCountOf).sum - removed.size + added.size
+    // shard counts cover exactly the checkpoint paths, so: minus every
+    // checkpoint path that saw a `-` (re-added or not — re-adds come
+    // back via `added`), plus every overlay line. A restat nets zero,
+    // matching the warm replay's count.
+    val total = shardIdx.map(shardCountOf).sum - fromCkpt.size + added.size
     val candidates = shardIdx.filter(shardKeep).flatMap { sl =>
       readLines(new Path(manifestDir, shardNameOf(sl)))
     }.filter { l =>
-      val p = pathOf(l); !removed.contains(p) && !added.contains(p)
+      val p = pathOf(l); !suppress.contains(p) && !added.contains(p)
     } ++ added.values
     (candidates, total, header)
   }
@@ -2798,8 +2859,8 @@ final class TargetTable(
   private def atomicCreate(p: Path, token: String): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val f = new java.io.File(p.toUri.getPath)
       try {
-        val f = new java.io.File(p.toUri.getPath)
         if (!f.createNewFile()) false
         else {
           // write the owner token into the just-created claim: the
@@ -2811,14 +2872,27 @@ final class TargetTable(
           true
         }
       }
-      catch { case _: java.io.IOException => false }
+      catch { case _: java.io.IOException =>
+        // a token-write failure AFTER the create would leave an
+        // owner-less claim stalling every committer at this sequence
+        // until the staleness sweep — reap our own litter before
+        // reporting the loss (best-effort: a failure here degrades to
+        // exactly the stale-claim wait the sweep already bounds)
+        scala.util.Try(f.delete())
+        false
+      }
     case _ =>
+      var created = false
       try {
         val out = fs.create(p, false)
+        created = true
         try out.write(token.getBytes("UTF-8")) finally out.close()
         true
       }
-      catch { case _: java.io.IOException => false }
+      catch { case _: java.io.IOException =>
+        if (created) scala.util.Try(fs.delete(p, false))
+        false
+      }
   }
 
   /** Whether the claim file still exists AND carries `token` — the
@@ -3486,7 +3560,8 @@ final class TargetTable(
     else fs.listStatus(root).toSeq.map(_.getPath)
       .filter(p => (p.getName.startsWith(AppendIntentPrefix) ||
           p.getName.startsWith(ReplaceIntentPrefix)) &&
-        !p.getName.endsWith(".tmp") && !p.getName.endsWith(TornSidecarSuffix))
+        !p.getName.endsWith(".tmp") && !p.getName.endsWith(TornSidecarSuffix) &&
+        !p.getName.endsWith(CommittedSidecarSuffix))
       .filter { p =>
         val kv = readKv(p, required = Nil)
         kv.exists(_.get("opt").contains("1")) &&
@@ -4482,6 +4557,15 @@ object TargetTable {
     * longer tell which files a pinned reader may still be scanning.
     */
   val TornSidecarSuffix = ".torn"
+
+  /** Suffix of the sidecar a [[TargetTable.replaceRangeConcurrent]]
+    * writes beside its intent marker the moment its manifest commit
+    * RETURNS: proof-of-commit for the repair (roll forward without the
+    * staged-membership heuristic — a later compaction legitimately
+    * removing staged names must never read as a torn move), carrying
+    * the recomputed removal set for the trash-park.
+    */
+  val CommittedSidecarSuffix = ".committed"
 
   /** Age gate for [[TargetTable.sweepOrphanedStaging]] when invoked from
     * `compact()` (a possibly-concurrent standalone run): stage dirs idle

@@ -24,17 +24,29 @@ import org.apache.spark.sql.types.DecimalType
   * shuffles on terms; corpus totals aggregate the (batches-sized) stats
   * table; the final top-k is the bounded heap. Re-adding a doc_id
   * indexes it twice (same contract as [[SignatureIndex]]).
+  *
+  * Durability ([[IndexStore]]): writers serialize on an owner-token
+  * claim (two pipelines loop-maintaining one index interleave appends
+  * and folds safely — the multi-writer contract the table's commit
+  * claim gives it), and an append publishes its three components
+  * crash-ATOMICALLY: stage → intent marker → renames, repaired
+  * deterministically — a crash can never leave postings counted while
+  * the df/stats partials are missing (a silently WRONG index: idf
+  * overstated, avgdl off). Searches never block on the claim; a search
+  * concurrent with a fold's swap instant may transiently fail and can
+  * simply be retried.
   */
 final class LexicalIndex(val spark: SparkSession, val path: String) {
 
   import org.apache.hadoop.fs.Path
 
+  private val store = new IndexStore(spark, path)
+
   private def postingsPath = s"$path/postings"
   private def dfPath = s"$path/df"
   private def statsPath = s"$path/stats"
 
-  private def fs = new Path(path)
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs = store.fs
 
   def exists: Boolean = fs.exists(new Path(postingsPath))
 
@@ -59,11 +71,17 @@ final class LexicalIndex(val spark: SparkSession, val path: String) {
     * once, and the df write reuses the postings' shuffled `tf` rather
     * than re-exploding the corpus. At a daily loop cadence this is the
     * difference between reading each period once and three times.
+    *
+    * The three components land crash-atomically: they are written to a
+    * per-batch stage directory and published in one marker-guarded
+    * rename pass ([[IndexStore.publishStaged]]) under the writer
+    * claim — a searcher can observe the index without this batch or
+    * with all three of its components, never in between.
     */
   def append(
       docs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    repairFold()
+      idCol: String = "doc_id", textCol: String = "text"): Unit = store.withClaim {
+    store.repairAll()
     // posexplode_outer keeps token-less documents as one (null, null)
     // row, so the SAME pass that feeds the postings also carries every
     // document exactly once at pos 0/null — which is what lets the
@@ -91,11 +109,13 @@ final class LexicalIndex(val spark: SparkSession, val path: String) {
       // persisted across the two writes below: the df partials reuse
       // the postings' shuffled rows instead of re-exploding the text
       .persist()
+    val batchId = java.util.UUID.randomUUID().toString.take(8)
+    val stage = store.stagePath(batchId)
     try {
       tf.select(col("token"), col("doc_id"), col("len"), col("tf"))
-        .write.mode("append").parquet(postingsPath)
+        .write.parquet(s"$stage/postings")
       tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .write.mode("append").parquet(dfPath)
+        .write.parquet(s"$stage/df")
       // N counts token-less docs too (they weight avgdl's denominator),
       // exactly like bm25TopK's totals — observed off the postings job
       import spark.implicits._
@@ -107,16 +127,11 @@ final class LexicalIndex(val spark: SparkSession, val path: String) {
       Seq((n, tl))
         .toDF("n", "tl")
         .coalesce(1)
-        .write.mode("append").parquet(statsPath)
+        .write.parquet(s"$stage/stats")
     } finally { tf.unpersist(); () }
+    store.publishStaged(batchId, Seq("postings", "df", "stats"))
   }
 
-  /** BM25 top-k over everything indexed so far — identical arithmetic
-    * to [[Ranking.bm25TopK]] (IEEE-exact shape, LN quantized to
-    * DECIMAL(18,9), order-free decimal contribution sum), so the
-    * result matches a full-corpus run bit-for-bit. Returns
-    * (queryIdCol, idCol, score, rank).
-    */
   /** Fold the accumulated per-batch partials — [[append]] grows one df
     * partial set, one stats row, and a few postings files PER BATCH, so
     * a daily loop accumulates 365 batches/year and the df table grows
@@ -131,99 +146,44 @@ final class LexicalIndex(val spark: SparkSession, val path: String) {
     * Each component swaps via stage → intent marker → rename, and
     * [[repairFold]] (run at every append/search/compact entry) rolls a
     * crashed swap forward or back deterministically — the
-    * TargetTable.initSwap state machine, one component at a time.
-    * Single-maintainer contract, like [[append]].
+    * TargetTable.initSwap state machine, one component at a time. Runs
+    * under the writer claim, serialized against appends.
     */
-  def compact(postingsFiles: Int = 0): Unit = {
-    repairFold()
+  def compact(postingsFiles: Int = 0): Unit = store.withClaim {
+    store.repairAll()
     val pf = if (postingsFiles > 0) postingsFiles
              else spark.sparkContext.defaultParallelism
-    swapDir("df", out => readDf()
+    store.swapDir("df", out => readDf()
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
       .write.parquet(out))
-    swapDir("stats", out => readStats()
+    store.swapDir("stats", out => readStats()
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("tl")), lit(0L)).as("tl"))
       .coalesce(1).write.parquet(out))
-    swapDir("postings", out => readPostings()
+    store.swapDir("postings", out => readPostings()
       .coalesce(pf).write.parquet(out))
   }
 
-  private def foldIntent = new Path(s"$path/_fold_intent")
-
-  /** Stage → marker → swap one component directory; contents identical
-    * by construction, so the only atomicity needed is "readers see the
-    * old or the new directory, and a crash heals" — the marker is
-    * written only once the staged build is complete, so rolling
-    * FORWARD is always safe (same argument as TargetTable.initSwap).
+  /** Heal a [[compact]] swap orphaned by a crash (see
+    * [[IndexStore.repairFold]]). Returns whether anything was healed.
     */
-  private def swapDir(sub: String, build: String => Unit): Unit = {
-    val live = new Path(s"$path/$sub")
-    val stage = new Path(s"$path/${sub}__fold")
-    val old = new Path(s"$path/${sub}__old")
-    if (fs.exists(stage)) fs.delete(stage, true)
-    if (fs.exists(old)) fs.delete(old, true)
-    build(stage.toString)
-    val tmp = new Path(s"$path/_fold_intent.tmp")
-    val o = fs.create(tmp, true)
-    try o.write(s"sub=$sub\n".getBytes("UTF-8")) finally o.close()
-    if (!fs.rename(tmp, foldIntent))
-      throw new IllegalStateException(s"could not write fold intent under $path")
-    fs.rename(live, old)
-    fs.rename(stage, live)
-    fs.delete(old, true)
-    fs.delete(foldIntent, false)
-    ()
-  }
+  private[operators] def repairFold(): Boolean = store.repairFold()
 
-  /** Heal a [[compact]] swap orphaned by a crash — deterministic from
-    * which directories survived, exactly like TargetTable's swap
-    * repair: the intent exists only while the staged fold is complete,
-    * so forward is always safe; only-the-old-left restores it.
+  /** BM25 top-k over everything indexed so far — identical arithmetic
+    * to [[Ranking.bm25TopK]] (IEEE-exact shape, LN quantized to
+    * DECIMAL(18,9), order-free decimal contribution sum), so the
+    * result matches a full-corpus run bit-for-bit. Returns
+    * (queryIdCol, idCol, score, rank).
     */
-  private[operators] def repairFold(): Boolean =
-    if (!fs.exists(foldIntent)) false
-    else {
-      val in = fs.open(foldIntent)
-      val sub =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .find(_.startsWith("sub=")).map(_.stripPrefix("sub=")).getOrElse(
-            throw new IllegalStateException(
-              s"corrupt fold intent $foldIntent — inspect $path, restore the " +
-                "__old directory if its live sibling is missing, then delete " +
-                "the marker"))
-        finally in.close()
-      val live = new Path(s"$path/$sub")
-      val stage = new Path(s"$path/${sub}__fold")
-      val old = new Path(s"$path/${sub}__old")
-      if (fs.exists(stage)) {
-        // staged fold complete (the marker is written only after the
-        // build): finish the swap forward
-        if (fs.exists(live)) {
-          if (fs.exists(old)) fs.delete(old, true)
-          fs.rename(live, old)
-        }
-        fs.rename(stage, live)
-        fs.delete(old, true)
-      } else if (fs.exists(live)) {
-        fs.delete(old, true) // swap done; only cleanup was lost
-      } else if (fs.exists(old)) {
-        fs.rename(old, live) // cannot arise from this protocol alone
-      } else
-        throw new IllegalStateException(
-          s"orphaned fold intent for '$sub' under $path but no directory " +
-            "survived — rebuild the index")
-      fs.delete(foldIntent, false)
-      true
-    }
-
   def search(
       queries: DataFrame, topK: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id",
       queryIdCol: String = "query_id", queryTextCol: String = "qtext"): DataFrame = {
     require(topK > 0 && k1 >= 0 && b >= 0 && b <= 1, s"bad params k1=$k1 b=$b topK=$topK")
-    repairFold()
+    // heal crashed writers opportunistically, but never block a read
+    // on a LIVE writer's claim (it runs the same repairs itself)
+    store.tryWithClaim(store.repairAll())
     val k1p1 = k1 + 1.0
     val oneMinusB = 1.0 - b
     val tot = readStats().agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))

@@ -23,6 +23,14 @@ import graft.functions.expressions.CentroidMatrix
   * bit-reproducible arithmetic unchanged, so an incrementally-built
   * index answers BIT-IDENTICALLY to a one-shot build over the same
   * rows (spec-pinned) and stays DuckDB-oracle-able.
+  *
+  * Durability ([[IndexStore]], same contract as [[LexicalIndex]]):
+  * writers serialize on an owner-token claim; [[create]] publishes
+  * codebooks + coarse + codes crash-atomically (a crashed create never
+  * leaves codebooks without their create-batch codes), [[append]]
+  * publishes each batch's codes the same way, and [[compact]] folds
+  * the per-batch code files — a year of daily loop periods otherwise
+  * accumulates 365 small file sets under `codes/`.
   */
 final class PqIndex(
     val spark: SparkSession,
@@ -31,14 +39,16 @@ final class PqIndex(
     val k: Int,
     val maxIters: Int = 1) {
 
+  private val store = new IndexStore(spark, path)
+
   private def booksPath = s"$path/codebooks"
   private def codesPath = s"$path/codes"
   private def coarsePath = s"$path/coarse"
 
+  private def fs = store.fs
+
   def exists: Boolean =
-    new org.apache.hadoop.fs.Path(booksPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(booksPath))
+    fs.exists(new org.apache.hadoop.fs.Path(booksPath))
 
   /** Stored codebooks as one frame: (s, centroid_id, embedding). */
   def readCodebooks(): DataFrame = spark.read.parquet(booksPath)
@@ -50,9 +60,7 @@ final class PqIndex(
 
   /** Whether this index stores a coarse quantizer (IVF-PQ layout). */
   def hasCoarse: Boolean =
-    new org.apache.hadoop.fs.Path(coarsePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(coarsePath))
+    fs.exists(new org.apache.hadoop.fs.Path(coarsePath))
 
   /** Stored coarse centroids: (centroid_id, embedding). */
   def readCoarse(): DataFrame = spark.read.parquet(coarsePath)
@@ -76,52 +84,91 @@ final class PqIndex(
     * layout that bounds BOTH bytes per vector (PQ codes) and scored
     * rows (nProbe lists) at 100 TB: flat codes still score the whole
     * corpus per query; uncompressed IVF lists still read full vectors.
+    *
+    * All components stage first and publish in ONE marker-guarded pass
+    * — a crash mid-create leaves either no index or the whole one,
+    * never codebooks without their create-batch codes.
     */
   def create(
       corpus: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      coarse: Option[DataFrame] = None): Unit = {
+      coarse: Option[DataFrame] = None): Unit = store.withClaim {
+    store.repairAll()
     require(!exists, s"PqIndex at $path already exists — use append")
     val d = corpus.select(size(col(vecCol))).head.getInt(0)
     val books = Pq.trainCodebooks(corpus, d, m, k, maxIters, idCol, vecCol)
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val stage = store.stagePath(id)
     books.zipWithIndex.map { case (b, s) =>
       b.select(lit(s).as("s"), col("centroid_id"), col(vecCol).as("embedding"))
     }.reduce(_ unionAll _)
       .coalesce(1) // m·k control-plane rows — one tiny file
-      .write.mode("error").parquet(booksPath)
+      .write.parquet(s"$stage/codebooks")
     coarse.foreach(_.select(col("centroid_id"), col("embedding"))
       .coalesce(1) // nlist control-plane rows — one tiny file
-      .write.mode("error").parquet(coarsePath))
-    appendCodes(corpus, d, idCol, vecCol)
+      .write.parquet(s"$stage/coarse"))
+    // encode against the in-memory training output: CentroidMatrix
+    // sorts by centroid_id and parquet round-trips doubles exactly, so
+    // this is bit-identical to re-reading the stored books
+    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
+    val coarseMats = coarse.map(c => CentroidMatrix.fromDataFrame(c, "embedding"))
+    writeCodes(s"$stage/codes", corpus, d, idCol, vecCol, mats, coarseMats)
+    store.publishStaged(id,
+      Seq("codebooks") ++ coarse.map(_ => "coarse").toSeq ++ Seq("codes"))
   }
 
   /** Encode a new batch against the frozen codebooks and append its
-    * codes — one map pass over the batch, nothing rewrites. Ids must be
-    * new (re-adding an id indexes it twice, like [[SignatureIndex]]).
+    * codes — one map pass over the batch, nothing rewrites, published
+    * crash-atomically under the writer claim. Ids must be new
+    * (re-adding an id indexes it twice, like [[SignatureIndex]]).
     */
   def append(
       batch: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = store.withClaim {
+    store.repairAll()
     require(exists, s"PqIndex at $path does not exist — use create")
-    appendCodes(batch, dim(), idCol, vecCol)
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val stage = store.stagePath(id)
+    val mats = booksSeq().map(b => CentroidMatrix.fromDataFrame(b, "embedding"))
+    val coarseMats =
+      if (hasCoarse) Some(CentroidMatrix.fromDataFrame(readCoarse(), "embedding"))
+      else None
+    writeCodes(s"$stage/codes", batch, dim(), idCol, vecCol, mats, coarseMats)
+    store.publishStaged(id, Seq("codes"))
   }
 
-  private def appendCodes(
-      batch: DataFrame, d: Int, idCol: String, vecCol: String): Unit = {
-    val mats = booksSeq().map(b => CentroidMatrix.fromDataFrame(b, "embedding"))
-    val encoded =
-      if (hasCoarse)
+  private def writeCodes(
+      out: String, batch: DataFrame, d: Int, idCol: String, vecCol: String,
+      mats: Seq[CentroidMatrix], coarseMats: Option[CentroidMatrix]): Unit = {
+    val encoded = coarseMats match {
+      case Some(cm) =>
         // ONE map pass assigns the coarse list AND the m codes — the
         // frozen centroids ride as a reference object, no join
-        Pq.encodeWithList(batch,
-          CentroidMatrix.fromDataFrame(readCoarse(), "embedding"),
-          mats, d, idCol, vecCol)
+        Pq.encodeWithList(batch, cm, mats, d, idCol, vecCol)
           .select(col(idCol).as("vec_id"), col("list_id"), col("codes"))
-      else
+      case None =>
         Pq.encode(batch, mats, d, idCol, vecCol)
           .select(col(idCol).as("vec_id"), col("codes"))
-    encoded.write.mode("append").parquet(codesPath)
+    }
+    encoded.write.parquet(out)
   }
+
+  /** Fold the per-batch code files into `codesFiles` files — the
+    * [[LexicalIndex.compact]] analogue: a daily maintenance loop
+    * appends one small file set per period forever otherwise. Codes
+    * are order-free rows, so search results are BIT-IDENTICAL before
+    * and after (spec-pinned). Stage → marker → checked-rename swap,
+    * healed by the same [[IndexStore.repairFold]] state machine.
+    */
+  def compact(codesFiles: Int = 0): Unit = store.withClaim {
+    store.repairAll()
+    val cf = if (codesFiles > 0) codesFiles
+             else spark.sparkContext.defaultParallelism
+    store.swapDir("codes", out => readCodes().coalesce(cf).write.parquet(out))
+  }
+
+  /** Heal a crashed [[compact]] swap (see [[IndexStore.repairFold]]). */
+  private[operators] def repairFold(): Boolean = store.repairFold()
 
   /** ADC top-k over everything indexed so far — codes + codebooks only,
     * the original vectors never load. Scores EVERY stored code; on an
@@ -129,10 +176,12 @@ final class PqIndex(
     */
   def search(
       queries: DataFrame, topK: Int,
-      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame =
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    store.tryWithClaim(store.repairAll())
     Pq.adcSearch(readCodes(), booksSeq(),
       queries.select(col(queryIdCol), col(vecCol).as("embedding")),
       dim(), topK, "vec_id", "embedding", queryIdCol)
+  }
 
   /** IVF-PQ top-k FROM STORAGE: each query probes its `nProbe` nearest
     * stored coarse cells and ADC-scores only the code rows assigned
@@ -147,6 +196,7 @@ final class PqIndex(
     require(hasCoarse,
       s"PqIndex at $path has no coarse quantizer — create(coarse = ...) " +
         "builds the IVF-PQ layout; search() serves the flat one")
+    store.tryWithClaim(store.repairAll())
     Pq.ivfAdcSearch(readCodes(), booksSeq(), readCoarse(),
       queries.select(col(queryIdCol), col(vecCol).as("embedding")),
       dim(), nProbe, topK, "vec_id", "embedding", queryIdCol)

@@ -615,8 +615,10 @@ object IbtpQueries {
     val hfs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!hfs.exists(lease),
       "optimistic backfills must not take the writer lease")
-    require(!new java.io.File(targetDir).listFiles.exists(
-      _.getName.startsWith(TargetTable.ReplaceIntentPrefix)),
+    // the marker check goes through the table's OWN filesystem too —
+    // a java.io.File listing is vacuously empty on a non-local store
+    require(!hfs.listStatus(new org.apache.hadoop.fs.Path(targetDir)).exists(
+      _.getPath.getName.startsWith(TargetTable.ReplaceIntentPrefix)),
       "both replace markers must be cleared")
     t0.read().orderBy(col("ts"), col("event_id"))
   }

@@ -26,8 +26,13 @@ object QueryScratch {
   }
 
   private def deleteRec(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRec)
+    // never FOLLOW a symlink (delete the link itself): this runs in a
+    // JVM shutdown hook, and a planted link inside a scratch slot must
+    // not let the recursion escape the scratch root
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRec)
+    }
     f.delete()
     ()
   }

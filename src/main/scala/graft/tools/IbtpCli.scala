@@ -27,10 +27,19 @@ import graft.sources.{GraftSession, Tables}
   *   [--lexical-index /path/idx]   (per-period retrieval-index
   *        maintenance: each period's output appends to a persisted BM25
   *        index as it commits — init's chunk included; at-least-once on
-  *        re-materialized periods)
+  *        re-materialized periods; with --max-concurrent-periods > 1
+  *        the appends SERIALIZE on the index writer claim, so period
+  *        workers wait on each other at the post-step but never clobber)
   *   [--index-id-col doc_id] [--index-text-col text]
+  *   [--pq-index /path/idx]   (per-period vector-index maintenance:
+  *        each period's embeddings encode + append to an EXISTING
+  *        PqIndex — create it once with its training batch first;
+  *        --pq-index-m/--pq-index-k must match the created index)
+  *   [--pq-index-m 8] [--pq-index-k 256]
+  *   [--index-vec-col embedding]
   *   [--index-compact]   (fold the index's per-period partials after
-  *        the run: df -> one row per token, stats -> one row)
+  *        the run: df -> one row per token, stats -> one row; pq codes
+  *        coalesce into defaultParallelism files)
   * }}}
   *
   * Maintenance-only invocations (no forward materialization):
@@ -193,14 +202,37 @@ object IbtpCli {
         .map(p => new graft.operators.LexicalIndex(spark, p))
       val idxIdCol = opts.getOrElse("index-id-col", "doc_id")
       val idxTextCol = opts.getOrElse("index-text-col", "text")
+      val idxVecCol = opts.getOrElse("index-vec-col", "embedding")
+      // per-period vector-index maintenance (see q105): appends encode
+      // against the frozen codebooks of an index created beforehand
+      val pqIndex = opts.get("pq-index").filter(_.nonEmpty).map { p =>
+        val idx = new graft.operators.PqIndex(spark, p,
+          m = opts.getOrElse("pq-index-m", "8").toInt,
+          k = opts.getOrElse("pq-index-k", "256").toInt)
+        if (!idx.exists) sys.error(s"--pq-index $p does not exist — create " +
+          "it once with its training batch (PqIndex.create) before the loop " +
+          "maintains it; codebooks freeze at creation")
+        idx
+      }
+      // both post-steps serialize on their index's writer claim, so
+      // concurrent period workers are safe (if slower at the post-step)
+      val postSteps: Seq[(PeriodBounds, org.apache.spark.sql.DataFrame) => Unit] =
+        lexIndex.toSeq.map(idx =>
+          (b: PeriodBounds, df: org.apache.spark.sql.DataFrame) => {
+            idx.append(df.select(idxIdCol, idxTextCol), idxIdCol, idxTextCol)
+            println(s"[ibtp] lexical-indexed period [${b.from}, ${b.to})")
+          }) ++
+        pqIndex.toSeq.map(idx =>
+          (b: PeriodBounds, df: org.apache.spark.sql.DataFrame) => {
+            idx.append(df.select(idxIdCol, idxVecCol), idxIdCol, idxVecCol)
+            println(s"[ibtp] pq-indexed period [${b.from}, ${b.to})")
+          })
       val res = IbtpRunner.run(spark, IbtpModel.SqlModel(sqlText), target,
         IbtpRunner.RunParams(cfg, mode, log = println,
           preHooks = hooks("pre-hook"), postHooks = hooks("post-hook"),
-          periodPostStep = lexIndex.map(idx =>
-            (b: PeriodBounds, df: org.apache.spark.sql.DataFrame) => {
-              idx.append(df.select(idxIdCol, idxTextCol), idxIdCol, idxTextCol)
-              println(s"[ibtp] indexed period [${b.from}, ${b.to})")
-            }),
+          periodPostStep = Option(postSteps).filter(_.nonEmpty).map(steps =>
+            (b: PeriodBounds, df: org.apache.spark.sql.DataFrame) =>
+              steps.foreach(_(b, df))),
           guardPeriodFilter = opts.contains("guard-period-filter"),
           maxConcurrentPeriods = opts.getOrElse("max-concurrent-periods", "1").toInt,
           autoPeriod = autoPeriod,
@@ -223,9 +255,15 @@ object IbtpCli {
       }
       // fold the index's per-period partials (the manifest-fold
       // analogue: a daily loop otherwise grows df partials forever)
-      if (opts.contains("index-compact")) lexIndex.foreach { idx =>
-        idx.compact()
-        println("[ibtp] lexical index compacted")
+      if (opts.contains("index-compact")) {
+        lexIndex.foreach { idx =>
+          idx.compact()
+          println("[ibtp] lexical index compacted")
+        }
+        pqIndex.foreach { idx =>
+          idx.compact()
+          println("[ibtp] pq index compacted")
+        }
       }
       // post-load maintenance: rewrite small-file day-partitions
       if (opts.contains("compact-after"))

@@ -152,6 +152,37 @@ class ShardedCheckpointSpec extends SparkSpecBase {
     }
   }
 
+  test("restat then remove in the delta tail never resurrects a dead shard line") {
+    withShardLimit(4) {
+      val dir = tmpDir("shard_restat") + "/tbl"
+      val t = buildSharded(dir)
+      // a restat delta re-lands live lines as (-p, +p) in ONE delta;
+      // a later GENUINE remove of such a path must still suppress the
+      // checkpoint shard's stale line on the cold plan path. The
+      // removed files stay on disk (trash-parked for pinned readers),
+      // so a resurrected line returns silent DUPLICATE rows, not an
+      // error.
+      t.declareSetColumns(Seq("event_type"))
+      assert(t.restatManifest() > 0, "the restat must touch lines")
+      val day = t.read().agg(min(col("ts").cast("date")))
+        .head.getDate(0).toLocalDate
+      t.replaceRange(
+        events.filter(col("ts").cast("date") === lit(java.sql.Date.valueOf(day))),
+        day, day.plusDays(1))
+      val expect = t.planFilesForRange("user_id", 0L, 14L)
+      val cold = new TargetTable(spark, dir, "ts", countRows = false)
+      val got = cold.planFilesForRange("user_id", 0L, 14L)
+      assert(got._1.sorted == expect._1.sorted,
+        s"cold plan resurrected/lost files: ${got._1.diff(expect._1)} / " +
+          s"${expect._1.diff(got._1)}")
+      assert(got._2 == expect._2,
+        s"cold total ${got._2} must equal warm total ${expect._2}")
+      assertSameRows(
+        cold.readWhere("user_id", 0L, 14L),
+        t.read().filter(col("user_id").between(0L, 14L)))
+    }
+  }
+
   test("pruning reaps a dead checkpoint's shards, never a live one's") {
     withShardLimit(4) {
       val dir = tmpDir("shard_prune") + "/tbl"

@@ -147,6 +147,7 @@ object SparkEntry {
     "q102_ivfpq_index_search" -> (ExtensionQueries.ivfPqIndexSearch _),
     "q103_bm25_loop_index" -> (ExtensionQueries.bm25LoopIndexSearch _),
     "q104_concurrent_backfill" -> (IbtpQueries.concurrentBackfill _),
+    "q105_ivfpq_loop_index" -> (ExtensionQueries.ivfPqLoopIndexSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -252,5 +253,6 @@ object SparkEntry {
     "q102_ivfpq_index_search" -> ExtensionQueries.ivfPqIndexSearchSql,
     "q103_bm25_loop_index" -> ExtensionQueries.bm25LoopIndexSearchSql,
     "q104_concurrent_backfill" -> IbtpQueries.concurrentBackfillSql,
+    "q105_ivfpq_loop_index" -> ExtensionQueries.ivfPqLoopIndexSearchSql,
   )
 }

@@ -76,6 +76,14 @@ object ManifestBench {
       // settle the async fold so the chain ends in a (possibly
       // SHARDED) checkpoint — the state a long-lived table sits in
       t.foldToCheckpoint()
+      // the fold row: one FORCED full checkpoint fold of the settled
+      // chain, timed — the streamed write whose driver-memory ceiling
+      // this bench guards (O(delta tail) heap at any N since the
+      // sorted-merge fold; the materialized fold needed a 24 GB driver
+      // at 10M and overflowed String at ~14M)
+      val tf = System.nanoTime()
+      t.foldToCheckpoint(force = true)
+      val foldMs = (System.nanoTime() - tf) / 1e6
       val t1 = System.nanoTime()
       val live = t.latestManifest().get.size
       val replayMs = (System.nanoTime() - t1) / 1e6
@@ -160,6 +168,7 @@ object ManifestBench {
           f""""commit_ms_median":${sorted(sorted.size / 2)}%.3f,""" +
           f""""commit_ms_mean":${perCommitMs.sum / perCommitMs.size}%.3f,""" +
           f""""commit_ms_max":${sorted.last}%.3f,""" +
+          f""""fold_ms":$foldMs%.3f,""" +
           f""""replay_ms":$replayMs%.3f,"replayed_live":$live,""" +
           f""""prune_ms":$pruneMs%.3f,"planned_files":${kept.size},""" +
           f""""cold_prune_ms":$coldPruneMs%.3f,"cold_planned_files":${coldKept.size},""" +

@@ -1751,6 +1751,32 @@ final class TargetTable(
     finally in.close()
   }
 
+  /** Stream `p`'s non-empty lines without materializing the file — the
+    * fold's way of reading a multi-GB checkpoint body on a bounded
+    * driver. The reader closes itself at exhaustion; [[abort]] closes
+    * it early (consumers that bail mid-stream must call it, or one
+    * file handle lingers until GC).
+    */
+  private final class LineStream(p: Path) extends Iterator[String] {
+    private val br = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p),
+        java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+    private var closed = false
+    private var nextLine: String = advance()
+    private def advance(): String = {
+      var l = br.readLine()
+      while (l != null && l.isEmpty) l = br.readLine()
+      if (l == null) { abort(); null } else l
+    }
+    def abort(): Unit = if (!closed) { closed = true; br.close() }
+    def hasNext: Boolean = nextLine != null
+    def next(): String = {
+      val r = nextLine
+      nextLine = if (closed) null else advance()
+      r
+    }
+  }
+
   /** Leading `#`-prefixed lines of a version file only — the cheap
     * header probe (stops at the first body line, so a multi-thousand-
     * file checkpoint costs one small read).
@@ -1882,6 +1908,92 @@ final class TargetTable(
     */
   private def latestManifestBody(): Seq[String] =
     latestManifestRaw().map(_.filterNot(_.startsWith("#"))).getOrElse(Nil)
+
+  /** The replayed live BODY LINES as a sorted, path-deduped STREAM —
+    * what the checkpoint fold writes, produced in O(delta tail) driver
+    * memory instead of the O(live) Seq + mkString the materialized
+    * path pays (a ~6 GB transient at 10M files, and a hard
+    * Integer.MAX_VALUE-char overflow at ~14M).
+    *
+    * Correct because checkpoints are an invariant of this class: every
+    * checkpoint writer emits `.distinct.sorted` body lines (shards are
+    * consecutive slices, so index-order concatenation preserves the
+    * order), paths are unique after the replay's map semantics, and a
+    * body line orders exactly like its path (the stats blob begins
+    * with `\t`, which sorts below every path character). So the fold
+    * is a sorted MERGE: stream the old checkpoint's lines, drop every
+    * path the delta tail touched, and interleave the tail's own
+    * (sorted) live lines — bit-identical output to
+    * `latestManifestBody().distinct.sorted`.
+    *
+    * The merge VERIFIES the order invariant line by line and throws
+    * [[TargetTable.UnsortedCheckpointException]] on violation (closing
+    * its reader first) — the fold falls back to the materialized path,
+    * so a corrupt-but-readable store degrades in memory, never in
+    * correctness. None when no checkpoint exists to stream from.
+    */
+  private def streamedFoldBody(): Option[Iterator[String]] = {
+    val vs = manifestVersions().sortBy(_.key)
+    val ckptIdx = vs.lastIndexWhere(!_.isDelta)
+    if (ckptIdx < 0) return None
+    // header probe only — never the O(live) body
+    val mainHeader = readHeaderLines(vs(ckptIdx).p)
+    val shardNames = mainHeader.filter(_.startsWith("#shard=")).map(shardNameOf)
+    // delta-tail overlay, mirroring latestManifestRaw's map semantics:
+    // `added` holds the tail's live lines; `touched` every path the
+    // tail wrote at all — its checkpoint line (if any) is superseded
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val touched = scala.collection.mutable.HashSet.empty[String]
+    vs.drop(ckptIdx + 1).foreach { v =>
+      readLines(v.p).foreach { l =>
+        if (l.startsWith("#")) ()
+        else if (l.startsWith("+")) {
+          val b = l.substring(1); val p = pathOf(b)
+          added += p -> b; touched += p
+        } else if (l.startsWith("-")) {
+          val p = l.substring(1); added -= p; touched += p
+        } else {
+          val p = pathOf(l); added += p -> l; touched += p
+        }
+      }
+    }
+    val overlay = added.values.toArray.sorted
+    var live: LineStream = null
+    val ckptLines: Iterator[String] =
+      if (shardNames.isEmpty) {
+        live = new LineStream(vs(ckptIdx).p)
+        live.dropWhile(_.startsWith("#"))
+      } else shardNames.iterator.flatMap { nm =>
+        live = new LineStream(new Path(manifestDir, nm))
+        live
+      }
+    val filtered = ckptLines.filterNot(l => touched.contains(pathOf(l)))
+    Some(new Iterator[String] {
+      private var ck: String = pull()
+      private var oi = 0
+      private var prev: String = null
+      private def pull(): String =
+        if (filtered.hasNext) filtered.next() else null
+      def hasNext: Boolean = ck != null || oi < overlay.length
+      def next(): String = {
+        val takeCkpt = ck != null &&
+          (oi >= overlay.length || pathOf(ck) <= pathOf(overlay(oi)))
+        val out =
+          if (takeCkpt) { val r = ck; ck = pull(); r }
+          else { val r = overlay(oi); oi += 1; r }
+        val p = pathOf(out)
+        if (prev != null && p.compareTo(prev) <= 0) {
+          if (live != null) live.abort()
+          throw new TargetTable.UnsortedCheckpointException(
+            s"checkpoint under $manifestDir is not sorted/deduped at " +
+              s"'$p' (after '$prev') — the streamed fold cannot merge; " +
+              "falling back to the materialized fold")
+        }
+        prev = p
+        out
+      }
+    })
+  }
 
   /** Live files with their parsed data-skipping stats (possibly one
     * per declared stats column), if any.
@@ -3028,6 +3140,63 @@ final class TargetTable(
     }
   }
 
+  /** [[shardCheckpointContent]] for a STREAMED body: consume sorted
+    * body lines from the iterator, deciding shard-vs-inline from the
+    * first [[TargetTable.CheckpointShardLines]]+1 lines (the only
+    * buffering — ~1M strings, bounded regardless of table size).
+    * Returns the main file's LINES (header + body when small, header +
+    * `#shard=` index lines when sharded) plus the shard paths written;
+    * aborted attempts delete their own shards, exactly like the
+    * materialized twin.
+    */
+  private def shardCheckpointStream(
+      name: String, header: Seq[String], body: Iterator[String],
+      heartbeat: () => Unit): (Seq[String], Seq[Path]) = {
+    val first = new scala.collection.mutable.ArrayBuffer[String]
+    while (body.hasNext && first.size <= CheckpointShardLines)
+      first += body.next()
+    if (first.size <= CheckpointShardLines) (header ++ first, Nil)
+    else {
+      val statCols = statsColOfLines(header).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val indexLines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val all = first.iterator ++ body
+      try {
+        var shardIdx = 0
+        while (all.hasNext) {
+          val fname = f"$name.shard$shardIdx%05d-$id"
+          val p = new Path(manifestDir, fname)
+          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8),
+            1 << 16)
+          var count = 0
+          val aggs = statCols.map(c => new ShardAgg(c))
+          try {
+            while (all.hasNext && count < CheckpointShardLines) {
+              val line = all.next()
+              out.write(line)
+              out.write('\n')
+              count += 1
+              aggs.foreach(_.add(line))
+            }
+          } finally out.close()
+          heartbeat() // keep the commit claim visibly live per shard
+          written += p
+          indexLines += s"#shard=$fname\t$count" +
+            aggs.flatMap(_.blob()).map("\t" + _).mkString
+          shardIdx += 1
+        }
+        (header ++ indexLines, written.toSeq)
+      } catch {
+        case e: Throwable =>
+          written.foreach(p => scala.util.Try(fs.delete(p, false)))
+          throw e
+      }
+    }
+  }
+
   /** Streaming per-shard aggregate accumulator for one declared stats
     * column — the allocation-light positional walk the hot pruner
     * uses, fed one line at a time (see [[shardCheckpointContent]]).
@@ -3149,7 +3318,9 @@ final class TargetTable(
     }
   }
 
-  private def commitVersion(content: () => String, isDelta: Boolean): Unit = synchronized {
+  private def commitVersion(
+      content: () => TargetTable.ManifestContent,
+      isDelta: Boolean): Unit = synchronized {
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     // lost claim races are NORMAL under concurrent committers, and a
     // rival may legitimately hold its claim for its whole content
@@ -3205,7 +3376,6 @@ final class TargetTable(
             // inside it (nothing can land at this seq meanwhile, so
             // check→rename is effectively compare-and-swap), and a
             // thrown conflict leaves zero litter behind
-            val raw = content()
             // oversized checkpoints shard: sibling files written now,
             // published only by the main rename below (readers resolve
             // them through the #shard index; aborted attempts delete
@@ -3215,19 +3385,39 @@ final class TargetTable(
             // as each shard lands keeps sweepers off a LIVE fold (the
             // owner token already prevents the clobber; this prevents
             // the sweep-abort-retry livelock)
-            val (body, myShards) =
-              if (isDelta) (raw, Nil)
-              else shardCheckpointContent(name, raw, () => {
-                scala.util.Try(
-                  fs.setTimes(claim, System.currentTimeMillis(), -1))
-                ()
-              })
+            val hb = () => {
+              scala.util.Try(
+                fs.setTimes(claim, System.currentTimeMillis(), -1))
+              ()
+            }
+            // main-file body: Left = one materialized string (deltas,
+            // listing-backed checkpoints), Right = lines (streamed
+            // folds — never one O(live) JVM object on this path)
+            val (body, myShards) = content() match {
+              case TargetTable.InlineContent(raw) =>
+                if (isDelta) (Left(raw), Nil)
+                else {
+                  val (b, s) = shardCheckpointContent(name, raw, hb)
+                  (Left(b), s)
+                }
+              case TargetTable.StreamedContent(header, lines) =>
+                val (main, s) = shardCheckpointStream(name, header, lines, hb)
+                (Right(main), s)
+            }
             def dropShards(): Unit =
               myShards.foreach(p => scala.util.Try(fs.delete(p, false)))
             val tmp = new Path(manifestDir,
               s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
             val out = fs.create(tmp, true)
-            try out.write(body.getBytes("UTF-8")) finally out.close()
+            try body match {
+              case Left(s) => out.write(s.getBytes("UTF-8"))
+              case Right(lines) =>
+                val w = new java.io.BufferedWriter(
+                  new java.io.OutputStreamWriter(out,
+                    java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+                lines.foreach { l => w.write(l); w.write('\n') }
+                w.flush()
+            } finally out.close()
             // step 4a: the thunk may have outlived the claim staleness
             // (a fold writes O(live) lines) and been swept — renaming
             // anyway would clobber a usurper's landed version on a
@@ -3339,10 +3529,11 @@ final class TargetTable(
     val sc = if (statsCol == null) latestStatsCol() else statsCol
     val vc = latestSetCol()
     commitVersion(
-      () => (schema.map("#schema=" + _.json).toSeq ++
-        sc.map("#statscol=" + _).toSeq ++
-        vc.map("#setcol=" + _).toSeq ++ files.distinct.sorted)
-        .mkString("", "\n", "\n"),
+      () => TargetTable.InlineContent(
+        (schema.map("#schema=" + _.json).toSeq ++
+          sc.map("#statscol=" + _).toSeq ++
+          vc.map("#setcol=" + _).toSeq ++ files.distinct.sorted)
+          .mkString("", "\n", "\n")),
       isDelta = false)
   }
 
@@ -3389,9 +3580,9 @@ final class TargetTable(
       commitVersion(
         () => { preCheck()
           val removeSet = recomputeRemove.fold(remove)(f => f()).toSet
-          (headerLines() ++
+          TargetTable.InlineContent((headerLines() ++
           (latestManifestBody().filterNot(l => removeSet(pathOf(l))) ++ add)
-            .distinct.sorted).mkString("", "\n", "\n") },
+            .distinct.sorted).mkString("", "\n", "\n")) },
         isDelta = false)
     } else {
       commitVersion(
@@ -3399,7 +3590,8 @@ final class TargetTable(
           val rm = recomputeRemove.fold(remove)(f => f())
           val body = rm.distinct.sorted.map("-" + _) ++
             add.distinct.sorted.map("+" + _)
-          (DeltaMarker +: (headerLines() ++ body)).mkString("", "\n", "\n") },
+          TargetTable.InlineContent((DeltaMarker +: (headerLines() ++ body))
+            .mkString("", "\n", "\n")) },
         isDelta = true)
       // fold OFF the commit path: the hot commit stays O(staged names)
       // even on the every-Nth commit — the O(live) checkpoint write
@@ -3444,10 +3636,10 @@ final class TargetTable(
     * lease: commitVersion re-lands a lease-less fold under a newer
     * epoch with recomputed content.
     */
-  private[ibtp] def foldToCheckpoint(): Unit = synchronized {
+  private[ibtp] def foldToCheckpoint(force: Boolean = false): Unit = synchronized {
     val vs = manifestVersions().sortBy(_.key)
     val lastCkpt = vs.lastIndexWhere(!_.isDelta)
-    if (vs.nonEmpty && (lastCkpt < 0 ||
+    if (vs.nonEmpty && (lastCkpt < 0 || force ||
         vs.size - 1 - lastCkpt >= ManifestCheckpointEvery)) {
       def headerLines(): Seq[String] = {
         val latest = latestHeaderLines()
@@ -3456,10 +3648,26 @@ final class TargetTable(
           statsColOfLines(latest).map("#statscol=" + _).toSeq ++
           setColOfLines(latest).map("#setcol=" + _).toSeq
       }
-      commitVersion(
-        () => (headerLines() ++ latestManifestBody().distinct.sorted)
-          .mkString("", "\n", "\n"),
+      def materialized() = TargetTable.InlineContent(
+        (headerLines() ++ latestManifestBody().distinct.sorted)
+          .mkString("", "\n", "\n"))
+      // the fold streams: sorted-merge the previous checkpoint's line
+      // stream with the delta-tail overlay, feeding the shard writer
+      // directly — O(tail) driver memory at ANY live-file count (the
+      // materialized twin peaked at ~6 GB transient at 10M files and
+      // overflows String at ~14M). The merge self-checks the
+      // sorted/dedup invariant; on violation (a corrupt or foreign
+      // checkpoint) it falls back to the materialized fold, trading
+      // memory for correctness.
+      try commitVersion(
+        () => streamedFoldBody().fold[TargetTable.ManifestContent](
+          materialized())(TargetTable.StreamedContent(headerLines(), _)),
         isDelta = false)
+      catch {
+        case e: TargetTable.UnsortedCheckpointException =>
+          TargetTable.log.warn(s"streamed manifest fold on $path: ${e.getMessage}")
+          commitVersion(() => materialized(), isDelta = false)
+      }
     }
   }
 
@@ -4391,12 +4599,13 @@ final class TargetTable(
           commitVersion(
             () => {
               val oSet = freshOrig().toSet
-              (newSchema.orElse(storedSchema).map("#schema=" + _.json).toSeq ++
-                sc.map("#statscol=" + _).toSeq ++
-                vcHdr.map("#setcol=" + _).toSeq ++
-                (latestManifestBody().filterNot(l => oSet(pathOf(l))) ++
-                  stagedLines).distinct.sorted)
-                .mkString("", "\n", "\n")
+              TargetTable.InlineContent(
+                (newSchema.orElse(storedSchema).map("#schema=" + _.json).toSeq ++
+                  sc.map("#statscol=" + _).toSeq ++
+                  vcHdr.map("#setcol=" + _).toSeq ++
+                  (latestManifestBody().filterNot(l => oSet(pathOf(l))) ++
+                    stagedLines).distinct.sorted)
+                  .mkString("", "\n", "\n"))
             },
             isDelta = false)
         } else
@@ -4557,6 +4766,26 @@ object TargetTable {
     * longer tell which files a pinned reader may still be scanning.
     */
   val TornSidecarSuffix = ".torn"
+
+  /** What a manifest commit writes — either a fully materialized file
+    * body (deltas, listing-backed checkpoints: small by construction
+    * or already in memory), or a STREAMED checkpoint: header lines
+    * plus a sorted, path-deduped body-line iterator consumed directly
+    * by the shard writer, so the O(live) body never exists as one JVM
+    * object (the materialized fold needed a 24 GB driver at 10M files
+    * and overflows String's 2³¹-char ceiling at ~14M).
+    */
+  private[ibtp] sealed trait ManifestContent
+  private[ibtp] final case class InlineContent(body: String)
+    extends ManifestContent
+  private[ibtp] final case class StreamedContent(
+      header: Seq[String], body: Iterator[String]) extends ManifestContent
+
+  /** The streamed fold's order-invariant guard tripped — see
+    * [[TargetTable.streamedFoldBody]]; the fold retries materialized.
+    */
+  private[ibtp] final class UnsortedCheckpointException(msg: String)
+    extends IllegalStateException(msg)
 
   /** Suffix of the sidecar a [[TargetTable.replaceRangeConcurrent]]
     * writes beside its intent marker the moment its manifest commit

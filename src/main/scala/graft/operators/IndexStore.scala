@@ -186,7 +186,9 @@ final class IndexStore(val spark: SparkSession, val path: String) {
         .filter(st => st.isFile && isDataFileName(st.getPath.getName))
         .map(st => s"$comp/b$id-${st.getPath.getName}")
     }
+    IndexStore.crashHook("publish:staged")
     writeMarker(appendMarker(id), s"files=${moves.mkString(",")}\n")
+    IndexStore.crashHook("publish:marker")
     finishPublish(id, moves)
   }
 
@@ -209,8 +211,10 @@ final class IndexStore(val spark: SparkSession, val path: String) {
             s"index publish $id under $path: could not move $destRel into " +
               "place — the intent marker is left for repairAppends to roll " +
               "forward once the store recovers")
+        IndexStore.crashHook("publish:move")
       }
     }
+    IndexStore.crashHook("publish:moved")
     // order matters for repair determinism: stage before marker, so a
     // marker with NO stage means every move completed
     if (fs.exists(stage)) fs.delete(stage, true)
@@ -349,6 +353,17 @@ final class IndexStore(val spark: SparkSession, val path: String) {
 }
 
 object IndexStore {
+  /** Test hook fired at every publish boundary (named like
+    * `TargetTable.crashHook`): "publish:staged" (stage complete, no
+    * marker yet), "publish:marker" (marker landed, nothing moved),
+    * "publish:move" (after each file move), "publish:moved" (all
+    * moved, stage + marker not yet cleared). A hook that throws
+    * simulates a crash at that boundary; [[IndexStore.repairAppends]]
+    * must converge the store to pre-append (no marker) or post-append
+    * (marker) — never in between.
+    */
+  @volatile var crashHook: String => Unit = _ => ()
+
   /** A claim whose heartbeat is older than this is a crashed writer's
     * and may be swept by the next acquirer (heartbeats land every
     * quarter of it).

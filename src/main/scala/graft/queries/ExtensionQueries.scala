@@ -2516,4 +2516,55 @@ object ExtensionQueries {
       "FROM sub JOIN init i ON i.s = sub.s\n),",
       "FROM sub JOIN init i ON i.s = sub.s\n  WHERE sub.vec_id % 2 = 0\n),")
   }
+
+  /** The IBTP loop MAINTAINING a persisted IVF-PQ index — q103's
+    * production wiring applied to dense retrieval: the index is created
+    * once on the even-id half (codebooks + coarse centroids train there
+    * and FREEZE — the reference loop's init step), then the odd-id half
+    * tiles into 30 synthetic days and a week-period materialization
+    * appends each period's embeddings to the index as it commits
+    * ([[graft.ibtp.IbtpRunner.RunParams.periodPostStep]], init chunk
+    * included); the per-period code file sets are then folded by
+    * [[graft.operators.PqIndex.compact]]. Codes are order-free rows and
+    * encoding is per-row deterministic against the frozen books, so the
+    * oracle is q102's verbatim: a loop-built-and-folded index must
+    * answer bit-identically to the two-batch build — and to q101's
+    * create-batch-restricted replay.
+    */
+  def ivfPqLoopIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ibtp._
+    val emb = Tables.embeddings(spark, dir)
+    val idx = new graft.operators.PqIndex(spark,
+      QueryScratch.fresh("q_ivfpqidx_loop") + "/idx", m = 4, k = 16)
+    idx.create(emb.filter(col("vec_id") % 2 === 0),
+      coarse = Some(ivfCentroids(spark, dir)))
+    val start = java.time.LocalDate.of(2024, 1, 1)
+    val dayCol = date_add(lit(java.sql.Date.valueOf(start)),
+      (col("vec_id") % 30).cast("int"))
+    val model = new IbtpModel {
+      def query(s: SparkSession, b: PeriodBounds): DataFrame =
+        emb.filter(col("vec_id") % 2 =!= 0).withColumn("day", dayCol)
+          .filter(col("day") >= lit(java.sql.Date.valueOf(b.from)) &&
+            col("day") < lit(java.sql.Date.valueOf(b.to)))
+          .select(col("day"), col("vec_id"), col("embedding"))
+    }
+    val cfg = IbtpConfig(timestampField = "day",
+      startDate = Some(start), stopDate = Some(start.plusDays(30)),
+      period = PeriodUnit.Week)
+    val target = new TargetTable(spark,
+      QueryScratch.fresh("q_ivfpqidx_loop_tbl") + "/tbl", "day",
+      countRows = false)
+    IbtpRunner.run(spark, model, target,
+      IbtpRunner.RunParams(cfg,
+        periodPostStep = Some((_, df) =>
+          idx.append(df.select("vec_id", "embedding")))))
+    // one code file set landed per period: fold them (search must not
+    // change — the hash gate adjudicates that too)
+    idx.compact()
+    idx.searchIvf(queryVectors(spark, dir), topK = 10, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Same oracle as q102: loop + fold must be invisible to results. */
+  val ivfPqLoopIndexSearchSql: String = ivfPqIndexSearchSql
 }

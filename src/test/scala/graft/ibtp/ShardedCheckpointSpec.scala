@@ -214,6 +214,80 @@ class ShardedCheckpointSpec extends SparkSpecBase {
     }
   }
 
+  /** Newest checkpoint's body lines with shards resolved in index
+    * order — what a replay reads, for asserting fold output directly.
+    */
+  private def newestCheckpointBody(dir: String): Seq[String] = {
+    val md = new java.io.File(dir, TargetTable.ManifestDirName)
+    val main = md.listFiles.filter(_.getName.endsWith(".list"))
+      .maxBy(_.getName)
+    val lines = scala.io.Source.fromFile(main).getLines().toList
+    val shards = lines.filter(_.startsWith("#shard="))
+      .map(_.stripPrefix("#shard=").takeWhile(_ != '\t'))
+    if (shards.isEmpty) lines.filterNot(_.startsWith("#"))
+    else shards.flatMap(n =>
+      scala.io.Source.fromFile(new java.io.File(md, n)).getLines().toList)
+  }
+
+  test("the streamed fold writes exactly the sorted deduped replay state") {
+    withShardLimit(4) {
+      val dir = tmpDir("shard_streamfold") + "/tbl"
+      val t = buildSharded(dir)
+      // a delta tail with all three op kinds: restat (-p,+p), genuine
+      // removes (backfill), and adds whose paths interleave the
+      // checkpoint's sort order — the merge must weave them in place
+      t.declareSetColumns(Seq("event_type"))
+      assert(t.restatManifest() > 0)
+      val day = t.read().agg(min(col("ts").cast("date")))
+        .head.getDate(0).toLocalDate
+      t.replaceRange(
+        events.filter(col("ts").cast("date") === lit(java.sql.Date.valueOf(day))),
+        day, day.plusDays(1))
+      t.append(events.filter(col("user_id") === 5L))
+      // what the replay says the live state is, BEFORE the fold
+      val expect = t.latestManifestEntries().map(_._1).sorted
+      t.foldToCheckpoint(force = true)
+      val body = newestCheckpointBody(dir)
+      val paths = body.map(_.takeWhile(_ != '\t'))
+      assert(paths == paths.sorted && paths.distinct == paths,
+        "fold output must be sorted and path-unique")
+      assert(paths == expect,
+        s"fold lost/invented files: ${paths.diff(expect)} / ${expect.diff(paths)}")
+      // stats blobs survive the merge: restatted lines carry their sets
+      assert(body.exists(_.contains("set=")),
+        "restatted value-set blobs must survive the streamed fold")
+      val cold = new TargetTable(spark, dir, "ts", countRows = false)
+      assertSameRows(cold.read(), t.read())
+    }
+  }
+
+  test("an unsorted checkpoint trips the merge guard and falls back materialized") {
+    val dir = tmpDir("shard_unsorted") + "/tbl"
+    val t = new TargetTable(spark, dir, "ts", countRows = false)
+    t.init(events.filter(col("user_id") <= 3))
+    t.append(events.filter(col("user_id").between(4, 5)))
+    t.foldToCheckpoint(force = true)
+    // corrupt the invariant: rewrite the newest checkpoint with its
+    // body lines REVERSED (a foreign writer's artifact)
+    val md = new java.io.File(dir, TargetTable.ManifestDirName)
+    val main = md.listFiles.filter(_.getName.endsWith(".list")).maxBy(_.getName)
+    val lines = scala.io.Source.fromFile(main).getLines().toList
+    val (hdr, body) = lines.partition(_.startsWith("#"))
+    assert(body.size >= 2)
+    java.nio.file.Files.write(main.toPath,
+      (hdr ++ body.reverse).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the in-place rewrite invalidates the local-FS checksum sidecar
+    new java.io.File(md, "." + main.getName + ".crc").delete()
+    val t2 = new TargetTable(spark, dir, "ts", countRows = false)
+    t2.append(events.filter(col("user_id") === 6L))
+    t2.foldToCheckpoint(force = true) // must fall back, not corrupt
+    val folded = newestCheckpointBody(dir).map(_.takeWhile(_ != '\t'))
+    assert(folded == folded.sorted && folded.distinct == folded,
+      "the fallback fold must restore the sorted invariant")
+    assertSameRows(new TargetTable(spark, dir, "ts", countRows = false).read(),
+      events.filter(col("user_id") <= 6 || col("user_id").isNull))
+  }
+
   test("concurrent appends validate against sharded checkpoints") {
     withShardLimit(4) {
       val dir = tmpDir("shard_cc") + "/tbl"

@@ -361,4 +361,116 @@ class RetrievalIndexSpec extends SparkSpecBase {
         Ranking.bm25TopK(docs, docQueries, topK = 10))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("index append publishes all components atomically at every crash boundary") {
+    // a torn append (postings landed, df/stats missing) is a silently
+    // WRONG index — idf overstated, avgdl off. Kill the publish at
+    // every boundary: afterwards a search must answer as if the batch
+    // was never appended (pre-marker) or fully appended (post-marker),
+    // never in between.
+    val evenRef = Ranking.bm25TopK(
+      docs.filter(col("doc_id") % 2 === 0), docQueries, topK = 10)
+    val fullRef = Ranking.bm25TopK(docs, docQueries, topK = 10)
+    Seq("publish:staged", "publish:marker", "publish:move", "publish:moved")
+      .foreach { point =>
+        val idx = new LexicalIndex(spark,
+          tmpDir(s"lexidx_${point.replace(':', '_')}") + "/idx")
+        idx.append(docs.filter(col("doc_id") % 2 === 0))
+        var armed = true
+        IndexStore.crashHook = n =>
+          if (armed && n == point) {
+            armed = false // repair re-walks the same boundaries
+            throw new RuntimeException(s"simulated crash at $point")
+          }
+        try intercept[RuntimeException] {
+          idx.append(docs.filter(col("doc_id") % 2 =!= 0))
+        } finally IndexStore.crashHook = _ => ()
+        // search runs the repair (tryWithClaim -> repairAll) and must
+        // see exactly one of the two legal states
+        val expect = if (point == "publish:staged") evenRef else fullRef
+        assertSameRows(idx.search(docQueries, topK = 10), expect)
+        // the store converges: a later append works and lands cleanly
+        if (point == "publish:staged")
+          idx.append(docs.filter(col("doc_id") % 2 =!= 0))
+        assertSameRows(idx.search(docQueries, topK = 10), fullRef)
+        val files = new java.io.File(idx.path).listFiles.map(_.getName).toSet
+        assert(files == Set("postings", "df", "stats"),
+          s"litter after $point repair: $files")
+      }
+  }
+
+  test("pq index compact folds code files with bit-identical search results") {
+    val idx = new PqIndex(spark, tmpDir("pqidx_fold") + "/idx", m = 4, k = 16)
+    idx.create(emb.filter(col("vec_id") % 2 === 0),
+      coarse = Some(emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))))
+    idx.append(emb.filter(col("vec_id") % 4 === 1))
+    idx.append(emb.filter(col("vec_id") % 4 === 3))
+    val filesBefore = idx.readCodes().inputFiles.length
+    val before = idx.searchIvf(vecQueries, topK = 10, nProbe = 2)
+      .collect().map(_.toString).sorted
+    idx.compact(codesFiles = 2)
+    assert(idx.readCodes().inputFiles.length < filesBefore,
+      s"codes files must shrink: ${idx.readCodes().inputFiles.length} vs $filesBefore")
+    val after = idx.searchIvf(vecQueries, topK = 10, nProbe = 2)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after), "compact must be invisible to search")
+    // the fold swap heals a crash, same machinery as the lexical index
+    val root = new org.apache.hadoop.fs.Path(idx.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    idx.readCodes().coalesce(1)
+      .write.parquet(idx.path + "/codes__fold")
+    val tmp = new org.apache.hadoop.fs.Path(idx.path + "/_fold_intent.tmp")
+    val o = fs.create(tmp, true)
+    try o.write("sub=codes\n".getBytes("UTF-8")) finally o.close()
+    assert(fs.rename(tmp, new org.apache.hadoop.fs.Path(idx.path + "/_fold_intent")))
+    assert(idx.repairFold())
+    val healed = idx.searchIvf(vecQueries, topK = 10, nProbe = 2)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(healed), "fold repair must be invisible to search")
+    val files = new java.io.File(idx.path).listFiles.map(_.getName).toSet
+    assert(files == Set("codebooks", "coarse", "codes"), files)
+  }
+
+  test("two index writers serialize on the claim; a stale claim is swept") {
+    // the multi-writer contract: two pipelines loop-maintaining ONE
+    // index must interleave appends without clobbering each other's
+    // in-flight parquet jobs — writers queue on the owner-token claim
+    val path = tmpDir("lexidx_claim") + "/idx"
+    val a = new LexicalIndex(spark, path)
+    val b = new LexicalIndex(spark, path)
+    val store = new IndexStore(spark, path)
+    // 1. a live claim blocks a rival until released
+    @volatile var released = false
+    val holder = new Thread(() => store.withClaim {
+      Thread.sleep(1200); released = true
+    })
+    holder.start()
+    Thread.sleep(200) // let the holder acquire
+    a.append(docs.filter(col("doc_id") % 2 === 0)) // must wait, then land
+    assert(released, "the append must have queued behind the live claim")
+    holder.join()
+    // 2. concurrent appends from two instances both land, bit-exactly
+    val t1 = new Thread(() => b.append(docs.filter(col("doc_id") % 4 === 1)))
+    val t2 = new Thread(() => a.append(docs.filter(col("doc_id") % 4 === 3)))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assertSameRows(
+      a.search(docQueries, topK = 10),
+      Ranking.bm25TopK(docs, docQueries, topK = 10))
+    // 3. a crashed holder's stale claim is swept, not waited out
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(path, "_writer_claim")
+    val o = fs.create(claim, true)
+    try o.write("dead-writer".getBytes("UTF-8")) finally o.close()
+    fs.setTimes(claim, System.currentTimeMillis() - IndexStore.ClaimStaleMs - 10000, -1)
+    a.append(docs.limit(0)) // sweeps the stale claim and proceeds
+    assert(!fs.exists(claim) ||
+      !new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+        fs.open(claim)), "UTF-8").startsWith("dead-writer"),
+      "the stale claim must have been swept")
+    assertSameRows(
+      a.search(docQueries, topK = 10),
+      Ranking.bm25TopK(docs, docQueries, topK = 10))
+  }
 }

@@ -17,8 +17,8 @@ import graft.sources.{GraftSession, Tables}
   * recall there is the code's, not the probe's).
   *
   * Usage: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain
-  * graft.tools.RecallBench [sfDir] [nlist] [m] [k]`. One JSON line per
-  * nProbe.
+  * graft.tools.RecallBench [sfDir] [nlist] [m] [k] [nQueries]`. One
+  * JSON line per nProbe.
   */
 object RecallBench {
   def main(args: Array[String]): Unit = {
@@ -28,11 +28,12 @@ object RecallBench {
     val nlist = args.lift(1).map(_.toInt).getOrElse(32)
     val m = args.lift(2).map(_.toInt).getOrElse(4)
     val k = args.lift(3).map(_.toInt).getOrElse(16)
+    val nQueries = args.lift(4).map(_.toInt).getOrElse(20)
     val topK = 10
     val spark = GraftSession.create("graft-recall-bench")
     val emb = Tables.embeddings(spark, sfDir)
     val nVec = emb.count()
-    val queries = emb.filter(col("vec_id") < 20)
+    val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding"))
     // coarse centroids trained with the engine's own bit-reproducible
     // KMeans — the shape a production create() would use

@@ -40,21 +40,36 @@ object ManifestBench {
       // compact(clusterBy, zorder) maintains
       // streamed, line by line: a 10M-entry fixture as one mkString is
       // a ~2 GB transient String that GC-thrashes the driver
+      // beyond 20M entries the fixture slims to ONE stats column: at
+      // ~230 B/line the full-blob layout needs up to three ~23 GB
+      // checkpoints alive at once (planted + two folds inside the
+      // retention window) — past this sandbox's disk. The slim row
+      // still measures what the decade exists for (fold wall, flat
+      // commit median, shard-index cold point-plan); 2-D and
+      // value-set pruning carry their evidence at ≤ 20M.
+      val slim = n > 20000000
       val w = java.nio.file.Files.newBufferedWriter(
         new java.io.File(mdir, "v0000000001_0000000001.list").toPath)
       try {
-        w.write("#statscol=user_id,event_id\n#setcol=lang\n")
+        w.write(if (slim) "#statscol=user_id\n"
+                else "#statscol=user_id,event_id\n#setcol=lang\n")
+        // 9-digit padding: at exactly 100M entries an 8-digit pad
+        // overflows ("part-100000000" sorts BEFORE "part-99999999"),
+        // planting a genuinely unsorted checkpoint — the streamed
+        // fold's order guard caught this in the wild and fell back
         (1 to n).foreach { i =>
           val erev = (java.lang.Integer.reverse(i) >>> 12).toLong & 0xfffffL
-          w.write(f"p_date=2024-01-01/part-$i%08d.parquet" +
+          w.write(f"p_date=2024-01-01/part-$i%09d.parquet" +
             s"\tcol=${b64("user_id")},t=long,min=${i * 1000L}," +
             s"max=${i * 1000L + 999L},rows=1000" +
-            s"\tcol=${b64("event_id")},t=long,min=${erev * 1000L}," +
-            s"max=${erev * 1000L + 999L},rows=1000" +
-            // categorical value sets: each file stores 2 of 20 languages
-            // — the dictionary-derived shape declareSetColumns maintains
-            s"\tset=${b64("lang")},t=string," +
-            s"v=${b64("l" + i % 20)};${b64("l" + (i + 7) % 20)}\n")
+            (if (slim) "\n"
+             else s"\tcol=${b64("event_id")},t=long,min=${erev * 1000L}," +
+               s"max=${erev * 1000L + 999L},rows=1000" +
+               // categorical value sets: each file stores 2 of 20
+               // languages — the dictionary-derived shape
+               // declareSetColumns maintains
+               s"\tset=${b64("lang")},t=string," +
+               s"v=${b64("l" + i % 20)};${b64("l" + (i + 7) % 20)}\n"))
         }
       } finally w.close()
       // MBENCH_IDLE_MS emulates the inter-commit work a real run does

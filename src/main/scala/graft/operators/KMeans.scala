@@ -109,6 +109,97 @@ object KMeans {
     toDf(cs)
   }
 
+  /** Fused per-subspace training — [[fit]] over every contiguous
+    * subvector of a product quantizer in ONE seed job plus ONE Lloyd
+    * job per iteration, instead of 2 jobs × m subspaces: every
+    * subspace trains on the same rows, so the per-subspace
+    * assignment+mean aggregations share a single map pass (m codegen'd
+    * `nearest_centroid` calls per row) and a single centroid-sized
+    * shuffle keyed by (s, centroid_id, pos).
+    *
+    * Bit-identical to `(0 until m).map(s => fit(slice_s(corpus), ...))`:
+    * the seeds are the same k lowest-id vectors' rounded slices
+    * (round is element-wise, so round-then-slice ≡ slice-then-round);
+    * each (s, centroid, pos) group sums the same rows with the same
+    * order-free DECIMAL quantization; the mean is the same exact
+    * integer rounding. A subspace that converges early keeps
+    * receiving no-op steps (unchanged centroids ⇒ unchanged
+    * assignments ⇒ unchanged means) until every subspace converges.
+    *
+    * Returns one [[graft.functions.expressions.CentroidMatrix]] per
+    * subspace, ready for codegen'd encoding — no DataFrame round-trip.
+    */
+  def fitSubspaces(
+      corpus: DataFrame, dim: Int, m: Int, k: Int, maxIters: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : IndexedSeq[graft.functions.expressions.CentroidMatrix] = {
+    import graft.functions.expressions.{CentroidMatrix, VectorExprFunctions}
+    require(k > 0, "k must be positive")
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    // ONE seed job for all subspaces: the k lowest-id full vectors,
+    // components rounded exactly like fit's per-subspace seed
+    val seedVecs: Array[Array[Double]] = corpus
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(transform(col(vecCol), x => round(x.cast("double"), 6)).as(vecCol))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    var cs: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      seedVecs.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+    }
+    def mats(): IndexedSeq[CentroidMatrix] = (0 until m).map { s =>
+      CentroidMatrix(cs(s).zipWithIndex.toIndexedSeq.map {
+        case (v, i) => (i.toLong, v) })
+    }
+    var iter = 0
+    var moved = true
+    while (iter < maxIters && moved) {
+      val ms = mats()
+      // ONE fused Lloyd job: per row, assign all m slices; explode to
+      // (s, centroid, pos, x); aggregate with step's exact decimal sums
+      val assigned = corpus.select(posexplode(array((0 until m).map { s =>
+        struct(
+          VectorExprFunctions
+            .nearest_centroid(slice(col(vecCol), s * sub + 1, sub), ms(s))
+            .getField("centroid_id").as("cid"),
+          slice(col(vecCol), s * sub + 1, sub).as("sv"))
+      }: _*)).as(Seq("s", "a")))
+      val means = assigned
+        .select(col("s"), col("a.cid").as("centroid_id"),
+          posexplode(col("a.sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("centroid_id"), col("pos"))
+        .agg(
+          sum((col("x").cast(DecimalType(18, 6)) * lit(1000000)).cast("long"))
+            .as("s6"),
+          count(lit(1)).as("n"))
+        .select(col("s"), col("centroid_id"), col("pos"),
+          (expr("cast(if(s6 < 0, -((abs(s6) * 2 + n) div (2 * n)), " +
+            "(abs(s6) * 2 + n) div (2 * n)) as double)") / lit(1000000.0))
+            .as("m"))
+        .collect() // m·k·sub rows — control plane, like fit's collect
+        .groupBy(_.getInt(0))
+        .map { case (s, rows) =>
+          s -> rows.groupBy(_.getLong(1)).map { case (cid, rs) =>
+            val v = new Array[Double](sub)
+            rs.foreach(r => v(r.getInt(2)) = r.getDouble(3))
+            cid.toInt -> v
+          }
+        }
+      moved = false
+      cs = Array.tabulate(m) { s =>
+        val bySub = means.getOrElse(s, Map.empty)
+        cs(s).zipWithIndex.map { case (old, i) =>
+          val next = bySub.getOrElse(i, old)
+          if (!java.util.Arrays.equals(next, old)) moved = true
+          next
+        }
+      }
+      iter += 1
+    }
+    mats()
+  }
+
   /** Within-cluster sum of squared distances — the objective; used by
     * specs to assert Lloyd's monotone improvement.
     */

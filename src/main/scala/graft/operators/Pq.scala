@@ -52,13 +52,67 @@ object Pq {
   def trainCodebooks(
       corpus: DataFrame, dim: Int, m: Int, k: Int, maxIters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[DataFrame] = {
-    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-    (0 until m).map { s =>
-      KMeans.fit(
-        corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
-        k, maxIters, idCol, vecCol)
+    val spark = corpus.sparkSession
+    trainCodebookMats(corpus, dim, m, k, maxIters, idCol, vecCol)
+      .map(mat => booksDfOfMat(spark, mat, vecCol))
+  }
+
+  /** [[trainCodebooks]] returning the collected matrices directly —
+    * the form every consumer (encode, ADC tables) actually needs, with
+    * no DataFrame round-trip and no per-subspace collect jobs. Trains
+    * fused: one seed job + one Lloyd job per iteration for ALL m
+    * subspaces ([[KMeans.fitSubspaces]]) instead of 2 jobs × m — at
+    * 100 TB that is one corpus pass per iteration instead of m.
+    */
+  def trainCodebookMats(
+      corpus: DataFrame, dim: Int, m: Int, k: Int, maxIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IndexedSeq[CentroidMatrix] =
+    KMeans.fitSubspaces(corpus, dim, m, k, maxIters, idCol, vecCol)
+
+  /** One subspace's (centroid_id, vecCol) frame from its matrix — the
+    * [[KMeans.fit]] output shape, identical values (the matrix holds
+    * the exact trained doubles).
+    */
+  private def booksDfOfMat(
+      spark: org.apache.spark.sql.SparkSession, mat: CentroidMatrix,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until mat.k).toIndexedSeq.map { c =>
+          Row(mat.ids(c),
+            java.util.Arrays.copyOfRange(mat.flat, c * mat.dim, (c + 1) * mat.dim)
+              .toIndexedSeq)
+        }, 1),
+      StructType(Seq(
+        StructField("centroid_id", LongType, nullable = false),
+        StructField(vecCol, ArrayType(DoubleType, containsNull = false)))))
+  }
+
+  /** All subspaces' centroids as one (s, cid, cv) frame from the
+    * matrices — [[adcTables]]'s union shape without re-reading or
+    * re-collecting anything.
+    */
+  private def booksUOfMats(
+      spark: org.apache.spark.sql.SparkSession,
+      mats: Seq[CentroidMatrix]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = mats.zipWithIndex.flatMap { case (mat, s) =>
+      (0 until mat.k).map { c =>
+        Row(s, mat.ids(c),
+          java.util.Arrays.copyOfRange(mat.flat, c * mat.dim, (c + 1) * mat.dim)
+            .toIndexedSeq)
+      }
     }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("s", IntegerType, nullable = false),
+        StructField("cid", LongType, nullable = false),
+        StructField("cv", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
   }
 
   /** PQ-encode the corpus: (idCol, codes) where `codes(s)` is the id of
@@ -101,10 +155,19 @@ object Pq {
   private def adcTables(
       books: Seq[DataFrame], queries: DataFrame, sub: Int, kAct: Int,
       vecCol: String, queryIdCol: String): DataFrame = {
-    val m = books.size
     val booksU = books.zipWithIndex.map { case (b, s) =>
       b.select(lit(s).as("s"), col("centroid_id").as("cid"), col(vecCol).as("cv"))
     }.reduce(_ unionAll _)
+    adcTablesU(booksU, books.size, queries, sub, kAct, vecCol, queryIdCol)
+  }
+
+  /** [[adcTables]] over an already-assembled (s, cid, cv) centroid
+    * frame — shared by the DataFrame path above and the matrix path
+    * ([[booksUOfMats]]), identical arithmetic.
+    */
+  private def adcTablesU(
+      booksU: DataFrame, m: Int, queries: DataFrame, sub: Int, kAct: Int,
+      vecCol: String, queryIdCol: String): DataFrame = {
     val qsub = queries.select(col(queryIdCol), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice($vecCol, s * $sub + 1, $sub))"))
       .as(Seq("s", "qv")))
@@ -155,6 +218,23 @@ object Pq {
     adcRank(codes.crossJoin(broadcast(qtables)), m, kAct, topK, idCol, queryIdCol)
   }
 
+  /** [[adcSearch]] fed by the collected matrices — no per-subspace
+    * collect jobs and no codebook re-read: the (s, cid, cv) table the
+    * distance tables join against is rebuilt locally from the exact
+    * trained doubles ([[booksUOfMats]]), so results are bit-identical.
+    */
+  def adcSearchMats(
+      codes: DataFrame, mats: Seq[CentroidMatrix], queries: DataFrame,
+      dim: Int, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val m = mats.size
+    val kAct = trainedK(mats)
+    val qtables = adcTablesU(booksUOfMats(queries.sparkSession, mats),
+      m, queries, dim / m, kAct, vecCol, queryIdCol)
+    adcRank(codes.crossJoin(broadcast(qtables)), m, kAct, topK, idCol, queryIdCol)
+  }
+
   /** ADC top-k: train per-subspace codebooks, encode the corpus,
     * precompute each query\'s m×k distance tables, and rank by the
     * summed table lookups. Returns (queryIdCol, idCol, adist2, rank) —
@@ -169,12 +249,9 @@ object Pq {
     // one control-plane probe for the dimensionality (like the
     // codebook collects, bounded by the vector contract)
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
-    val books = trainCodebooks(corpus, dim, m, k, maxIters, idCol, vecCol)
-    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
-    val kAct = trainedK(mats)
+    val mats = trainCodebookMats(corpus, dim, m, k, maxIters, idCol, vecCol)
     val codes = encode(corpus, mats, dim, idCol, vecCol)
-    val qtables = adcTables(books, queries, dim / m, kAct, vecCol, queryIdCol)
-    adcRank(codes.crossJoin(broadcast(qtables)), m, kAct, topK, idCol, queryIdCol)
+    adcSearchMats(codes, mats, queries, dim, topK, idCol, vecCol, queryIdCol)
   }
 
   /** FAISS-style IVF-PQ (Jégou et al. 2011 §V): an IVF coarse quantizer
@@ -205,13 +282,12 @@ object Pq {
       queryIdCol: String = "query_id"): DataFrame = {
     require(nProbe > 0, "nProbe must be positive")
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
-    val books = trainCodebooks(corpus, dim, m, k, maxIters, idCol, vecCol)
-    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
+    val mats = trainCodebookMats(corpus, dim, m, k, maxIters, idCol, vecCol)
     val encoded = encodeWithList(corpus,
       CentroidMatrix.fromDataFrame(
         coarse.select(col("centroid_id"), col(vecCol)), vecCol),
       mats, dim, idCol, vecCol)
-    ivfAdcSearch(encoded, books, coarse, queries, dim, nProbe, topK,
+    ivfAdcSearchMats(encoded, mats, coarse, queries, dim, nProbe, topK,
       idCol, vecCol, queryIdCol)
   }
 
@@ -279,4 +355,34 @@ object Pq {
       .join(broadcast(qtables), Seq(queryIdCol))
     adcRank(candidates, m, kAct, topK, idCol, queryIdCol)
   }
+
+  /** [[ivfAdcSearch]] fed by the collected codebook matrices — no
+    * per-subspace collect jobs and no codebook re-read (bit-identical,
+    * see [[adcSearchMats]]); `coarse` stays a caller DataFrame (the
+    * probe arithmetic runs on its exact stored values either way).
+    */
+  def ivfAdcSearchMats(
+      encoded: DataFrame, mats: Seq[CentroidMatrix], coarse: DataFrame,
+      queries: DataFrame, dim: Int, nProbe: Int, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(nProbe > 0, "nProbe must be positive")
+    val m = mats.size
+    val kAct = trainedK(mats)
+    val probes = probesOf(queries, coarse, nProbe, vecCol, queryIdCol)
+    val qtables = adcTablesU(booksUOfMats(queries.sparkSession, mats),
+      m, queries, dim / m, kAct, vecCol, queryIdCol)
+    val candidates = encoded
+      .join(broadcast(probes), Seq("list_id"))
+      .join(broadcast(qtables), Seq(queryIdCol))
+    adcRank(candidates, m, kAct, topK, idCol, queryIdCol)
+  }
+
+  /** A (centroid_id, vecCol) frame rebuilt locally from a collected
+    * coarse matrix — [[PqIndex.searchIvf]]'s probe input without
+    * re-reading the stored coarse parquet (identical doubles).
+    */
+  def coarseDfOfMat(
+      spark: org.apache.spark.sql.SparkSession, mat: CentroidMatrix,
+      vecCol: String): DataFrame = booksDfOfMat(spark, mat, vecCol)
 }

@@ -65,15 +65,45 @@ final class PqIndex(
   /** Stored coarse centroids: (centroid_id, embedding). */
   def readCoarse(): DataFrame = spark.read.parquet(coarsePath)
 
-  private def booksSeq(): Seq[DataFrame] = {
-    val all = readCodebooks()
-    (0 until m).map(s => all.filter(col("s") === s)
-      .select(col("centroid_id"), col("embedding")))
+  /** Collected frozen control plane, memoized per instance: the
+    * codebooks (and coarse centroids) are IMMUTABLE once [[create]]
+    * publishes them — the FAISS deployment contract this class
+    * documents — so one collect serves every later append/search this
+    * instance performs instead of m filter+collect jobs per call.
+    */
+  @volatile private var matsCache: Option[IndexedSeq[CentroidMatrix]] = None
+  @volatile private var coarseCache: Option[CentroidMatrix] = None
+
+  private def loadMats(): IndexedSeq[CentroidMatrix] = matsCache.getOrElse {
+    // ONE job over the single tiny codebooks file, split driver-side
+    val rows = readCodebooks()
+      .select(col("s").cast("int"), col("centroid_id").cast("long"),
+        col("embedding"))
+      .collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    val mats = (0 until m).map { s =>
+      CentroidMatrix(bySub.getOrElse(s, throw new IllegalStateException(
+        s"PqIndex at $path: stored codebooks miss subspace $s"))
+        .toIndexedSeq
+        .map(r => (r.getLong(1), r.getSeq[Any](2).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case x => throw new IllegalStateException(
+            s"PqIndex at $path: non-float codebook component $x")
+        }.toArray)))
+    }
+    matsCache = Some(mats)
+    mats
+  }
+
+  private def loadCoarse(): CentroidMatrix = coarseCache.getOrElse {
+    val mat = CentroidMatrix.fromDataFrame(readCoarse(), "embedding")
+    coarseCache = Some(mat)
+    mat
   }
 
   /** Vector dimensionality, from the stored codebooks (m · sub). */
-  def dim(): Int =
-    readCodebooks().select(size(col("embedding"))).head.getInt(0) * m
+  def dim(): Int = loadMats().head.dim * m
 
   /** Train the frozen codebooks on `corpus` and index it. With
     * `coarse` — (centroid_id, embedding) coarse-quantizer centroids,
@@ -96,13 +126,28 @@ final class PqIndex(
     store.repairAll()
     require(!exists, s"PqIndex at $path already exists — use append")
     val d = corpus.select(size(col(vecCol))).head.getInt(0)
-    val books = Pq.trainCodebooks(corpus, d, m, k, maxIters, idCol, vecCol)
+    // fused training: one seed job + one Lloyd job per iteration for
+    // all m subspaces, returning the matrices directly
+    val mats = Pq.trainCodebookMats(corpus, d, m, k, maxIters, idCol, vecCol)
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = store.stagePath(id)
-    books.zipWithIndex.map { case (b, s) =>
-      b.select(lit(s).as("s"), col("centroid_id"), col(vecCol).as("embedding"))
-    }.reduce(_ unionAll _)
-      .coalesce(1) // m·k control-plane rows — one tiny file
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // (s, centroid_id, embedding) rows straight from the matrices —
+    // the exact trained doubles, one local write instead of m unions
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        mats.zipWithIndex.flatMap { case (mat, s) =>
+          (0 until mat.k).map { c =>
+            Row(s, mat.ids(c), java.util.Arrays.copyOfRange(
+              mat.flat, c * mat.dim, (c + 1) * mat.dim).toIndexedSeq)
+          }
+        }, 1),
+      StructType(Seq(
+        StructField("s", IntegerType, nullable = false),
+        StructField("centroid_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
       .write.parquet(s"$stage/codebooks")
     coarse.foreach(_.select(col("centroid_id"), col("embedding"))
       .coalesce(1) // nlist control-plane rows — one tiny file
@@ -110,11 +155,14 @@ final class PqIndex(
     // encode against the in-memory training output: CentroidMatrix
     // sorts by centroid_id and parquet round-trips doubles exactly, so
     // this is bit-identical to re-reading the stored books
-    val mats = books.map(b => CentroidMatrix.fromDataFrame(b, vecCol))
     val coarseMats = coarse.map(c => CentroidMatrix.fromDataFrame(c, "embedding"))
     writeCodes(s"$stage/codes", corpus, d, idCol, vecCol, mats, coarseMats)
     store.publishStaged(id,
       Seq("codebooks") ++ coarse.map(_ => "coarse").toSeq ++ Seq("codes"))
+    // prime the frozen-control-plane cache for this instance's appends
+    // and searches (identical to re-reading the published parquet)
+    matsCache = Some(mats)
+    coarseMats.foreach(cm => coarseCache = Some(cm))
   }
 
   /** Encode a new batch against the frozen codebooks and append its
@@ -129,11 +177,10 @@ final class PqIndex(
     require(exists, s"PqIndex at $path does not exist — use create")
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = store.stagePath(id)
-    val mats = booksSeq().map(b => CentroidMatrix.fromDataFrame(b, "embedding"))
-    val coarseMats =
-      if (hasCoarse) Some(CentroidMatrix.fromDataFrame(readCoarse(), "embedding"))
-      else None
-    writeCodes(s"$stage/codes", batch, dim(), idCol, vecCol, mats, coarseMats)
+    val mats = loadMats()
+    val coarseMats = if (hasCoarse) Some(loadCoarse()) else None
+    writeCodes(s"$stage/codes", batch, mats.head.dim * m, idCol, vecCol,
+      mats, coarseMats)
     store.publishStaged(id, Seq("codes"))
   }
 
@@ -178,9 +225,10 @@ final class PqIndex(
       queries: DataFrame, topK: Int,
       vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
     store.tryWithClaim(store.repairAll())
-    Pq.adcSearch(readCodes(), booksSeq(),
+    val mats = loadMats()
+    Pq.adcSearchMats(readCodes(), mats,
       queries.select(col(queryIdCol), col(vecCol).as("embedding")),
-      dim(), topK, "vec_id", "embedding", queryIdCol)
+      mats.head.dim * m, topK, "vec_id", "embedding", queryIdCol)
   }
 
   /** IVF-PQ top-k FROM STORAGE: each query probes its `nProbe` nearest
@@ -197,8 +245,10 @@ final class PqIndex(
       s"PqIndex at $path has no coarse quantizer — create(coarse = ...) " +
         "builds the IVF-PQ layout; search() serves the flat one")
     store.tryWithClaim(store.repairAll())
-    Pq.ivfAdcSearch(readCodes(), booksSeq(), readCoarse(),
+    val mats = loadMats()
+    Pq.ivfAdcSearchMats(readCodes(), mats,
+      Pq.coarseDfOfMat(spark, loadCoarse(), "embedding"),
       queries.select(col(queryIdCol), col(vecCol).as("embedding")),
-      dim(), nProbe, topK, "vec_id", "embedding", queryIdCol)
+      mats.head.dim * m, nProbe, topK, "vec_id", "embedding", queryIdCol)
   }
 }

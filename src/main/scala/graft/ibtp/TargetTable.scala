@@ -4261,91 +4261,150 @@ final class TargetTable(
       if (clusterBy.nonEmpty) Some(clusterBy.mkString(","))
       else latestStatsCol()
     val setCol = latestSetCol()
-    parts.flatMap { case (d, dir) =>
-      // LIVE files only, from the manifest: trash-parked originals of a
-      // prior compaction are still in the directory within the
-      // retention and must be neither re-read (double rows) nor
-      // re-counted toward the file-count trigger
+    // candidate discovery is pure metadata: LIVE files only, from the
+    // manifest — trash-parked originals of a prior compaction are still
+    // in the directory within the retention and must be neither re-read
+    // (double rows) nor re-counted toward the file-count trigger
+    val candidates = parts.flatMap { case (d, dir) =>
       val live = liveByDir.getOrElse(dir.getName, Set.empty)
       val files = fs.listStatus(dir).toSeq
         .filter(f => f.isFile && live.contains(f.getPath.getName))
       val bytes = files.map(_.getLen).sum
       val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      if (files.size <= targetFiles) None
-      else {
-        heartbeatLease() // one rewrite per partition keeps the lease fresh
-        val stage = new Path(path + s"__compact_${java.util.UUID.randomUUID().toString.take(8)}")
-        try {
-          val reader = userSchema.fold(spark.read)(s => spark.read.schema(s))
-          val merged = reader.parquet(files.map(_.getPath.toString): _*)
-          val arranged =
-            if (clusterBy.isEmpty) merged.coalesce(targetFiles)
-            else if (zorder) {
-              // Morton layout: equal-depth bucket boundaries sampled
-              // from THIS partition's data (layout-only — approximate
-              // boundaries cannot affect contents), then range-cut and
-              // sort along the interleaved curve key
-              val nb = 256
-              val probs = (1 until nb).map(_.toDouble / nb).toArray
-              val qcols = clusterBy.indices.map(i => s"__graft_zq$i")
-              val bnds = merged
-                .select(clusterBy.zip(qcols).map { case (c, q) =>
-                  col(c).cast("double").as(q) }: _*)
-                .stat.approxQuantile(qcols.toArray, probs, 0.01)
-                .map(_.filter(d => !d.isNaN))
-              val zk = graft.functions.expressions.ZOrderFunctions
-                .zorder_key(clusterBy.map(c => col(c).cast("double")), bnds.toSeq)
-              merged.withColumn("__graft_zk", zk)
-                .repartitionByRange(targetFiles, col("__graft_zk"))
-                .sortWithinPartitions(col("__graft_zk"))
-                .drop("__graft_zk")
-            }
-            else merged
-              // range-cluster: disjoint key ranges per output file +
-              // sorted row groups inside each — maximal min/max pruning
-              .repartitionByRange(targetFiles, clusterBy.map(col): _*)
-              .sortWithinPartitions(clusterBy.map(col): _*)
-          arranged.write.mode("overwrite").parquet(stage.toString)
-          // staged part files get fresh job UUIDs — no collision with
-          // the originals' names, so moving them in is collision-free
-          val staged = fs.listStatus(stage).toSeq
-            .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-            .map(_.getPath)
-          writeMarker(compactIntentFile,
-            s"date=${d.fold(HiveDefaultPartition)(fmt.format)}\n" +
-              s"orig=${files.map(_.getPath.getName).mkString(",")}\n" +
-              s"staged=${staged.map(_.getName).mkString(",")}\n")
-          crashPoint("compact:marker")
-          // footer stats BEFORE the moves, while the staged files still
-          // live flat in the stage dir (compact writes one partition,
-          // unpartitioned); the commit lines carry them
-          val stagedLines = enrichPairsWithStats(
-            staged.map(s => s"${dir.getName}/${s.getName}" -> s), statsCol,
-            setCol)
-          staged.foreach { s =>
-            fs.rename(s, new Path(dir, s.getName))
-            crashPoint("compact:move")
-          }
-          failCompactPoint(1) // staged in place; manifest still pre-compaction
-          val origRel = files.map(f => s"${dir.getName}/${f.getPath.getName}")
-          // THE atomic switch: old set -> new set, as one delta bounded
-          // by this partition's file count (never an O(table) rewrite).
-          // A clustered run also declares its key as the stats column
-          // (idempotent — carried by every later header).
-          commitManifestDelta(add = stagedLines, remove = origRel,
-            statsCol = if (clusterBy.nonEmpty) Some(clusterBy.mkString(","))
-                       else None)
-          failCompactPoint(2) // manifest switched; originals still on disk
-          crashPoint("compact:commit")
-          writeTrash(origRel)
-          failCompactPoint(3) // originals parked; marker not yet cleared
-          crashPoint("compact:trash")
-          clearCompactIntent()
-          crashPoint("compact:cleared")
-          // report the ACTUAL staged count: range clustering may emit
-          // fewer files than requested when the key space is skewed
-          Some(CompactionStat(d, files.size, staged.size, bytes))
-        } finally if (fs.exists(stage)) fs.delete(stage, true)
+      if (files.size <= targetFiles) None else Some((d, dir, files, bytes, targetFiles))
+    }
+    // The rewrite jobs are independent per partition (each reads only
+    // its own live files and writes its own stage dir), so they run
+    // CONCURRENTLY in bounded batches — a sequential loop leaves the
+    // cluster idle on every small partition's job tail, and a windowed
+    // compaction of a year of daily partitions pays that tail 365
+    // times. The COMMIT section stays strictly sequential, one
+    // partition at a time, under the same single intent marker — every
+    // crash-repair state (at most one marker; marker implies its
+    // partition's staged files exist) is exactly the sequential loop's.
+    // The bound also caps transient stage storage at `cc` partitions.
+    val cc = math.min(CompactMaxConcurrentRewrites, math.max(1, candidates.size))
+    case class Staged(
+        d: Option[LocalDate], dir: Path, files: Seq[org.apache.hadoop.fs.FileStatus],
+        bytes: Long, stage: Path, staged: Seq[Path],
+        stagedLines: Seq[String])
+    def rewriteOne(
+        d: Option[LocalDate], dir: Path,
+        files: Seq[org.apache.hadoop.fs.FileStatus], bytes: Long,
+        targetFiles: Int): Staged = {
+      heartbeatLease() // one rewrite per partition keeps the lease fresh
+      val stage = new Path(path + s"__compact_${java.util.UUID.randomUUID().toString.take(8)}")
+      val reader = userSchema.fold(spark.read)(s => spark.read.schema(s))
+      val merged = reader.parquet(files.map(_.getPath.toString): _*)
+      val arranged =
+        if (clusterBy.isEmpty) merged.coalesce(targetFiles)
+        else if (zorder) {
+          // Morton layout: equal-depth bucket boundaries sampled
+          // from THIS partition's data (layout-only — approximate
+          // boundaries cannot affect contents), then range-cut and
+          // sort along the interleaved curve key
+          val nb = 256
+          val probs = (1 until nb).map(_.toDouble / nb).toArray
+          val qcols = clusterBy.indices.map(i => s"__graft_zq$i")
+          val bnds = merged
+            .select(clusterBy.zip(qcols).map { case (c, q) =>
+              col(c).cast("double").as(q) }: _*)
+            .stat.approxQuantile(qcols.toArray, probs, 0.01)
+            .map(_.filter(d => !d.isNaN))
+          val zk = graft.functions.expressions.ZOrderFunctions
+            .zorder_key(clusterBy.map(c => col(c).cast("double")), bnds.toSeq)
+          merged.withColumn("__graft_zk", zk)
+            .repartitionByRange(targetFiles, col("__graft_zk"))
+            .sortWithinPartitions(col("__graft_zk"))
+            .drop("__graft_zk")
+        }
+        else merged
+          // range-cluster: disjoint key ranges per output file +
+          // sorted row groups inside each — maximal min/max pruning
+          .repartitionByRange(targetFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      arranged.write.mode("overwrite").parquet(stage.toString)
+      // staged part files get fresh job UUIDs — no collision with
+      // the originals' names, so moving them in is collision-free
+      val staged = fs.listStatus(stage).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map(_.getPath)
+      // footer stats while the staged files still live flat in the
+      // stage dir (compact writes one partition, unpartitioned); reads
+      // only this partition's immutable staged output, so it is safe
+      // outside the commit section — the commit lines carry them
+      val stagedLines = enrichPairsWithStats(
+        staged.map(s => s"${dir.getName}/${s.getName}" -> s), statsCol, setCol)
+      Staged(d, dir, files, bytes, stage, staged, stagedLines)
+    }
+    // ONE marker + ONE atomic manifest commit per rewrite batch: the
+    // per-partition sequential tail was 30 markers/commits/parks for a
+    // 30-day window (50-80 ms of metadata each — more wall than the
+    // rewrites once those run concurrently). The batch delta stays
+    // bounded by cc partitions' file counts (never an O(table)
+    // rewrite), and because the manifest switch is all-or-nothing for
+    // the whole batch, crash repair keeps its binary decision: every
+    // staged file published → park originals; else → delete the moved
+    // staged copies ([[repairOrphanedCompact]]'s __batch__ arm).
+    def commitBatch(batch: Seq[Staged]): Seq[CompactionStat] = {
+      val origRelAll = batch.flatMap(st =>
+        st.files.map(f => s"${st.dir.getName}/${f.getPath.getName}"))
+      val stagedRelAll = batch.flatMap(st =>
+        st.staged.map(s => s"${st.dir.getName}/${s.getName}"))
+      writeMarker(compactIntentFile,
+        s"date=${TargetTable.BatchCompactSentinel}\n" +
+          s"orig=${origRelAll.mkString(",")}\n" +
+          s"staged=${stagedRelAll.mkString(",")}\n")
+      crashPoint("compact:marker")
+      batch.foreach(st => st.staged.foreach { s =>
+        fs.rename(s, new Path(st.dir, s.getName))
+        crashPoint("compact:move")
+      })
+      failCompactPoint(1) // staged in place; manifest still pre-compaction
+      // THE atomic switch: old set -> new set, one delta for the batch.
+      // A clustered run also declares its key as the stats column
+      // (idempotent — carried by every later header).
+      commitManifestDelta(add = batch.flatMap(_.stagedLines),
+        remove = origRelAll,
+        statsCol = if (clusterBy.nonEmpty) Some(clusterBy.mkString(","))
+                   else None)
+      failCompactPoint(2) // manifest switched; originals still on disk
+      crashPoint("compact:commit")
+      writeTrash(origRelAll)
+      failCompactPoint(3) // originals parked; marker not yet cleared
+      crashPoint("compact:trash")
+      clearCompactIntent()
+      crashPoint("compact:cleared")
+      // report the ACTUAL staged count: range clustering may emit
+      // fewer files than requested when the key space is skewed
+      batch.map(st => CompactionStat(st.d, st.files.size, st.staged.size, st.bytes))
+    }
+    if (candidates.isEmpty) Nil
+    else if (cc == 1)
+      candidates.flatMap { case (d, dir, files, bytes, tf) =>
+        val st = rewriteOne(d, dir, files, bytes, tf)
+        try commitBatch(Seq(st))
+        finally if (fs.exists(st.stage)) fs.delete(st.stage, true)
+      }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(cc)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        candidates.grouped(cc).flatMap { batch =>
+          val staged = Await.result(
+            Future.sequence(batch.map { case (d, dir, files, bytes, tf) =>
+              Future(rewriteOne(d, dir, files, bytes, tf)) }),
+            Duration.Inf)
+          try commitBatch(staged)
+          finally staged.foreach(st =>
+            if (fs.exists(st.stage)) fs.delete(st.stage, true))
+        }.toList
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+        ()
       }
     }
   }
@@ -4379,10 +4438,34 @@ final class TargetTable(
     // either set could park originals with nothing published to replace
     // them
     readKv(compactIntentFile, required = Seq("date", "orig", "staged")).map { kv =>
-      // `date` is the raw partition value: an ISO date, or the NULL-ts
-      // partition's sentinel (validated here so a corrupt marker still
-      // fails loudly instead of repairing a nonsense directory)
+      // `date` is the raw partition value: an ISO date, the NULL-ts
+      // partition's sentinel, or the BATCH sentinel (orig/staged then
+      // carry dir-qualified relative paths for a whole rewrite batch;
+      // the batch's manifest switch was one atomic commit, so the
+      // repair decision below stays binary). Validated here so a
+      // corrupt marker still fails loudly instead of repairing a
+      // nonsense directory.
       val d = kv("date")
+      if (d == TargetTable.BatchCompactSentinel) {
+        val orig   = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
+        val staged = kv.getOrElse("staged", "").split(",").filter(_.nonEmpty).toSeq
+        TargetTable.log.warn(s"repairing orphaned batch compaction on $path")
+        val manifest = latestManifest().getOrElse(Nil).toSet
+        val committed = staged.nonEmpty && staged.forall(manifest.contains)
+        if (committed) {
+          writeTrash(orig.filter(rel => fs.exists(new Path(path, rel))))
+          crashPoint("repairC:park")
+        } else {
+          staged.foreach { rel =>
+            val p = new Path(path, rel)
+            if (fs.exists(p)) fs.delete(p, false)
+            crashPoint("repairC:delete")
+          }
+        }
+        clearCompactIntent()
+        crashPoint("repairC:cleared")
+        return Some(d)
+      }
       if (d != HiveDefaultPartition) LocalDate.parse(d)
       val dirName = s"$PartitionCol=$d"
       val dir = new Path(path, dirName)
@@ -4802,6 +4885,27 @@ object TargetTable {
     * writer's in-flight `appendIsolated` stage.
     */
   val StagingSweepAgeMs: Long = 15L * 60 * 1000
+
+  /** Partition rewrite jobs a [[TargetTable.compact]] run keeps in
+    * flight (the commit section stays strictly sequential — see
+    * compactLocked). Sized like the runner's period concurrency: a few
+    * overlapped jobs fill each other's scheduling tails without
+    * fighting for executors; also the cap on transient stage storage
+    * (`cc` partitions' worth). Env-tunable for cluster deployments
+    * (`GRAFT_COMPACT_CONCURRENCY`), deliberately NOT derived from the
+    * local core count — the bench must measure the same plan shape at
+    * any SPARK_GRAFT_CPUS.
+    */
+  val CompactMaxConcurrentRewrites: Int =
+    sys.env.get("GRAFT_COMPACT_CONCURRENCY").map(_.toInt).getOrElse(8)
+
+  /** Marker `date=` sentinel for a batched compaction intent: the
+    * `orig=`/`staged=` lists then carry dir-qualified relative paths
+    * for a whole rewrite batch published under ONE manifest commit.
+    * Must never collide with a partition value — partition dirs encode
+    * dates or [[HiveDefaultPartition]].
+    */
+  val BatchCompactSentinel = "__batch__"
 
   /** Versioned live-file manifests (reader snapshots); underscore-
     * prefixed so Spark's listing treats it as metadata.

@@ -45,22 +45,25 @@ class ReaderSnapshotSpec extends SparkSpecBase {
       t.failCompactAt = 0
       assert(beforeRows.sameElements(t.read().collect().map(_.toString).sorted),
         s"phase $phase: rows changed under a crashed compaction")
-      // the crash hit the FIRST candidate partition (2024-01-01): the
-      // scan's files for it must be EXACTLY the originals (phase 1: the
-      // manifest never switched, so the staged copies sitting in the
-      // directory are invisible) or EXACTLY the compacted set (phases
-      // 2-3: the atomic switch happened) — never a mix; the partition
-      // the crash never reached always keeps its originals
-      val mid01 = scanned("p_date=2024-01-01")
-      if (phase == 1)
-        assert(mid01 == before01,
-          s"phase $phase: scan must still read the pre-compaction set")
-      else {
-        assert(mid01.nonEmpty && mid01.intersect(before01).isEmpty,
-          s"phase $phase: crashed partition must read ONLY compacted files")
+      // both candidate partitions ride ONE rewrite batch and ONE
+      // atomic manifest commit (compactLocked batches up to
+      // CompactMaxConcurrentRewrites partitions per commit): the scan's
+      // files must be EXACTLY the originals for EVERY partition
+      // (phase 1: the manifest never switched, so the staged copies
+      // sitting in the directories are invisible) or EXACTLY the
+      // compacted set for every partition (phases 2-3: the atomic
+      // switch happened) — never a mix, per partition or across the
+      // batch
+      for ((dir, orig) <- Seq("p_date=2024-01-01" -> before01,
+                              "p_date=2024-01-02" -> before02)) {
+        val mid = scanned(dir)
+        if (phase == 1)
+          assert(mid == orig,
+            s"phase $phase $dir: scan must still read the pre-compaction set")
+        else
+          assert(mid.nonEmpty && mid.intersect(orig).isEmpty,
+            s"phase $phase $dir: must read ONLY compacted files after the switch")
       }
-      assert(scanned("p_date=2024-01-02") == before02,
-        s"phase $phase: untouched partition must keep its original files")
     }
   }
 

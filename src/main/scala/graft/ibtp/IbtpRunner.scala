@@ -72,8 +72,14 @@ object IbtpRunner {
         * append-mode periods write disjoint day-partitions, so results
         * are identical and idempotent; the trade is that a mid-run
         * failure can leave holes behind the max partition, which a
-        * backfill of the run window repairs. Upsert mode ignores this
-        * and stays sequential (periods may touch shared partitions).
+        * backfill of the run window repairs. Backfill mode runs its
+        * disjoint window slices through the lease-less optimistic
+        * replace ([[TargetTable.replaceRangeConcurrent]], the q104
+        * shape) when > 1 and the table is manifest-era; a mid-run
+        * failure leaves some windows replaced and some not, repaired
+        * by idempotently re-running the same backfill. Upsert mode
+        * ignores this and stays sequential (periods may touch shared
+        * partitions).
         */
       maxConcurrentPeriods: Int = 1,
       /** Auto-size the period from the date-source models' measured
@@ -327,6 +333,14 @@ object IbtpRunner {
       target.heartbeatLease() // per-period: a live loop never goes stale
       val periodDf = model.query(spark, PeriodBounds(s.from, s.to))
       val n = mode match {
+        case _: RunMode.Backfill if isolated =>
+          // concurrent disjoint-period replacement: the slices tile the
+          // backfill window without overlap, which is exactly the
+          // lease-less optimistic replace's contract (per-call intent
+          // marker, per-attempt removal recompute) — the lease-held
+          // replaceRange's global marker and entry repairs assume one
+          // replace in flight and must stay sequential
+          target.replaceRangeConcurrent(periodDf, s.from, s.to)
         case _: RunMode.Backfill =>
           // idempotent period replacement (`loop.sql:92-99,108-114`)
           target.replaceRange(periodDf, s.from, s.to)
@@ -343,10 +357,16 @@ object IbtpRunner {
       n
     }
 
-    // concurrency only on the plain-append path: backfill's
-    // delete-then-insert and upsert's read-rewrite touch shared state
+    // concurrency on the plain-append path, and on backfill when the
+    // table is manifest-era (replaceRangeConcurrent's requirement —
+    // disjoint period slices are precisely its q104-proven shape; a
+    // mid-run failure leaves some windows replaced and some not, which
+    // a re-run of the same backfill repairs idempotently, the same
+    // exposure the concurrent append path documents). Upsert's
+    // read-rewrite touches shared partitions and stays sequential.
     val concurrency =
-      if (isBackfill || effectiveCfg.uniqueKey.nonEmpty) 1
+      if (effectiveCfg.uniqueKey.nonEmpty) 1
+      else if (isBackfill && target.latestManifest().isEmpty) 1
       else math.max(1, params.maxConcurrentPeriods)
     if (concurrency == 1) {
       slices.foreach(s => rowsInserted += math.max(runSlice(s, isolated = false), 0))

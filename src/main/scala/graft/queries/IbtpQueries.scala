@@ -110,11 +110,14 @@ object IbtpQueries {
     val model = dailyModel(dir)
     IbtpRunner.run(spark, model, target,
       IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8))
-    // replace a 10-day window in the middle of the built history
+    // replace a 10-day window in the middle of the built history —
+    // concurrently, through the lease-less optimistic replace path
+    // (disjoint slices; identical contents, same oracle)
     val bStart = minD.plusDays(8)
     val bStop = minD.plusDays(18)
     IbtpRunner.run(spark, model, target,
-      IbtpRunner.RunParams(cfg, RunMode.Backfill(bStart, bStop)))
+      IbtpRunner.RunParams(cfg, RunMode.Backfill(bStart, bStop),
+        maxConcurrentPeriods = 8))
     target.read().orderBy(col("day"), col("event_type"))
   }
 

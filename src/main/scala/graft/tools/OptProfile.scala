@@ -118,6 +118,40 @@ object OptProfile {
           .write.format("noop").mode("overwrite").save())
     }
 
+    if (on("backfill")) {
+      import graft.ibtp._
+      val cfg0 = IbtpConfig(timestampField = "day", dateSourceModels = Seq("__events"))
+      val (minD, maxD) = Boundaries.resolveStartStop(
+        spark, cfg0.copy(timestampField = "ts"),
+        Map("__events" -> Tables.events(spark, sfDir)))
+      val stop = maxD.get.plusDays(1)
+      val cfg = IbtpConfig(timestampField = "day",
+        startDate = Some(minD), stopDate = Some(stop))
+      val targetDir = QueryScratch.fresh("opt_backfill")
+      val target = new graft.ibtp.TargetTable(spark, targetDir, "day", countRows = false)
+      val model = new IbtpModel {
+        def query(s: org.apache.spark.sql.SparkSession, b: PeriodBounds)
+            : org.apache.spark.sql.DataFrame =
+          Tables.eventsRange(s, sfDir, b.from, b.to)
+            .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+                .as("total_value"),
+              countDistinct(col("user_id")).as("n_users"))
+      }
+      time("bf: build loop (conc 8)")(
+        IbtpRunner.run(spark, model, target,
+          IbtpRunner.RunParams(cfg, maxConcurrentPeriods = 8)))
+      val bStart = minD.plusDays(8)
+      val bStop = minD.plusDays(18)
+      time("bf: backfill 10 days")(
+        IbtpRunner.run(spark, model, target,
+          IbtpRunner.RunParams(cfg, RunMode.Backfill(bStart, bStop))))
+      time("bf: read (noop)")(
+        target.read().orderBy(col("day"), col("event_type"))
+          .write.format("noop").mode("overwrite").save())
+    }
+
     spark.stop()
   }
 }

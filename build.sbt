@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's FINAL stdout line as bare JSON. sbt's
+// default output strategy decorates forked-run output with an "[info] "
+// prefix ("parsed": null in BENCH_r10-r15 came from exactly that);
+// StdoutOutput passes the child's stdout through verbatim, and
+// showSuccess := false drops the trailing "[success] Total time" line
+// so the bench's JSON stays last.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -158,11 +158,15 @@ object Bench {
     // print after shutdown: Spark logs go to stderr, so the JSON lines
     // are the final stdout lines for last-line parsers
     println(line)
-    // The full blob can exceed a log collector's tail window (BENCH_r07
-    // lost q01-q23 and its leading "value" field to exactly that), so the
-    // verdict-relevant numbers also go on a SHORT final line that no tail
-    // capture can truncate; the per-query detail lives in BENCH_LAST.json
-    // and in the full line above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_sec":$total,$calibFields,"n_queries":${results.size},"errors":$nErr,"queries_file":"BENCH_LAST.json"}""")
+    // The driver parses the FINAL stdout line as the bench result, so it
+    // must be complete: per-query seconds go INLINE here (rounded to 0.1 ms
+    // to keep the line ~3 KB — BENCH_r07 showed a log tail window can
+    // truncate a much longer line), not behind a queries_file pointer that
+    // left PERF_r10-r15 with an empty per_query map. Full-precision values
+    // stay on the long line above and in BENCH_LAST.json.
+    val qsShort = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + err.fold(f"$v%.4f")(e => f"""{"sec":$v%.4f,"err":"$e"}""")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_sec":$total,$calibFields,"n_queries":${results.size},"errors":$nErr,"queries":$qsShort}""")
   }
 }

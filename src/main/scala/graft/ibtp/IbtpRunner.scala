@@ -68,18 +68,27 @@ object IbtpRunner {
       /** Periods submitted to Spark concurrently. 1 (default) is the
         * reference's strictly sequential loop: period i is durable
         * before i+1 starts, so resume-from-max never skips a gap.
-        * Higher values run independent period jobs in parallel —
-        * append-mode periods write disjoint day-partitions, so results
-        * are identical and idempotent; the trade is that a mid-run
-        * failure can leave holes behind the max partition, which a
-        * backfill of the run window repairs. Backfill mode runs its
-        * disjoint window slices through the lease-less optimistic
+        * Higher values run independent period jobs in parallel through
+        * a bounded sliding window (a period starts as soon as a slot
+        * frees; the frontier never runs more than 2× this value past
+        * the oldest unfinished period) — append-mode periods write
+        * disjoint day-partitions, so results are identical and
+        * idempotent; the trade is that a mid-run failure can leave
+        * holes behind the max partition (at most 2× this value of
+        * committed periods beyond the failed one), which a backfill of
+        * the run window or [[repairHoles]] repairs. Backfill mode runs
+        * its disjoint window slices through the lease-less optimistic
         * replace ([[TargetTable.replaceRangeConcurrent]], the q104
         * shape) when > 1 and the table is manifest-era; a mid-run
         * failure leaves some windows replaced and some not, repaired
-        * by idempotently re-running the same backfill. Upsert mode
-        * ignores this and stays sequential (periods may touch shared
-        * partitions).
+        * by idempotently re-running the same backfill. LIMITATION: the
+        * optimistic replace owns exactly its date range, so a model
+        * that emits NULL-timestamp rows (they land in the date-less
+        * default partition) fails a concurrent backfill mid-run with a
+        * clear remedy (re-run with 1, which uses the lease-held
+        * replaceRange); already-replaced periods stay correct. Upsert
+        * mode ignores this and stays sequential (periods may touch
+        * shared partitions).
         */
       maxConcurrentPeriods: Int = 1,
       /** Auto-size the period from the date-source models' measured
@@ -371,27 +380,71 @@ object IbtpRunner {
     if (concurrency == 1) {
       slices.foreach(s => rowsInserted += math.max(runSlice(s, isolated = false), 0))
     } else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
+      // BOUNDED SLIDING WINDOW, not fixed batches: the batched form
+      // (grouped(cc) + barrier) made every batch wait for its slowest
+      // member — with cc=8 over 30 periods that is 3 straggler tails
+      // of pure idle. Here a period is submitted the moment a slot
+      // frees, with a lookahead bound (2×cc) on how far past the
+      // OLDEST unfinished period the frontier may run: a mid-run
+      // failure can therefore leave at most `2×cc` committed periods
+      // beyond the failed one (the batched form bounded this to the
+      // batch end — same order, same repair: re-run the window or
+      // repairHoles). On failure, nothing new is submitted and every
+      // in-flight period is waited out so the failure state is
+      // quiescent before the exception propagates.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val ecs = new java.util.concurrent.ExecutorCompletionService[(Int, Long)](pool)
+      val lookahead = 2 * concurrency
+      val done = Array.fill(slices.size)(false)
+      var oldestUndone = 0
+      var next = 0
+      var inFlight = 0
+      var failure: Option[Throwable] = None
       try {
-        // window batches preserve coarse ordering: batch i completes
-        // before batch i+1 starts, bounding any failure hole
-        slices.grouped(concurrency).foreach { batch =>
-          val ns = Await.result(
-            Future.sequence(batch.map(s => Future(runSlice(s, isolated = true)))),
-            Duration.Inf)
-          rowsInserted += ns.map(math.max(_, 0L)).sum
+        while ((next < slices.size && failure.isEmpty) || inFlight > 0) {
+          while (failure.isEmpty && next < slices.size &&
+              inFlight < concurrency && next < oldestUndone + lookahead) {
+            val idx = next
+            ecs.submit(() => (idx, runSlice(slices(idx), isolated = true)))
+            inFlight += 1
+            next += 1
+          }
+          val f = ecs.take()
+          inFlight -= 1
+          try {
+            val (idx, n) = f.get()
+            done(idx) = true
+            while (oldestUndone < slices.size && done(oldestUndone)) oldestUndone += 1
+            rowsInserted += math.max(n, 0L)
+          } catch {
+            case e: java.util.concurrent.ExecutionException =>
+              // keep the FIRST failure; later siblings only drain
+              if (failure.isEmpty) failure = Some(e.getCause)
+          }
         }
       } finally {
-        // on a batch failure, sibling period jobs are still in flight:
-        // wait them out so the run's failure state is quiescent (no
-        // writes continuing behind the caller's back) before the
-        // exception propagates — the contiguity repair then sees the
-        // final hole set, not a moving one
         pool.shutdown()
         pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+        ()
+      }
+      failure.foreach { e =>
+        throw (e match {
+          case iae: IllegalArgumentException
+              if isBackfill && iae.getMessage != null &&
+                iae.getMessage.contains("fresh rows land outside") =>
+            // the concurrent replace owns exactly its range, so a model
+            // emitting NULL-timestamp (or out-of-range) rows cannot run
+            // concurrently — surface the remedy at the runner level
+            new IllegalArgumentException(
+              "concurrent backfill: the model emitted rows outside its " +
+                "period slice (NULL-timestamp rows land in the date-less " +
+                "partition no range can claim) — re-run this backfill " +
+                "with maxConcurrentPeriods = 1, which routes through the " +
+                "lease-held replaceRange and owns the NULL partition too. " +
+                "Periods already replaced by this run are correct and the " +
+                "re-run is idempotent. Cause: " + iae.getMessage, iae)
+          case other => other
+        })
       }
     }
 

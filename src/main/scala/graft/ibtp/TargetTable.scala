@@ -4293,6 +4293,9 @@ final class TargetTable(
         files: Seq[org.apache.hadoop.fs.FileStatus], bytes: Long,
         targetFiles: Int): Staged = {
       heartbeatLease() // one rewrite per partition keeps the lease fresh
+      // per-partition boundary so specs can fail ONE rewrite of a
+      // concurrent batch and pin the siblings' cleanup behavior
+      crashPoint(s"compact:rewrite:${d.map(fmt.format).getOrElse(HiveDefaultPartition)}")
       val stage = new Path(path + s"__compact_${java.util.UUID.randomUUID().toString.take(8)}")
       val reader = userSchema.fold(spark.read)(s => spark.read.schema(s))
       val merged = reader.parquet(files.map(_.getPath.toString): _*)
@@ -4391,20 +4394,42 @@ final class TargetTable(
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(cc)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      var primary: Throwable = null
       try {
         candidates.grouped(cc).flatMap { batch =>
-          val staged = Await.result(
+          // transform to Try so every rewrite in the batch runs to
+          // completion before a failure propagates: the failure state
+          // is quiescent AND the completed siblings' stage dirs are
+          // known — they are reaped here (they can never commit)
+          // instead of lingering for the 15-minute-aged sweep
+          val tried = Await.result(
             Future.sequence(batch.map { case (d, dir, files, bytes, tf) =>
-              Future(rewriteOne(d, dir, files, bytes, tf)) }),
+              Future(rewriteOne(d, dir, files, bytes, tf))
+                .transform(scala.util.Success(_)) }),
             Duration.Inf)
-          try commitBatch(staged)
-          finally staged.foreach(st =>
+          val staged = tried.collect { case scala.util.Success(st) => st }
+          try {
+            tried.collectFirst { case scala.util.Failure(e) => e }
+              .foreach(throw _)
+            commitBatch(staged)
+          } finally staged.foreach(st =>
             if (fs.exists(st.stage)) fs.delete(st.stage, true))
         }.toList
+      } catch {
+        case t: Throwable => primary = t; throw t
       } finally {
         pool.shutdown()
-        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
-        ()
+        // every submitted rewrite completed inside the Await above, so
+        // a drain timeout here means something is genuinely wedged —
+        // surface it loudly instead of falling through with rewrites
+        // possibly still mutating stage dirs behind the caller's back
+        if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) {
+          val e = new IllegalStateException(
+            s"compaction rewrite pool on $path did not quiesce within " +
+              "1 hour — rewrites may still be running; their stage dirs " +
+              "are left for the aged sweep")
+          if (primary != null) primary.addSuppressed(e) else throw e
+        }
       }
     }
   }
@@ -4445,10 +4470,13 @@ final class TargetTable(
       // repair decision below stays binary). Validated here so a
       // corrupt marker still fails loudly instead of repairing a
       // nonsense directory.
+      // if/else expression, NOT a non-local return out of the .map
+      // closure — that compiled to NonLocalReturnControl, which an
+      // intervening catch-all (or a Scala 3 migration) silently breaks
       val d = kv("date")
+      val orig   = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
+      val staged = kv.getOrElse("staged", "").split(",").filter(_.nonEmpty).toSeq
       if (d == TargetTable.BatchCompactSentinel) {
-        val orig   = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
-        val staged = kv.getOrElse("staged", "").split(",").filter(_.nonEmpty).toSeq
         TargetTable.log.warn(s"repairing orphaned batch compaction on $path")
         val manifest = latestManifest().getOrElse(Nil).toSet
         val committed = staged.nonEmpty && staged.forall(manifest.contains)
@@ -4462,36 +4490,32 @@ final class TargetTable(
             crashPoint("repairC:delete")
           }
         }
-        clearCompactIntent()
-        crashPoint("repairC:cleared")
-        return Some(d)
-      }
-      if (d != HiveDefaultPartition) LocalDate.parse(d)
-      val dirName = s"$PartitionCol=$d"
-      val dir = new Path(path, dirName)
-      val orig   = kv.getOrElse("orig", "").split(",").filter(_.nonEmpty).toSeq
-      val staged = kv.getOrElse("staged", "").split(",").filter(_.nonEmpty).toSeq
-      if (fs.exists(dir)) {
-        TargetTable.log.warn(s"repairing orphaned compaction of $dir")
-        val manifest = latestManifest().getOrElse(Nil).toSet
-        // nonEmpty guard: an empty staged set can never have been
-        // committed — the vacuous forall would park the originals with
-        // nothing published in their place
-        val committed = staged.nonEmpty &&
-          staged.forall(s => manifest.contains(s"$dirName/$s"))
-        if (committed) {
-          // forward: the commit published the staged set; parking the
-          // originals (and clearing) is all that remained. writeTrash
-          // may double-park on re-crash — vacuum tolerates absent files.
-          writeTrash(orig.map(o => s"$dirName/$o")
-            .filter(rel => fs.exists(new Path(path, rel))))
-          crashPoint("repairC:park")
-        } else {
-          // back: the staged copies were never published — remove them
-          staged.foreach { s =>
-            val p = new Path(dir, s)
-            if (fs.exists(p)) fs.delete(p, false)
-            crashPoint("repairC:delete")
+      } else {
+        if (d != HiveDefaultPartition) LocalDate.parse(d)
+        val dirName = s"$PartitionCol=$d"
+        val dir = new Path(path, dirName)
+        if (fs.exists(dir)) {
+          TargetTable.log.warn(s"repairing orphaned compaction of $dir")
+          val manifest = latestManifest().getOrElse(Nil).toSet
+          // nonEmpty guard: an empty staged set can never have been
+          // committed — the vacuous forall would park the originals with
+          // nothing published in their place
+          val committed = staged.nonEmpty &&
+            staged.forall(s => manifest.contains(s"$dirName/$s"))
+          if (committed) {
+            // forward: the commit published the staged set; parking the
+            // originals (and clearing) is all that remained. writeTrash
+            // may double-park on re-crash — vacuum tolerates absent files.
+            writeTrash(orig.map(o => s"$dirName/$o")
+              .filter(rel => fs.exists(new Path(path, rel))))
+            crashPoint("repairC:park")
+          } else {
+            // back: the staged copies were never published — remove them
+            staged.foreach { s =>
+              val p = new Path(dir, s)
+              if (fs.exists(p)) fs.delete(p, false)
+              crashPoint("repairC:delete")
+            }
           }
         }
       }
@@ -4897,7 +4921,17 @@ object TargetTable {
     * any SPARK_GRAFT_CPUS.
     */
   val CompactMaxConcurrentRewrites: Int =
-    sys.env.get("GRAFT_COMPACT_CONCURRENCY").map(_.toInt).getOrElse(8)
+    sys.env.get("GRAFT_COMPACT_CONCURRENCY").map { v =>
+      // validated here, not a bare .toInt: a malformed value would
+      // otherwise surface as an opaque class-initialization error far
+      // from the setting that caused it
+      val n = scala.util.Try(v.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"GRAFT_COMPACT_CONCURRENCY must be a positive integer, got '$v'"))
+      if (n <= 0) throw new IllegalArgumentException(
+        s"GRAFT_COMPACT_CONCURRENCY must be a positive integer, got '$v'")
+      n
+    }.getOrElse(8)
 
   /** Marker `date=` sentinel for a batched compaction intent: the
     * `orig=`/`staged=` lists then carry dir-qualified relative paths

@@ -144,19 +144,25 @@ object Components extends Logging {
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      val nbr = und.as("e")
+      // FUSED round: the neighbor-min and pointer-jump terms are the
+      // SAME join applied to two edge sets — the undirected edges, and
+      // the label assignment itself viewed as id→lbl edges (joining
+      // those with labels on lbl = id IS label-of-label). One join and
+      // one exchange-pair per round instead of two joins and three:
+      // the unioned (id, lbl) multiset feeding min() is identical row
+      // for row to the old nbr ∪ jump, so results are bit-identical;
+      // per round this shuffles E+V edge rows once instead of E (nbr
+      // build side) + V (jump probe side) + V (jump build side).
+      val prop = und.unionAll(labels.select(col("id").as("s"), col("lbl").as("d")))
+        .as("e")
         .join(labels.as("l"), col("e.d") === col("l.id"))
         .select(col("e.s").as("id"), col("l.lbl").as("lbl"))
-      val jump = labels.as("a")
-        .join(labels.as("b"), col("a.lbl") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.lbl").as("lbl"))
       val nullLbl = lit(null).cast("long")
       val obs = new org.apache.spark.sql.Observation(
         s"cc_round_${round}_${java.util.UUID.randomUUID()}")
       val next = truncated( // eager: materializes and fires the observation
         labels.select(col("id"), col("lbl"), col("lbl").as("old"))
-          .unionAll(nbr.select(col("id"), col("lbl"), nullLbl.as("old")))
-          .unionAll(jump.select(col("id"), col("lbl"), nullLbl.as("old")))
+          .unionAll(prop.select(col("id"), col("lbl"), nullLbl.as("old")))
           .groupBy(col("id"))
           .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
           .observe(obs, sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))

@@ -185,12 +185,25 @@ object Dedup extends Logging {
         .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash")),
       maxBucket, Seq("band", "band_hash"))
 
-    val candidates = bandKeys.as("l")
-      .join(bandKeys.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // bucket-grouped candidate generation: collect each bucket's ids
+    // (bounded by the cap, so a group buffer is ≤ maxBucket longs) and
+    // expand the i<j pairs locally — ONE exchange of the capped band
+    // keys instead of a self-join shuffling and sorting BOTH sides
+    // (exchange reuse does not fire across a self-join's sides under
+    // AQE). sort_array + ordered expansion yields exactly the
+    // l.id < r.id pairs of the join formulation — same multiset, same
+    // distinct() — and the DuckDB replay oracles already use this
+    // grouped-list form.
+    val candidates = bandKeys
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + lit(2),
+            greatest(size(col("ids")) - i - lit(1), lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
     val shA = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))

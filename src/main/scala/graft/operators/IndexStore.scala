@@ -277,12 +277,66 @@ final class IndexStore(val spark: SparkSession, val path: String) {
     * marker left in place for [[repairFold]], never deletes.
     */
   def swapDir(sub: String, build: String => Unit): Unit = {
-    val live = new Path(s"$path/$sub")
+    prepareFoldStage(sub)
+    build(new Path(s"$path/${sub}__fold").toString)
+    swapStaged(sub)
+  }
+
+  /** Build several components' staged folds CONCURRENTLY (independent
+    * Spark jobs overlap their scheduling tails — the same back-fill
+    * pattern as the compaction rewrite batches), then swap each one in
+    * strictly SEQUENTIALLY via the single intent marker. The crash
+    * contract is unchanged: a marker only ever exists after its
+    * component's staged build is complete (forward-safe), at most one
+    * marker at any instant, and a crash between swaps leaves earlier
+    * components fully swapped and later components as markerless stage
+    * directories (swept on the next writer's entry). If any build
+    * fails, every sibling's completed stage is deleted before the
+    * first failure is rethrown — nothing was published.
+    */
+  def swapDirs(subs: Seq[(String, String => Unit)]): Unit = {
+    require(subs.map(_._1).distinct.size == subs.size,
+      s"swapDirs got duplicate components: ${subs.map(_._1).mkString(",")}")
+    subs.foreach { case (sub, _) => prepareFoldStage(sub) }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(subs.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // transform to Try so ALL builds run to completion before any
+      // failure propagates — the failure state is quiescent and the
+      // cleanup below sees every stage dir that was actually created
+      val tried = Await.result(
+        Future.sequence(subs.map { case (sub, build) =>
+          Future(build(new Path(s"$path/${sub}__fold").toString))
+            .transform(scala.util.Success(_))
+        }), Duration.Inf)
+      tried.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
+        subs.foreach { case (sub, _) =>
+          val stage = new Path(s"$path/${sub}__fold")
+          if (fs.exists(stage)) fs.delete(stage, true)
+        }
+        throw e
+      }
+    } finally { pool.shutdown(); () }
+    subs.foreach { case (sub, _) => swapStaged(sub) }
+  }
+
+  private def prepareFoldStage(sub: String): Unit = {
     val stage = new Path(s"$path/${sub}__fold")
     val old = new Path(s"$path/${sub}__old")
     if (fs.exists(stage)) fs.delete(stage, true)
     if (fs.exists(old)) fs.delete(old, true)
-    build(stage.toString)
+    ()
+  }
+
+  /** The marker → rename → cleanup swap of one COMPLETE staged fold —
+    * the serialized tail of [[swapDir]]/[[swapDirs]].
+    */
+  private def swapStaged(sub: String): Unit = {
+    val live = new Path(s"$path/$sub")
+    val stage = new Path(s"$path/${sub}__fold")
+    val old = new Path(s"$path/${sub}__old")
     writeMarker(foldIntent, s"sub=$sub\n")
     if (fs.exists(live) && !fs.rename(live, old))
       throw new IllegalStateException(

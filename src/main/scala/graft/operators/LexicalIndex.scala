@@ -153,15 +153,20 @@ final class LexicalIndex(val spark: SparkSession, val path: String) {
     store.repairAll()
     val pf = if (postingsFiles > 0) postingsFiles
              else spark.sparkContext.defaultParallelism
-    store.swapDir("df", out => readDf()
-      .groupBy(col("token")).agg(sum(col("df")).as("df"))
-      .write.parquet(out))
-    store.swapDir("stats", out => readStats()
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-        coalesce(sum(col("tl")), lit(0L)).as("tl"))
-      .coalesce(1).write.parquet(out))
-    store.swapDir("postings", out => readPostings()
-      .coalesce(pf).write.parquet(out))
+    // the three staged fold builds are independent jobs over disjoint
+    // component dirs — swapDirs overlaps them (each is small, so the
+    // serialized form paid three full job tails), then swaps each in
+    // sequentially under the unchanged one-marker crash contract
+    store.swapDirs(Seq(
+      "df" -> (out => readDf()
+        .groupBy(col("token")).agg(sum(col("df")).as("df"))
+        .write.parquet(out)),
+      "stats" -> (out => readStats()
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+          coalesce(sum(col("tl")), lit(0L)).as("tl"))
+        .coalesce(1).write.parquet(out)),
+      "postings" -> (out => readPostings()
+        .coalesce(pf).write.parquet(out))))
   }
 
   /** Heal a [[compact]] swap orphaned by a crash (see

@@ -32,6 +32,12 @@ class ReaderSnapshotSpec extends SparkSpecBase {
     files.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
 
   test("a reader at any instant of a compaction sees old or new files, never partial") {
+    // the per-partition assertions below assume BOTH candidate
+    // partitions ride one rewrite batch (one atomic manifest commit);
+    // with GRAFT_COMPACT_CONCURRENCY=1 in the environment each would
+    // commit separately and the phase>=2 arm would fail spuriously
+    assume(TargetTable.CompactMaxConcurrentRewrites >= 2,
+      "fixture needs a rewrite batch of >= 2 (GRAFT_COMPACT_CONCURRENCY)")
     for (phase <- Seq(1, 2, 3)) {
       val t = build(s"snap_phase$phase")
       val beforeRows = t.read().collect().map(_.toString).sorted
@@ -65,6 +71,36 @@ class ReaderSnapshotSpec extends SparkSpecBase {
             s"phase $phase $dir: must read ONLY compacted files after the switch")
       }
     }
+  }
+
+  test("a failed concurrent rewrite reaps its completed siblings' stage dirs in-process") {
+    // round-16 fix: when one rewrite of a concurrent batch fails, the
+    // batch never commits — siblings that staged successfully must have
+    // their __compact_ stage dirs deleted before the failure propagates
+    // (previously they lingered for the 15-minute-aged sweep), no
+    // intent marker may exist, and readers must be untouched.
+    assume(TargetTable.CompactMaxConcurrentRewrites >= 2,
+      "fixture needs a rewrite batch of >= 2 (GRAFT_COMPACT_CONCURRENCY)")
+    val t = build("snap_rewritefail")
+    val before = t.read().collect().map(_.toString).sorted
+    t.crashHook = nm =>
+      if (nm == "compact:rewrite:2024-01-02")
+        throw new RuntimeException("injected rewrite failure")
+    val e = intercept[RuntimeException] { t.compact() }
+    t.crashHook = _ => ()
+    assert(e.getMessage.contains("injected rewrite failure"))
+    val parent = new java.io.File(t.path).getParentFile
+    val leftovers = parent.listFiles()
+      .filter(_.getName.startsWith(new java.io.File(t.path).getName + "__compact_"))
+    assert(leftovers.isEmpty,
+      s"completed siblings' stage dirs must be reaped: ${leftovers.mkString(",")}")
+    assert(!new java.io.File(t.path, TargetTable.CompactIntentFile).exists,
+      "no intent marker may exist — the batch never reached its commit")
+    assert(before.sameElements(t.read().collect().map(_.toString).sorted),
+      "a failed rewrite batch must be invisible to readers")
+    // the table compacts cleanly afterwards
+    assert(t.compact().nonEmpty)
+    assert(before.sameElements(t.read().collect().map(_.toString).sorted))
   }
 
   test("replaced originals are retention-parked; vacuum reaps them") {

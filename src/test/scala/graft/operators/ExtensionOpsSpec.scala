@@ -235,6 +235,44 @@ class ExtensionOpsSpec extends SparkSpecBase {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("bucket-grouped candidate generation equals the self-join formulation") {
+    // round-16 internals change: minhashPairsFrom generates candidate
+    // pairs by bucket aggregation + local i<j expansion instead of a
+    // band-key self-join. Pin the equivalence against the old join
+    // form explicitly, with a cap SMALL enough that the hot-bucket
+    // guard participates, and threshold 0 so verification passes every
+    // candidate through (isolating candidate generation itself).
+    val corpus = ExtensionQueries.corpusWithNearDups(spark, sfDir)
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
+      shingleN = 3, nHashes = 64).cache()
+    try {
+      val cap = 4
+      val grouped = Dedup.minhashPairsFrom(sigs, bands = 16, rowsPerBand = 4,
+        threshold = 0.0, maxBucket = cap)
+        .select(col("id_a"), col("id_b"))
+      val bandKeys = sigs
+        .select(col("id"),
+          explode(graft.functions.TextFunctions.lshBandKeys(col("sig"), 16, 4))
+            .as("bk"))
+        .select(col("id"), col("bk.band").as("band"),
+          col("bk.band_hash").as("band_hash"))
+      val capped = bandKeys.join(
+        broadcast(Dedup.hotBuckets(bandKeys, cap, Seq("band", "band_hash"))
+          .select(col("band"), col("band_hash"))),
+        Seq("band", "band_hash"), "left_anti")
+      val joined = capped.as("l")
+        .join(capped.as("r"),
+          col("l.band") === col("r.band") &&
+            col("l.band_hash") === col("r.band_hash") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      assert(grouped.count() > 0, "fixture produced no candidates at all")
+      assert(grouped.exceptAll(joined).isEmpty && joined.exceptAll(grouped).isEmpty,
+        "bucket-grouped candidates differ from the self-join formulation")
+    } finally { sigs.unpersist(); () }
+  }
+
   test("hot-bucket guard: boilerplate flood collapses to one representative, recall holds") {
     import spark.implicits._
     // 400 exact copies of one boilerplate page — at web scale this is

@@ -213,6 +213,44 @@ class RetrievalIndexSpec extends SparkSpecBase {
       Ranking.bm25TopK(docs, docQueries, topK = 10))
   }
 
+  test("concurrent fold builds: a failing build publishes nothing and leaves no stage") {
+    // round-16 internals change: compact() builds its three component
+    // folds concurrently (IndexStore.swapDirs) and swaps sequentially.
+    // If ANY build fails, no marker may exist, no component may have
+    // swapped, and every sibling's completed stage dir must be reaped.
+    val idx = new LexicalIndex(spark, tmpDir("lexidx_foldfail") + "/idx")
+    idx.append(docs.filter(col("doc_id") % 2 === 0))
+    idx.append(docs.filter(col("doc_id") % 2 =!= 0))
+    val before = idx.search(docQueries, topK = 10).collect().map(_.toString).sorted
+    val store = new IndexStore(spark, idx.path)
+    val boom = intercept[RuntimeException] {
+      store.withClaim {
+        store.swapDirs(Seq(
+          "stats" -> (out => idx.readStats()
+            .agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
+            .coalesce(1).write.parquet(out)),
+          "df" -> (_ => throw new RuntimeException("simulated build failure"))))
+      }
+    }
+    assert(boom.getMessage.contains("simulated build failure"))
+    val fs = new org.apache.hadoop.fs.Path(idx.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx.path, "_fold_intent")),
+      "no marker may exist after a failed concurrent fold")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx.path, "stats__fold")),
+      "the completed sibling's stage dir must be reaped")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx.path, "df__fold")))
+    assert(idx.readStats().count() > 1,
+      "stats must still be the unfolded partials — nothing published")
+    val after = idx.search(docQueries, topK = 10).collect().map(_.toString).sorted
+    assert(before.sameElements(after), "failed fold must be invisible to search")
+    // and a later compact() over the same store succeeds cleanly
+    idx.compact(postingsFiles = 2)
+    assert(idx.readStats().count() == 1)
+    val folded = idx.search(docQueries, topK = 10).collect().map(_.toString).sorted
+    assert(before.sameElements(folded))
+  }
+
   test("lexical index fold swap heals a crash at every boundary") {
     // enumerate the states the swap can die in by reproducing them
     // directly (stage complete + marker; marker + old only; marker +

@@ -172,14 +172,16 @@ class PlanSpec extends SparkSpecBase {
     p +: (p.children ++ extra).flatMap(allNodes)
   }
 
-  test("LSH hot-bucket cap never shuffles or sorts the bucketed rows") {
+  test("LSH band pipeline: no Window, no band-key self-join, aggregated exchanges only") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    // the Window-count formulation planned a full shuffle+sort of the
-    // band keys on EACH side of the self-join (exchange reuse does not
-    // fire across a self-join's sides under AQE); the aggregate-count +
-    // broadcast-anti-join shape must plan no Window, and any band-key
-    // shuffle may carry only the aggregated over-cap KEYS, never the
-    // bucketed rows on the cap's account
+    // pinned shape (round 16): candidate generation is ONE bucket
+    // aggregation (partial collect_list under the band-key exchange)
+    // with local pair expansion — never a self-join that shuffles and
+    // sorts the band keys on each side (exchange reuse does not fire
+    // across a self-join's sides under AQE), and never a Window for
+    // the hot-bucket cap. Every band-key exchange must therefore sit
+    // over an aggregate (the cap's count partials or the bucket's
+    // collect_list partials), not over raw exploded rows.
     // the LAZY pipeline variant: the public operator eagerly
     // checkpoints its result (CacheScope), so its returned plan is a
     // leaf — the shape pin must look at the pipeline itself
@@ -193,15 +195,21 @@ class PlanSpec extends SparkSpecBase {
     assert(!nodes.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.window.WindowExec]),
       "cap must not plan a Window over the band keys")
-    // no full-row shuffle on the band keys: every band-key exchange (if
-    // AQE materialized any before empty-relation elimination) must sit
-    // under the over-cap aggregation, whose output is keys+counts only
     val bandShuffles = nodes.collect {
       case e: ShuffleExchangeExec
           if e.outputPartitioning.toString.contains("band_hash") => e
     }
     assert(bandShuffles.forall(_.child.toString.contains("HashAggregate")),
       s"band-key shuffle of un-aggregated rows:\n${bandShuffles.mkString("\n")}")
+    // no join keyed on the band columns anywhere (the old self-join)
+    val bandJoins = nodes.filter { n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]
+    }.filter(_.toString.linesIterator.next().contains("band_hash"))
+    assert(bandJoins.forall(_.toString.linesIterator.next().contains("LeftAnti")),
+      s"band keys must never feed a candidate self-join, only the cap's " +
+        s"anti-join:\n${bandJoins.mkString("\n")}")
   }
 
   test("all-pairs similarity join counts intersections with map-side partials") {
